@@ -1,0 +1,492 @@
+"""Relational analytics corpus over the TPC-H-ish testdata.
+
+Exercises the operator families the reference uses (SURVEY.md §2.2-§2.8:
+projections, predicate filters, equi-joins, multi-metric aggregation) plus
+the families the reference lacks but any analytics surface needs (§2.3/§2.4
+"missing-but-required": broadcast joins, semi/anti joins, windows, rollup/
+cube, distinct aggregates, top-k, set ops).
+
+Scale notes (100 TB stance), applied throughout:
+  * fact-fact joins (orders⋈lineitem) are shuffle hash/sort-merge on the
+    join key — Spark co-partitions both sides; AQE handles skew;
+  * every dim join (region/nation/supplier/part/customer) is explicitly
+    ``F.broadcast`` — dims stay small even at SF100k, so no shuffle of the
+    fact side for those joins;
+  * aggregations are single ``groupBy().agg(...)`` calls (one shuffle with
+    map-side partial aggregation) — never the reference's
+    one-agg-per-metric-then-join pattern (SURVEY.md A7/J2);
+  * windows partition on high-cardinality keys (custkey, nationkey) so
+    state per partition stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from setu_spark.registry import DSUM, dsum, register
+from setu_spark.sources.io import load_table
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------- q01
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity', 'sum_qty')},
+           {DSUM('l_extendedprice', 'sum_base_price')},
+           {DSUM(REVENUE, 'sum_disc_price')},
+           {DSUM(f'{REVENUE} * (1 + l_tax)', 'sum_charge')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, the pure-Spark fast path.
+
+    Plan check: single exchange on (returnflag, linestatus) after a partial
+    aggregate; shipdate predicate pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(_rev_col(), "sum_disc_price"),
+            dsum(_rev_col() * (1 + F.col("l_tax")), "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q02
+@register(
+    "q02_top_parts_by_revenue",
+    oracle=f"""
+    SELECT p.p_partkey, p.p_name,
+           {DSUM(REVENUE, 'revenue')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def q02_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + top-k. ``part`` is a dim (2k rows at sf0.01,
+    still tiny at SF100k) → broadcast, so lineitem never shuffles for the
+    join; top-k is TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(dsum(_rev_col(), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- q03
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {DSUM(REVENUE, 'revenue')},
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into orders,
+    shuffle-join orders⋈lineitem on orderkey, aggregate, top-k."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(_rev_col(), "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- q05
+@register(
+    "q05_region_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, {DSUM(REVENUE, 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one fact-fact shuffle join (orders⋈lineitem); every
+    dim hop (customer, supplier, nation⋈region) broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev_col(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------- q06
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {DSUM('l_extendedprice * l_discount', 'promo_revenue')},
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down predicate + global aggregate.
+    All four predicates reach the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q07
+@register(
+    "q07_customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q07_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running window aggregate. Partitioned by custkey (high cardinality →
+    scales out; per-partition state is one customer's order history)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------- q08
+@register(
+    "q08_supplier_rank_in_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey, s.s_suppkey, {DSUM(REVENUE, 'revenue')}
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, s.s_suppkey
+    )
+    SELECT n.n_name, rev.s_suppkey, rev.revenue,
+           rank() OVER (PARTITION BY rev.s_nationkey
+                        ORDER BY rev.revenue DESC, rev.s_suppkey) AS rnk
+    FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+    """,
+)
+def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() window over an aggregate, dim joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(dsum(_rev_col(), "revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        rev.join(F.broadcast(nation), rev.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "revenue", F.rank().over(w).alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------- q09
+@register(
+    "q09_sales_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n_items,
+           {DSUM('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q09_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets + grouping_id — absent from the reference
+    (SURVEY.md §2.4), built-in here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty")
+
+
+# ---------------------------------------------------------------- q10
+@register(
+    "q10_late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q10_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    condition (the reference realizes its only semi-filter as an inner join,
+    SURVEY.md J5 — left_semi avoids duplicating matches)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------- q11
+@register(
+    "q11_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q11_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (absent from reference, SURVEY.md §2.7)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------- q12
+@register(
+    "q12_supplier_part_breadth",
+    oracle="""
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q12_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expands to two-phase agg in Spark; scales as a
+    shuffle on (suppkey, partkey) then (suppkey))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------- q13
+@register(
+    "q13_segment_acctbal",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           {DSUM('c_acctbal', 'total_acctbal')},
+           min(c_acctbal) AS min_acctbal,
+           max(c_acctbal) AS max_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q13_segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "customer")
+    return li.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal"), "total_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------- q14
+@register(
+    "q14_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    """,
+)
+def q14_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window — days since the customer's previous order (NULL for
+    the first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------- q15
+@register(
+    "q15_status_priority_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n_orders,
+           {DSUM('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q15_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+    )
+
+
+# ---------------------------------------------------------------- q16
+@register(
+    "q16_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q16_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k-per-key pattern
+    (no global sort; one shuffle on the partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- q17
+@register(
+    "q17_rich_customers_minus_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q17_rich_customers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT) — absent from the reference (SURVEY.md §2.7)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.subtract(buyers)  # EXCEPT (distinct) semantics

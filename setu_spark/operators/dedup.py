@@ -1,0 +1,370 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+The reference delegates fuzzy dedup to the external `text-dedup` MinHashLSH
+CLI (reference README.md:128) and does exact dedup only by id
+(``dropDuplicates(["doc_id"])``, SURVEY.md P8). Here the whole dedup family
+is first-class and Spark-native:
+
+  * signatures (MinHash, SimHash) are **per-row array expressions** — no
+    explode, no shuffle, no Python; signature cost scales linearly with
+    input bytes and embarrassingly parallel;
+  * candidate generation is **LSH banding** — a shuffle on (band, bandhash)
+    whose buckets are collision groups, never an O(n²) cross join. This is
+    the only shape that survives 100 TB: the shuffle volume is
+    O(n_docs × n_bands), independent of corpus byte size;
+  * all hashes are the md5-derived :func:`setu_spark.functions.hashes.hash64`
+    so the DuckDB oracle can replay them bit-for-bit.
+
+MinHash math: P[minhash collision] = Jaccard(A, B); with b bands of r rows
+the candidate probability is 1 - (1 - J^r)^b — here b=4, r=2 → ~0.5
+J-threshold, tuned for the word-salad testdata. Parameters are arguments,
+not constants, in the library functions.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from setu_spark.functions.hashes import hash64, hash64_sql
+from setu_spark.registry import register
+from setu_spark.sources.io import load_table
+
+NUM_PERM = 8
+ROWS_PER_BAND = 2
+NUM_BANDS = NUM_PERM // ROWS_PER_BAND
+
+
+# ------------------------------------------------------------------ library
+
+def distinct_tokens(text_col: str = "text") -> Column:
+    return F.array_distinct(
+        F.filter(F.split(F.col(text_col), " ", -1), lambda w: w != F.lit(""))
+    )
+
+
+def minhash_columns(
+    text_col: str = "text", num_perm: int = NUM_PERM
+) -> list[Column]:
+    """k MinHash values as per-row expressions: min over the doc's distinct
+    tokens of a salted 60-bit hash. Empty docs get NULL."""
+    toks = distinct_tokens(text_col)
+
+    def hasher(j: int):
+        # NB: must be a single-arg lambda — PySpark passes (element, index)
+        # to two-parameter HOF lambdas, which would corrupt the salt.
+        return lambda t: hash64(t, salt=f"mh{j}")
+
+    return [
+        F.array_min(F.transform(toks, hasher(j))).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    return df.select(id_col, *minhash_columns(text_col, num_perm))
+
+
+def band_table(
+    sig: DataFrame, id_col: str = "doc_id",
+    num_perm: int = NUM_PERM, rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Explode a signature table into (id, band, band_hash) rows — the LSH
+    bucketing key. One output row per band per doc."""
+    bands = []
+    for b in range(num_perm // rows_per_band):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*bands)).alias("bh")
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id",
+    num_perm: int = NUM_PERM, rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+    The self-join keys on (band, band_hash): Spark hash-partitions both
+    sides identically, so each bucket's pairs are generated locally."""
+    bands = band_table(sig, id_col, num_perm, rows_per_band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+def _minhash_sql_cols(num_perm: int = NUM_PERM) -> list[str]:
+    inner = hash64_sql("t", salt=None)
+    cols = []
+    for j in range(num_perm):
+        h = hash64_sql("t", salt=f"mh{j}")
+        cols.append(
+            "list_min(list_transform("
+            "list_distinct(list_filter(string_split(text, ' '), t -> t != '')),"
+            f" t -> {h})) AS m{j}"
+        )
+    del inner
+    return cols
+
+
+# ---------------------------------------------------------------- q50
+@register(
+    "q50_exact_dedup_survivors",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q50_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash with a deterministic survivor (min id) —
+    the rebuild of ``dropDuplicates`` (SURVEY.md P8) in the form that also
+    reports group sizes. One shuffle on the 128-bit content hash; at 100 TB
+    the hash shuffle moves ~48 bytes/doc, not the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------- q51
+@register(
+    "q51_minhash_signatures",
+    oracle="SELECT doc_id, "
+    + ", ".join(_minhash_sql_cols())
+    + " FROM documents",
+)
+def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table (8 permutations over distinct unigram
+    tokens). Pure narrow transformation — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *minhash_columns())
+
+
+# ---------------------------------------------------------------- q52
+def _pairs_sql() -> str:
+    sig_cols = ", ".join(_minhash_sql_cols())
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
+        " AS band_hash FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(NUM_PERM)
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.doc_id
+    JOIN sig sb ON c.id_b = sb.doc_id
+    WHERE ({eq_terms}) / {NUM_PERM}.0 >= 0.5
+    """
+
+
+@register("q52_minhash_lsh_pairs", oracle=_pairs_sql())
+def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard
+    (fraction of agreeing minhashes), threshold 0.5. The full scale-path
+    pipeline: signature (narrow) → band bucketing (shuffle on band hash) →
+    in-bucket pair generation → signature verify (broadcast-friendly
+    joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", *minhash_columns())
+    pairs = lsh_candidate_pairs(sig)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq_terms = [
+        (F.col(f"sa.m{j}") == F.col(f"sb.m{j}")).cast("int")
+        for j in range(NUM_PERM)
+    ]
+    est = functools.reduce(operator.add, eq_terms) / float(NUM_PERM)
+    return (
+        pairs.join(sa, pairs.id_a == F.col("sa.doc_id"))
+        .join(sb, pairs.id_b == F.col("sb.doc_id"))
+        .filter(est >= 0.5)
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- q53
+@register(
+    "q53_token_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              t -> t != ''))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           round(s.n_shared / CAST(sa.n + sb.n - s.n_shared AS DOUBLE), 6)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.n_shared / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) >= 0.75
+    """,
+)
+def q53_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over shared-token candidate pairs (inverted-
+    index join on the token, then |A∩B| / (|A|+|B|−|A∩B|)). Exact but
+    O(Σ bucket²) — at 100 TB this runs *after* an LSH prefilter (q52), on
+    candidates only; declared standalone here for oracle coverage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(distinct_tokens()).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, shared.id_a == F.col("sa.doc_id"))
+        .join(sb, shared.id_b == F.col("sb.doc_id"))
+        .filter(jac >= 0.75)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- q54
+SIMHASH_BITS = 32
+
+
+@register(
+    "q54_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              t -> t != ''))) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN ({hash64_sql('tok')} >> i) % 2 = 1
+                      THEN 1 ELSE -1 END) AS balance
+      FROM toks, unnest(range(0, {SIMHASH_BITS})) AS u(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN balance > 0 THEN CAST(1 AS BIGINT) << i
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit i of the fingerprint is the
+    sign of Σ_tokens (±1 by bit i of the token hash). Near-duplicates land
+    within small Hamming distance.
+
+    Declared as the oracle-checkable composition (explode tokens × bits →
+    two groupBys). The narrow per-row variant (aggregate over the token
+    array, no shuffle) is `simhash_column` below — same values, used in the
+    production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(distinct_tokens()).alias("tok"))
+    bits = (
+        toks.select(
+            "doc_id",
+            hash64("tok").alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                # SQL-form shiftright: the Python API only takes int shifts
+                F.when(F.expr("shiftright(h, cast(i as int)) % 2") == 1, 1)
+                .otherwise(-1)
+            ).alias("balance")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("balance") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_column(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """Shuffle-free SimHash: fold the token array per row. Identical values
+    to q54; linear, narrow, codegen'd — the form to use in pipelines."""
+    toks = distinct_tokens(text_col)
+    hashes = F.transform(toks, lambda t: hash64(t))
+
+    def balancer(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i) % 2 == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        balance = F.aggregate(hashes, F.lit(0), balancer(i))
+        bit_cols.append(
+            F.when(balance > 0, F.lit(2**i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return functools.reduce(operator.add, bit_cols)

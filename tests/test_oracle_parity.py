@@ -1,0 +1,42 @@
+"""Every registered query must match its DuckDB oracle at sf0.001.
+
+This is a local replica of the driver's t2 correctness gate (run per-round
+at sf0.01); keeping it green here means the gate stays green there.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare_frames, register_views
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle without query: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    register_views(duck, SF_ORACLE)
+    spark_pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+    oracle_pdf = duck.execute(ORACLES[name]).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_oracleless_query_runs(name, spark):
+    df = QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert df.schema.fields
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
