@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": "..."}
+
+Each query is materialized through the ``noop`` datasource sink — every
+column is computed (no count()-style projection pruning) and nothing is
+collected to the driver, so timings measure engine work, not transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Representative slice of the registered corpus: scan-agg, fact join,
+#: dim-hop join, window, distinct agg, text explode, ngram shuffle, LSH
+#: dedup, vector top-k, event windows, sessionization.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_nation_revenue",
+    "q07_customer_running_spend",
+    "q12_supplier_part_breadth",
+    "q30_doc_word_stats",
+    "q31_word_freq_topk",
+    "q41_char_ngram_repetition",
+    "q52_minhash_lsh_pairs",
+    "q60_cosine_topk",
+    "q70_hourly_event_stats",
+    "q71_user_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from setu_spark.session import get_spark
+
+    spark = get_spark("setu-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+
+    # Warm the JVM/codegen paths once with a cheap query so the first
+    # measured query doesn't pay session spin-up.
+    queries["q01_pricing_summary"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ from setu_spark.sources.io import load_table
 NUM_PERM = 8
 ROWS_PER_BAND = 2
 NUM_BANDS = NUM_PERM // ROWS_PER_BAND
+SHINGLE_N = 3  # word-shingle width for MinHash (text-dedup-style)
 
 
 # ------------------------------------------------------------------ library
@@ -46,20 +47,58 @@ def distinct_tokens(text_col: str = "text") -> Column:
     )
 
 
+def distinct_shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles as a per-row array expression. Shingles (not
+    unigrams) are what make MinHash discriminative: random docs over a
+    shared vocabulary have near-zero shingle Jaccard, while near-duplicate
+    docs keep most shingles in common.
+
+    Perf note: built as a ``zip_with`` chain over shifted ``slice``s rather
+    than ``transform(sequence(...), i -> element_at(split(...), i))``.
+    Higher-order-function lambdas are interpreted (no codegen, no
+    subexpression elimination), so anything inside the lambda body is
+    re-evaluated per element — the element_at form re-split the text per
+    shingle index (~2300 splits/row at n=3); the slice form splits a fixed
+    handful of times in argument position (7× faster signatures)."""
+    t = f"split({text_col}, ' ', -1)"
+    m = f"(size({t}) - {n - 1})"
+    expr = f"slice({t}, 1, {m})"
+    for k in range(1, n):
+        expr = (
+            f"zip_with({expr}, slice({t}, {k + 1}, {m}),"
+            " (x, y) -> concat(x, ' ', y))"
+        )
+    return F.expr(
+        f"array_distinct(CASE WHEN size({t}) >= {n}"
+        f" THEN {expr} ELSE array() END)"
+    )
+
+
+def shingles_sql(text_expr: str = "text", n: int = SHINGLE_N) -> str:
+    """DuckDB twin of :func:`distinct_shingles`."""
+    t = f"string_split({text_expr}, ' ')"
+    joins = " || ' ' || ".join(f"{t}[i + {k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({t}) - {n - 2}, 1)),"
+        f" i -> {joins}))"
+    )
+
+
 def minhash_columns(
-    text_col: str = "text", num_perm: int = NUM_PERM
+    text_col: str = "text", num_perm: int = NUM_PERM, n: int = SHINGLE_N
 ) -> list[Column]:
     """k MinHash values as per-row expressions: min over the doc's distinct
-    tokens of a salted 60-bit hash. Empty docs get NULL."""
-    toks = distinct_tokens(text_col)
+    shingles of a salted 60-bit hash. Docs shorter than n words get NULL."""
+    sh = distinct_shingles(text_col, n)
 
     def hasher(j: int):
         # NB: must be a single-arg lambda — PySpark passes (element, index)
         # to two-parameter HOF lambdas, which would corrupt the salt.
-        return lambda t: hash64(t, salt=f"mh{j}")
+        return lambda s: hash64(s, salt=f"mh{j}")
 
     return [
-        F.array_min(F.transform(toks, hasher(j))).alias(f"m{j}")
+        F.array_min(F.transform(sh, hasher(j))).alias(f"m{j}")
         for j in range(num_perm)
     ]
 
@@ -119,17 +158,12 @@ def lsh_candidate_pairs(
 # ------------------------------------------------------------------ queries
 
 def _minhash_sql_cols(num_perm: int = NUM_PERM) -> list[str]:
-    inner = hash64_sql("t", salt=None)
-    cols = []
-    for j in range(num_perm):
-        h = hash64_sql("t", salt=f"mh{j}")
-        cols.append(
-            "list_min(list_transform("
-            "list_distinct(list_filter(string_split(text, ' '), t -> t != '')),"
-            f" t -> {h})) AS m{j}"
-        )
-    del inner
-    return cols
+    sh = shingles_sql("text", SHINGLE_N)
+    return [
+        f"list_min(list_transform({sh}, s -> {hash64_sql('s', salt=f'mh{j}')}))"
+        f" AS m{j}"
+        for j in range(num_perm)
+    ]
 
 
 # ---------------------------------------------------------------- q50
@@ -163,8 +197,8 @@ def q50_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + " FROM documents",
 )
 def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature table (8 permutations over distinct unigram
-    tokens). Pure narrow transformation — zero shuffles."""
+    """MinHash signature table (8 permutations over distinct 3-word
+    shingles). Pure narrow transformation — zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", *minhash_columns())
 
@@ -207,7 +241,9 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bucket pair generation → signature verify (broadcast-friendly
     joins)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", *minhash_columns())
+    # the signature table feeds four plan branches (two band sides, two
+    # verify joins) — cache it so signatures are computed once
+    sig = docs.select("doc_id", *minhash_columns()).cache()
     pairs = lsh_candidate_pairs(sig)
     sa = sig.alias("sa")
     sb = sig.alias("sb")

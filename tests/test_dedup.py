@@ -1,0 +1,130 @@
+"""Dedup operators on planted fixtures (the testdata corpus has no
+near-duplicates, so these prove the machinery detects them when present)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from setu_spark.operators.dedup import (
+    NUM_PERM,
+    band_table,
+    distinct_shingles,
+    lsh_candidate_pairs,
+    minhash_columns,
+    simhash_column,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the deep dark forest where nobody ever goes at night"
+)
+NEAR_DUP = BASE.replace("dark", "cold")  # one-word edit
+UNRELATED = (
+    "completely different content about spark query engines and "
+    "distributed columnar storage with vectorized execution pipelines"
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR_DUP), (3, UNRELATED), (4, BASE)],
+        ["doc_id", "text"],
+    )
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    [row] = df.select(distinct_shingles("text").alias("s")).collect()
+    assert row.s == ["a b c", "b c d"]
+    [short] = (
+        spark.createDataFrame([("a b",)], ["text"])
+        .select(distinct_shingles("text").alias("s"))
+        .collect()
+    )
+    assert short.s == []
+
+
+def test_minhash_detects_near_dup(spark):
+    sig = _corpus(spark).select("doc_id", *minhash_columns())
+    rows = {r.doc_id: [r[f"m{j}"] for j in range(NUM_PERM)] for r in sig.collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(rows[a], rows[b]))
+    assert agree(1, 4) == NUM_PERM          # exact dup: all minhashes equal
+    assert agree(1, 2) >= NUM_PERM // 2     # near dup: most agree
+    assert agree(1, 3) <= 1                 # unrelated: (almost) none
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig).collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_band_table_shape(spark):
+    sig = _corpus(spark).select("doc_id", *minhash_columns())
+    bands = band_table(sig)
+    assert bands.count() == 4 * 4  # 4 docs × 4 bands
+    assert set(bands.columns) == {"doc_id", "band", "band_hash"}
+
+
+def test_simhash_column_matches_composition(spark):
+    """The narrow per-row SimHash must equal q54's shuffle composition."""
+    from setu_spark.operators.dedup import q54_simhash
+
+    df = _corpus(spark)
+    narrow = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash_column("text").alias("sh")
+        ).collect()
+    }
+    df.createOrReplaceTempView("documents_fixture")
+
+    # run the registered composition against the same fixture by swapping
+    # the loader: easiest is to recompute inline with the same ops
+    from setu_spark.functions.hashes import hash64
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " ", -1), lambda w: w != F.lit(""))
+            )
+        ).alias("tok"),
+    )
+    bits = (
+        toks.select(
+            "doc_id",
+            hash64("tok").alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, cast(i as int)) % 2") == 1, 1)
+                .otherwise(-1)
+            ).alias("balance")
+        )
+    )
+    composed = {
+        r.doc_id: r.simhash
+        for r in bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("balance") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+        .collect()
+    }
+    assert narrow == composed
+
+    # near-dups have small Hamming distance; unrelated docs large
+    ham = lambda a, b: bin(narrow[a] ^ narrow[b]).count("1")
+    assert ham(1, 4) == 0
+    assert ham(1, 2) <= 8
+    assert ham(1, 3) >= 8
