@@ -25,6 +25,8 @@ import setu_spark.operators.textstats  # noqa: F401, E402
 import setu_spark.operators.dedup  # noqa: F401, E402
 import setu_spark.operators.similarity  # noqa: F401, E402
 import setu_spark.operators.events  # noqa: F401, E402
+import setu_spark.operators.joins  # noqa: F401, E402
+import setu_spark.operators.multimodal  # noqa: F401, E402
 import setu_spark.stages.queries  # noqa: F401, E402
 
 from setu_spark.registry import ORACLES, QUERIES  # noqa: E402

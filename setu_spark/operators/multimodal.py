@@ -1,0 +1,216 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference pipeline is text-only; a training-data engine at 100 TB is
+not. This module supplies the Spark-side plumbing for media processing:
+
+  * media rows are ``(media_id, kind, payload binary, meta struct)`` — the
+    payload is opaque bytes; everything relational (filtering, routing,
+    partitioning, joins) happens on the typed columns so parquet scans
+    never materialize payloads they don't need (column pruning);
+  * decode / feature-extraction run as Arrow-batched ``mapInPandas`` — the
+    payload crosses the JVM↔Python boundary once per batch, already
+    column-pruned and predicate-filtered;
+  * heavy work is partitioned by ``media_id`` hash — embarrassingly
+    parallel, no shuffle before or after unless the caller asks for one.
+
+The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this container,
+so the decode kernels are deterministic fakes behind an import-try: the
+Spark plumbing (schemas, batch iteration, UDF signatures, partitioning) is
+real and tested; swapping in a real codec changes only the marked inner
+function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from setu_spark.registry import register
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", FloatType()),
+        StructField("byte_std", FloatType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _real_codec_available() -> bool:
+    try:  # pragma: no cover - container has no PIL
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a codec: treat the payload bytes as the
+    'pixel' buffer. A real implementation replaces ONLY this function with
+    e.g. ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Decode each payload and emit per-item stats. Arrow-batched; payloads
+    never leave the executor as anything but summary numbers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(d) for d in decoded],
+                    "byte_mean": np.array(
+                        [d.mean() if len(d) else 0.0 for d in decoded],
+                        dtype=np.float32,
+                    ),
+                    "byte_std": np.array(
+                        [d.std() if len(d) else 0.0 for d in decoded],
+                        dtype=np.float32,
+                    ),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=DECODE_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Fixed-dim feature vector per media item (deterministic fake: md5
+    expansion of the payload; a real model replaces the marked lines).
+    Output feeds the similarity-search operators
+    (setu_spark/operators/similarity.py) unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # real models would be loaded HERE, once per worker (see
+        # setu_spark/stages/lid.py for the cache pattern)
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                # -- fake embedding: md5-seeded unit-ish vector ----------
+                h = hashlib.md5(bytes(p)).digest()
+                raw = np.frombuffer(
+                    (h * ((4 * dim) // len(h) + 1))[: 4 * dim], dtype=np.uint32
+                )
+                vec = (raw % 1000).astype(np.float32) / 1000.0 - 0.5
+                # --------------------------------------------------------
+                feats.append(vec.tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame offset.
+    The relational part (offset generation from typed metadata) is pure
+    Spark — only the (stubbed) frame decode would touch the payload."""
+    if _real_codec_available():  # pragma: no cover
+        raise NotImplementedError(
+            "real ffmpeg-backed sampling not wired; container lacks codecs"
+        )
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_offset_ms"),
+    )
+    return frames
+
+
+def _synth_media(spark, sf_dir: str) -> DataFrame:
+    from setu_spark.sources.io import load_table
+
+    return synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- q90
+@register("q90_media_decode_stats")  # no oracle: mapInPandas decode path
+def q90_media_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Binary decode plumbing over synthesized payloads (rows-only check:
+    the decode kernel is the non-SQL path by construction)."""
+    return decode_stats(_synth_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- q91
+@register(
+    "q91_video_frame_offsets",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, greatest(10 * length(text) - 1, 0),
+                                  1000)) AS frame_offset_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def q91_video_frame_offsets(spark, sf_dir: str) -> DataFrame:
+    """Frame-sampling offsets from typed metadata — the relational half of
+    video processing (payload untouched, so the parquet scan prunes it)."""
+    return frame_sample(_synth_media(spark, sf_dir), every_ms=1000)
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/queries: treat document text bytes as payloads
+    so the binary plumbing runs against real testdata."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(48).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.length("text") * 10).cast("int").alias("duration_ms"),
+    )

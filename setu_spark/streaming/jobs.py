@@ -1,0 +1,138 @@
+"""Structured Streaming surface over the events schema.
+
+The reference is batch-only (SURVEY.md §2.12); this module is the
+green-field streaming tier. Design rule: every streaming job shares its
+aggregation logic with a batch twin in ``setu_spark/operators/events.py``
+— the transformation is written once against a DataFrame and applied to
+either ``spark.read`` or ``spark.readStream`` input, so the DuckDB oracle
+can check the semantics in batch while the streaming tests check the
+plumbing (watermarks, triggers, output modes, state).
+
+Scale stance:
+  * state is kept only in built-in stateful operators (windowed aggs,
+    ``session_window``, ``dropDuplicatesWithinWatermark``) — bounded by the
+    watermark, partitioned by the grouping keys;
+  * watermark delay is a parameter: it bounds state size (and at 100 TB/day
+    ingest, state *is* the capacity question);
+  * sinks go through ``foreachBatch`` when they need batch-only features
+    (e.g. partitioned parquet overwrite per window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: the events schema with a proper (µs) timestamp column — what a live
+#: source (Kafka / file drop) would carry.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# --- shared batch/stream transformations --------------------------------
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate — streaming twin of q70 (same
+    groups; window struct instead of epoch bucket)."""
+    return events.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """``session_window`` sessionization — streaming twin of q71's
+    gaps-and-islands (same sessions; window end is last event + gap)."""
+    return events.groupBy(
+        F.session_window("ts", gap).alias("session"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    return events.withWatermark("ts", delay)
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming keyed dedup — twin of q72 (first event wins). State for a
+    key is dropped once the watermark passes, so memory is bounded by
+    (keys arriving within the delay window), not the full history."""
+    return events.dropDuplicatesWithinWatermark(
+        keys or ["user_id", "event_type"]
+    )
+
+
+# --- runners -------------------------------------------------------------
+
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain an availableNow stream into the in-memory table ``query_name``
+    (test/debug sink)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, output_mode: str = "update"
+) -> None:
+    """foreachBatch sink: per-microbatch parquet append — the shape used
+    when the sink needs batch-only features (dynamic partition overwrite,
+    merge-style upserts)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

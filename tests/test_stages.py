@@ -1,0 +1,155 @@
+"""Pipeline-stage tests on synthetic fixtures (FIXTURES.md F1-F8 shapes).
+
+The fixtures deliberately include what the oracle corpus can't: HTML/JS
+blocks, symbol-heavy chunks, digit-only chunks, repeated chunks, terminal
+'...' lines, NULL timestamps, duplicate doc_ids."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from setu_spark.stages.analysis import AnalysisConfig, analyse
+from setu_spark.stages.cleaning import CleanConfig, clean_documents
+from setu_spark.stages.extraction import run_extraction
+from setu_spark.stages.flagging import (
+    FlagConfig,
+    filter_documents,
+    flag_documents,
+    remove_documents,
+)
+from setu_spark.stages.lid import attach_lid, predict_lid
+
+
+# ----------------------------------------------------------- extraction
+
+def test_extraction_stage(spark):
+    d = tempfile.mkdtemp(prefix="setu-crawl-")
+    try:
+        recs = [
+            {"doc_id": "a", "url": "u1", "source": "s", "timestamp": "t1",
+             "html": "<html><script>var x=1;</script><p>Hello <b>world</b></p></html>"},
+            {"doc_id": "a", "url": "u1", "source": "s", "timestamp": "t1",
+             "html": "<p>dup doc_id</p>"},                      # dropped: dup id
+            {"doc_id": "b", "url": "u2", "source": "s", "timestamp": None,
+             "html": "<p>no timestamp</p>"},                    # dropped: null ts
+            {"doc_id": "c", "url": "u3", "source": "s", "timestamp": "t3",
+             "html": "<style>p{}</style>"},                     # empty extraction
+        ]
+        with open(f"{d}/part-0.json", "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        out = run_extraction(spark, f"{d}/*.json")
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {"a", "c"}
+        assert rows["a"].text == "Hello world"
+        assert rows["a"].successful_extraction == "true"
+        assert rows["c"].text is None
+        assert rows["c"].successful_extraction == "false"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ----------------------------------------------------------- cleaning
+
+@pytest.fixture()
+def dirty_docs(spark):
+    return spark.createDataFrame(
+        [
+            # chunk repeated under same url (boilerplate) + good content
+            (1, "u1", "nav menu\nreal content one.\n12345\n@#$%^&*"),
+            (2, "u1", "nav menu\nreal content two."),
+            (3, "u2", "only numbers here\n999"),
+            (4, "u2", "@#$% @#$% @#$%"),   # all chunks rejected → NULL text
+        ],
+        ["doc_id", "url", "text"],
+    )
+
+
+def test_clean_documents(spark, dirty_docs):
+    cfg = CleanConfig(symbol_threshold=0.5, repeat_key="url")
+    cleaned, rejected = clean_documents(dirty_docs, cfg)
+    by_id = {r.doc_id: r for r in cleaned.collect()}
+    # "nav menu" repeats under u1 → removed from both docs
+    assert by_id[1].text == "real content one."
+    assert by_id[2].text == "real content two."
+    # digit-only and symbol-heavy chunks dropped
+    assert by_id[3].text == "only numbers here"
+    # every chunk rejected → NULL text survives via left join (J4)
+    assert by_id[4].text is None
+    reasons = {
+        (r.doc_id, r.reject_reason) for r in rejected.collect()
+    }
+    assert (1, "num_or_punc_only") in reasons
+    assert (1, "symbol_heavy") in reasons
+    assert (4, "symbol_heavy") in reasons
+
+
+# ----------------------------------------------------------- analysis+flags
+
+def test_analyse_flag_filter_remove(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one line only."),
+            (2, "line one is fine.\nline two is fine.\nline three ok."),
+            (3, "bad bad bad.\nbad words here."),
+        ],
+        ["doc_id", "text"],
+    )
+    profiled = analyse(
+        docs, AnalysisConfig(line_sep="\n", flagged_words=("bad",))
+    )
+    prof = {r.doc_id: r for r in profiled.collect()}
+    assert prof[2].lines_count == 3
+    # "bad." (trailing punct) is a distinct token — only bare "bad" counts
+    assert prof[3].flagged_words_count == 3
+    assert prof[1].mean_line_length == 14.0
+
+    cfg = FlagConfig(
+        min_line_count=1, flagged_word_ratio_threshold=0.5,
+        min_mean_line_len=2.0,
+    )
+    flagged = flag_documents(profiled, cfg)
+    fl = {r.doc_id: r for r in flagged.collect()}
+    assert fl[1].has_less_lines is True
+    assert fl[3].is_flagged_heavy is True
+    assert fl[2].has_less_lines is False
+
+    survivors = filter_documents(flagged, cfg)
+    assert [r.doc_id for r in survivors.collect()] == [2]
+
+    kept = remove_documents(docs, survivors)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+# ----------------------------------------------------------- lid
+
+def test_lid_heuristic_and_join(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is here"),
+            (2, "der hund und die katze das ist gut und schön"),
+            (3, "le chat et le chien est la et les oiseaux"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    preds = {r.doc_id: r for r in predict_lid(docs).collect()}
+    assert preds[1].pred_lang == "en"
+    assert preds[2].pred_lang == "de"
+    assert preds[3].pred_lang == "fr"
+    assert preds[4].pred_lang == "und"
+
+    with_lang = attach_lid(docs)
+    assert "doc_lang" in with_lang.columns
+    assert with_lang.count() == 4
+    # threshold abstention (intended semantics, not the reference defect)
+    strict = {
+        r.doc_id: r.pred_lang
+        for r in predict_lid(docs, probability_threshold=0.9).collect()
+    }
+    assert set(strict.values()) == {"und"}

@@ -1,0 +1,137 @@
+"""Structured Streaming jobs: plumbing tests with file source + memory sink.
+
+Strategy (SURVEY.md §2.12): each streaming job shares its transformation
+with a batch twin, so batch-vs-stream equivalence on the same input is the
+correctness check; watermark/dedup behavior is checked with crafted late
+and duplicate rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from setu_spark.streaming.jobs import (
+    dedup_within_watermark,
+    hourly_event_stats,
+    read_events_stream,
+    run_foreach_batch_parquet,
+    run_to_memory,
+    sessionize,
+    with_watermark,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + timedelta(minutes=m), uid, et, float(v), "{}")
+            for i, (m, uid, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@pytest.fixture()
+def events_dir(spark):
+    d = tempfile.mkdtemp(prefix="setu-stream-")
+    rows = [
+        # (minute, user, type, value) — spans 3 hours, 2 users
+        (1, 1, "click", 1),
+        (5, 1, "click", 2),
+        (61, 1, "view", 3),
+        (62, 2, "click", 4),
+        (125, 2, "view", 5),
+        (126, 1, "click", 6),
+    ]
+    _mk_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_matches_batch_hourly(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    run_to_memory(
+        hourly_event_stats(with_watermark(stream)), "hourly_mem"
+    )
+    got = {
+        (r.win.start.isoformat(), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM hourly_mem").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r.win.start.isoformat(), r.event_type): (r.n_events, r.total_value)
+        for r in hourly_event_stats(batch).collect()
+    }
+    assert got == want
+    assert len(got) == 5  # (h0 click), (h1 view), (h1 click), (h2 view), (h2 click)
+
+
+def test_stream_sessionize_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        sessionize(with_watermark(stream), gap="30 minutes"), "sess_mem"
+    )
+    got = sorted(
+        (r.user_id, r.first_event.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_mem").collect()
+    )
+    batch = spark.read.parquet(events_dir)
+    want = sorted(
+        (r.user_id, r.first_event.isoformat(), r.n_events)
+        for r in sessionize(batch, gap="30 minutes").collect()
+    )
+    assert got == want
+    # user 1: sessions {min1,5}, {61}, {126} in time order; user 2: {62}, {125}
+    assert [g[2] for g in got if g[0] == 1] == [2, 1, 1]
+
+
+def test_dedup_within_watermark_drops_duplicates(spark):
+    d = tempfile.mkdtemp(prefix="setu-stream-dedup-")
+    try:
+        rows = [
+            (1, 1, "click", 1),
+            (2, 1, "click", 1),   # duplicate key within watermark
+            (3, 2, "click", 2),
+            (4, 1, "view", 3),
+        ]
+        _mk_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+        stream = read_events_stream(spark, d)
+        run_to_memory(
+            dedup_within_watermark(with_watermark(stream, "1 hour")),
+            "dedup_mem",
+            output_mode="append",
+        )
+        out = spark.sql("SELECT user_id, event_type FROM dedup_mem").collect()
+        assert sorted((r.user_id, r.event_type) for r in out) == [
+            (1, "click"),
+            (1, "view"),
+            (2, "click"),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_sink(spark, events_dir):
+    out = tempfile.mkdtemp(prefix="setu-stream-sink-")
+    try:
+        stream = read_events_stream(spark, events_dir)
+        run_foreach_batch_parquet(
+            stream.filter(F.col("event_type") == "click"),
+            out,
+            output_mode="append",
+        )
+        written = spark.read.parquet(out)
+        assert written.count() == 4
+        assert "batch_id" in written.columns
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
