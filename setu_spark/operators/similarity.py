@@ -20,6 +20,7 @@ import operator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.registry import register
@@ -203,4 +204,255 @@ def q62_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------- q55
+# Embedding-cosine near-duplicate detection (the dedup-family entry over
+# vectors): 16 deterministic hyperplanes grouped into 4 bands of 4; pairs
+# colliding in ≥1 band's 4-bit sign bucket are candidates, then verified
+# with exact cosine. The band join is the only shuffle and its volume is
+# O(n_vecs × n_bands) — independent of dimensionality; never O(n²).
+ND_PLANES = 16
+ND_BAND_ROWS = 4
+ND_BANDS = ND_PLANES // ND_BAND_ROWS
+ND_THRESHOLD = 0.30
+
+
+def _sgn_sql(j_expr: str, i_expr: str) -> str:
+    h = hash64_sql(
+        f"CAST({j_expr} AS VARCHAR) || '_' || CAST({i_expr} AS VARCHAR)",
+        salt="plane",
+    )
+    return f"CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+
+_COS_SQL = (
+    "round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    " / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    " * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)"
+)
+
+
+def _plane_table(spark: SparkSession, n_planes: int) -> DataFrame:
+    """(j, i, sgn) ±1 hyperplane component table, hash-derived so the
+    DuckDB oracle rebuilds it bit-for-bit. Always broadcast."""
+    return (
+        spark.range(n_planes)
+        .withColumnRenamed("id", "j")
+        .crossJoin(spark.range(1, DIM + 1).withColumnRenamed("id", "i"))
+        .select(
+            "j",
+            "i",
+            F.when(
+                hash64(
+                    F.concat_ws(
+                        "_", F.col("j").cast("string"), F.col("i").cast("string")
+                    ),
+                    salt="plane",
+                )
+                % 2
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sgn"),
+        )
+    )
+
+
+@register(
+    "q55_embedding_neardup",
+    oracle=f"""
+    WITH planes AS (
+      SELECT j, i, {_sgn_sql('j', 'i')} AS sgn
+      FROM unnest(range(0, {ND_PLANES})) AS uj(j),
+           unnest(range(1, {DIM + 1})) AS ui(i)
+    ),
+    comps AS (
+      SELECT e.vec_id, p.j,
+             sum(p.sgn * CAST(e.x AS DOUBLE)) AS proj
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) e
+      JOIN planes p ON e.i = p.i
+      GROUP BY e.vec_id, p.j
+    ),
+    bands AS (
+      SELECT vec_id, j // {ND_BAND_ROWS} AS band,
+             CAST(sum(CASE WHEN proj > 0
+                      THEN CAST(1 AS BIGINT) << (j % {ND_BAND_ROWS})
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM comps GROUP BY vec_id, j // {ND_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b, {_COS_SQL} AS cosine_sim
+      FROM (
+        SELECT c.id_a, c.id_b,
+               unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        FROM cand c
+        JOIN embeddings ea ON c.id_a = ea.vec_id
+        JOIN embeddings eb ON c.id_b = eb.vec_id
+      ) c
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, cosine_sim FROM verified
+    WHERE cosine_sim >= {ND_THRESHOLD}
+    """,
+)
+def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — LSH-banded candidate
+    generation (4 bands × 4 hyperplanes) + exact cosine verification at
+    threshold {ND_THRESHOLD}. The vector twin of q52's MinHash+LSH: same
+    band-join shape, so the same scale story (shuffle on (band, bucket),
+    in-bucket pair generation, verify joins on the candidate set only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _plane_table(spark, ND_PLANES)
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    comps = (
+        exploded.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("x").cast("double")).alias("proj"))
+    )
+    bands = comps.groupBy(
+        "vec_id", (F.col("j") / ND_BAND_ROWS).cast("bigint").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("proj") > 0,
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast(j % {ND_BAND_ROWS} as int))"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(sim >= ND_THRESHOLD)
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------- q63
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOPK = 10
+
+
+@register(
+    "q63_ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+    ),
+    vc AS (
+      SELECT vec_id, label, cell, {_COS_SQL} AS c
+      FROM (
+        SELECT v.vec_id, v.label, c.cell,
+               unnest(v.embedding) AS x, unnest(c.cvec) AS y
+        FROM embeddings v CROSS JOIN cent c WHERE v.vec_id >= 1
+      ) GROUP BY vec_id, label, cell
+    ),
+    assign AS (
+      SELECT vec_id, label, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, cell) AS rn
+      FROM vc
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qc AS (
+      SELECT cell, {_COS_SQL} AS c
+      FROM (
+        SELECT c.cell, unnest(c.cvec) AS x, unnest(q.qe) AS y
+        FROM cent c CROSS JOIN q
+      ) GROUP BY cell
+    ),
+    probe AS (SELECT cell FROM qc ORDER BY c DESC, cell LIMIT {N_PROBE}),
+    vq AS (
+      SELECT vec_id, {_COS_SQL} AS sim
+      FROM (
+        SELECT v.vec_id, unnest(v.embedding) AS x, unnest(q.qe) AS y
+        FROM embeddings v CROSS JOIN q WHERE v.vec_id >= 1
+      ) GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.label, a.cell, vq.sim AS cosine_sim
+    FROM assign a
+    JOIN probe p ON a.cell = p.cell
+    JOIN vq ON vq.vec_id = a.vec_id
+    WHERE a.rn = 1
+    ORDER BY vq.sim DESC, a.vec_id
+    LIMIT {IVF_TOPK}
+    """,
+)
+def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of
+    {N_CENTROIDS} centroids (deterministically the embeddings of vec_id
+    1..{N_CENTROIDS}, standing in for a k-means codebook), then answer the
+    vec_id=0 query by probing only the {N_PROBE} nearest cells — the
+    inverted-file scale path where query cost is O(corpus/cells × nprobe)
+    instead of O(corpus). Assignment is a broadcast cross join against the
+    tiny codebook + one window; at 100 TB the cell becomes the parquet
+    partition key so a probe is a partition-pruned scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id").between(1, N_CENTROIDS)).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+        )
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+
+    vecs = emb.filter(F.col("vec_id") >= 1)
+    c = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell"))
+    assign = (
+        vecs.crossJoin(cent)
+        .select("vec_id", "label", "cell", "embedding", c.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    probe = (
+        cent.select(
+            "cell", F.round(cosine(F.col("cvec"), qlit), 6).alias("qc")
+        )
+        .orderBy(F.desc("qc"), F.asc("cell"))
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    return (
+        assign.join(F.broadcast(probe), "cell")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(cosine(F.col("embedding"), qlit), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVF_TOPK)
     )

@@ -440,3 +440,105 @@ def q44_flagged_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------- q35
+#: GPT-2-style pretokenizer classes, ASCII-restricted so the Java-regex and
+#: RE2 (DuckDB) engines agree codepoint-for-codepoint: a token is an optional
+#: leading space followed by a letter run, a digit run, or a punctuation run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "q35_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
+           round(length(text)
+                 / CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                        AS DOUBLE), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def q35_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split (the reference's
+    ``len(line.split(' '))`` U2 quirk, filters.py:756-758) and a BPE-ish
+    pretokenizer regex (GPT-2 pattern family) — the per-doc token budget a
+    training-data pipeline bills by. Pure per-row regexp work, zero
+    shuffles; `chars_per_token` is the compressibility proxy used for
+    quality filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        F.round(
+            F.length("text") / F.size(bpe).cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------- q36
+FP_K = 8      # char k-gram width
+FP_P = 16     # keep k-grams whose hash ≡ 0 (mod FP_P) — expect len/16 fps
+FP_M = 1_000_000_007  # checksum modulus (keeps the sum inside int64)
+
+
+def _fp_array_spark(k: int = FP_K, p: int = FP_P) -> str:
+    h = (
+        f"CAST(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        f"CASE WHEN length(text) >= {k} THEN array_distinct(filter("
+        f"transform(sequence(1, length(text) - {k - 1}), i -> {h}),"
+        f" h -> h % {p} = 0)) ELSE array() END"
+    )
+
+
+def _fp_array_sql(k: int = FP_K, p: int = FP_P) -> str:
+    h = f"CAST('0x' || substr(md5(substr(text, i, {k})), 1, 15) AS BIGINT)"
+    return (
+        f"CASE WHEN length(text) >= {k} THEN list_distinct(list_filter("
+        f"list_transform(range(1, length(text) - {k - 2}), i -> {h}),"
+        f" h -> h % {p} = 0)) ELSE [] END"
+    )
+
+
+@register(
+    "q36_rolling_fingerprints",
+    oracle=f"""
+    WITH fps AS (SELECT doc_id, {_fp_array_sql()} AS fp FROM documents)
+    SELECT doc_id,
+           len(fp) AS n_fp,
+           coalesce(list_sum(list_transform(fp, f -> f % {FP_M})), 0)
+             AS fp_checksum,
+           list_min(fp) AS min_fp
+    FROM fps
+    """,
+)
+def q36_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by content-defined sampling: hash every
+    char {FP_K}-gram (the declarative equivalent of a Rabin-Karp rolling
+    window) and keep hashes ≡ 0 mod {FP_P} — the "0 mod p" winnowing scheme.
+    Near-duplicate documents share most fingerprints even after small edits,
+    unlike q34's whole-text hash. Per-row HOF work, zero shuffles; at 100 TB
+    the fingerprint table is ~1/16th the corpus k-gram count and joins
+    against itself on fp for containment detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.expr(_fp_array_spark())
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.coalesce(
+            F.aggregate(
+                fp,
+                F.lit(0).cast("bigint"),
+                lambda acc, f: acc + f % FP_M,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("fp_checksum"),
+        F.array_min(fp).alias("min_fp"),
+    )
