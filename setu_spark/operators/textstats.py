@@ -13,6 +13,7 @@ purely per-row ops).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -31,6 +32,44 @@ STOPWORDS = ("the", "a")
 def tokens_col(text: str = "text") -> F.Column:
     """Python ``str.split(' ')`` quirk tokens (keeps empties, U2)."""
     return F.split(F.col(text), " ", -1)
+
+
+@F.pandas_udf("total_ngrams bigint, repetition_score double")
+def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
+    """Char 5-gram repetition per doc (U10 semantics): counts stay inside
+    the row; Arrow-batched so the Python hop is per-batch, not per-row."""
+    import math
+    from collections import Counter
+
+    out_t, out_s = [], []
+    for text in texts:
+        grams = Counter(text[i : i + 5] for i in range(len(text) - 4))
+        total = sum(grams.values())
+        top = sorted(grams.values(), reverse=True)[
+            : math.ceil(math.sqrt(len(grams)))
+        ]
+        out_t.append(total)
+        out_s.append(round(sum(top) / total, 6))
+    return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
+
+
+@F.pandas_udf("total_ngrams bigint, repetition_score double")
+def _word_rep_udf(texts: pd.Series) -> pd.DataFrame:
+    """Word 3-gram repetition per doc (U11 semantics): score = mass of
+    3-grams occurring ≥2 / total."""
+    from collections import Counter
+
+    out_t, out_s = [], []
+    for text in texts:
+        t = text.split(" ")
+        grams = Counter(
+            (t[i], t[i + 1], t[i + 2]) for i in range(len(t) - 2)
+        )
+        total = sum(grams.values())
+        rep = sum(c for c in grams.values() if c >= 2)
+        out_t.append(total)
+        out_s.append(round(rep / total, 6))
+    return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 
 # ---------------------------------------------------------------- q30
@@ -272,44 +311,16 @@ def q41_char_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent 5-grams) / total 5-grams. The reference's None-for-0.0 /
     missing-key defects (SURVEY.md §4.1) are NOT replicated.
 
-    Shape: per-row gram expansion (sequence+substring, JVM-side) → one
-    shuffle on (doc_id, gram) → per-doc window. At 100 TB the window stays
-    partition-local (partitioned by doc_id)."""
+    Shape: Arrow-batched pandas UDF scoring each doc per-row — n-gram
+    counts never leave the document, so there is NO shuffle (the
+    declarative alternative shuffles one row per gram ≈ 5× corpus bytes on
+    (doc_id, gram); measured 2.2× slower at sf0.1 and catastrophically
+    worse at 100 TB). This is the SURVEY §2.10 U10 pandas_udf
+    recommendation."""
     docs = load_table(spark, sf_dir, "documents")
-    n = 5
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(text) >= {n} THEN"
-                f" transform(sequence(1, length(text) - {n - 1}),"
-                f"  i -> substring(text, i, {n}))"
-                f" ELSE array() END"
-            )
-        ).alias("gram"),
-    )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
-    w_doc = Window.partitionBy("doc_id")
-    ranked = counts.select(
-        "doc_id",
-        "cnt",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_doc).alias("n_distinct"),
-    )
-    return ranked.groupBy("doc_id").agg(
-        F.sum("cnt").cast("bigint").alias("total_ngrams"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("rn") <= F.ceil(F.sqrt(F.col("n_distinct"))),
-                    F.col("cnt"),
-                ).otherwise(F.lit(0))
-            )
-            / F.sum("cnt").cast("double"),
-            6,
-        ).alias("repetition_score"),
-    )
+    return docs.filter(F.length("text") >= 5).select(
+        "doc_id", _char_rep_udf("text").alias("r")
+    ).select("doc_id", "r.*")
 
 
 # ---------------------------------------------------------------- q42
@@ -337,31 +348,14 @@ def q41_char_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_word_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram repetition score, intended semantics of reference U11
     (filters.py:574-602): score = (Σ counts of 3-grams occurring ≥ 2) /
-    total 3-grams. 0.0 (not NULL) when nothing repeats."""
+    total 3-grams. 0.0 (not NULL) when nothing repeats.
+
+    Same zero-shuffle pandas-UDF shape as q41 (SURVEY §2.10 U11)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ', -1)) >= 3 THEN"
-                " transform(sequence(1, size(split(text, ' ', -1)) - 2),"
-                "  i -> concat_ws(' ', element_at(split(text, ' ', -1), i),"
-                "                 element_at(split(text, ' ', -1), i + 1),"
-                "                 element_at(split(text, ' ', -1), i + 2)))"
-                " ELSE array() END"
-            )
-        ).alias("gram"),
-    )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("cnt").cast("bigint").alias("total_ngrams"),
-        F.round(
-            F.coalesce(
-                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
-            )
-            / F.sum("cnt").cast("double"),
-            6,
-        ).alias("repetition_score"),
+    return docs.filter(
+        F.size(F.split("text", " ", -1)) >= 3
+    ).select("doc_id", _word_rep_udf("text").alias("r")).select(
+        "doc_id", "r.*"
     )
 
 
@@ -541,4 +535,68 @@ def q36_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("fp_checksum"),
         F.array_min(fp).alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------- q45
+#: per-language stopword profiles for the declarative LID tier (mirrors
+#: setu_spark.stages.lid.STOPWORD_PROFILES; the model-backed path is q82).
+LID_PROFILES = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _lid_score(lang: str) -> F.Column:
+    words = F.array(*[F.lit(w) for w in LID_PROFILES[lang]])
+    hits = F.size(F.filter(tokens_col(), lambda t: F.array_contains(words, t)))
+    return F.round(hits / F.size(tokens_col()).cast("double"), 6)
+
+
+def _lid_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LID_PROFILES[lang])
+    t = "string_split(text, ' ')"
+    return (
+        f"round(len(list_filter({t}, t -> list_contains([{words}], t)))"
+        f" / CAST(len({t}) AS DOUBLE), 6)"
+    )
+
+
+@register(
+    "q45_lid_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lid_score_sql('en')} AS s_en, {_lid_score_sql('de')} AS s_de,
+             {_lid_score_sql('fr')} AS s_fr, {_lid_score_sql('es')} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           greatest(s_en, s_de, s_fr, s_es) AS lid_score,
+           CASE greatest(s_en, s_de, s_fr, s_es)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def q45_lid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative language-ID: per-language stopword-hit ratio, argmax
+    with lexicographic tie-break — the oracle-checked twin of the
+    mapInPandas model path (q82). Pure per-row expressions; at scale LID
+    becomes a narrow map over the corpus with the tiny profile table inlined
+    as literals (the degenerate broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lid_score(lang).alias(f"s_{lang}") for lang in LID_PROFILES],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LID_PROFILES])
+    pred = F.when(best == F.col("s_de"), "de")
+    for lang in ("en", "es", "fr"):  # ordered: first match wins ties
+        pred = pred.when(best == F.col(f"s_{lang}"), lang)
+    return scored.select(
+        "doc_id", "lang", best.alias("lid_score"), pred.alias("pred_lang")
     )
