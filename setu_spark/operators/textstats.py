@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
 from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
@@ -34,7 +41,19 @@ def tokens_col(text: str = "text") -> F.Column:
     return F.split(F.col(text), " ", -1)
 
 
-@F.pandas_udf("total_ngrams bigint, repetition_score double")
+#: explicit StructType, NOT a DDL string: string return types are parsed
+#: through the active SparkSession at decoration (= import) time, and this
+#: module must stay importable before any session exists (the driver
+#: imports __spark_entry__ first).
+_REP_SCHEMA = StructType(
+    [
+        StructField("total_ngrams", LongType()),
+        StructField("repetition_score", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_REP_SCHEMA)
 def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
     """Char 5-gram repetition per doc (U10 semantics): counts stay inside
     the row; Arrow-batched so the Python hop is per-batch, not per-row."""
@@ -53,7 +72,7 @@ def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 
-@F.pandas_udf("total_ngrams bigint, repetition_score double")
+@F.pandas_udf(_REP_SCHEMA)
 def _word_rep_udf(texts: pd.Series) -> pd.DataFrame:
     """Word 3-gram repetition per doc (U11 semantics): score = mass of
     3-grams occurring ≥2 / total."""

@@ -153,3 +153,21 @@ def test_lid_heuristic_and_join(spark):
         for r in predict_lid(docs, probability_threshold=0.9).collect()
     }
     assert set(strict.values()) == {"und"}
+
+
+def test_entry_module_imports_without_session():
+    """The driver imports __spark_entry__ before (or without) creating a
+    SparkSession; module import must never require an active session
+    (regression: DDL-string pandas_udf return types parse through the
+    session at decoration time)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __spark_entry__"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
