@@ -216,3 +216,26 @@ def q74_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", k.alias("k_value"), "event_type"
     ).filter(F.col("k_value") >= 50)
+
+
+# ---------------------------------------------------------------- q75
+@register(
+    "q75_user_totals",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           {DSUM('coalesce(value, 0)', 'total_value')}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q75_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime totals — the batch twin of the custom stateful
+    streaming operator (``streaming.jobs.running_user_totals``,
+    applyInPandasWithState): the stream's final state per user must equal
+    this aggregate. One map-side-combined shuffle on user_id."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.coalesce(F.col("value"), F.lit(0.0)), "total_value"),
+    )

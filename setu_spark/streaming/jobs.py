@@ -136,3 +136,52 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+# --- custom stateful operator ---------------------------------------------
+
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_USER_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total), emitted on every update.
+    The built-in stateful ops (windows, session_window, streaming dedup)
+    cover the reference surface; this is the escape hatch for state shapes
+    they can't express (SURVEY.md §2.12). Batch twin: q75_user_totals.
+
+    State is one (bigint, double) pair per user — at 100 TB/day the state
+    store scales with |active users|, not event volume. Production jobs add
+    an event-time timeout to expire idle users; the availableNow test path
+    keeps NoTimeout so the final update equals the batch aggregate."""
+    import pandas as pd  # local: keep module import session/pandas-light
+
+    def fn(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -135,3 +135,38 @@ def test_foreach_batch_sink(spark, events_dir):
         assert "batch_id" in written.columns
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_apply_in_pandas_with_state_matches_batch(spark, events_dir):
+    """Custom stateful operator (applyInPandasWithState running per-user
+    totals): the last update emitted per user equals the batch aggregate."""
+    from setu_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        read_events_stream,
+        running_user_totals,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        running_user_totals(stream), "user_totals_stream", output_mode="update"
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("user_totals_stream").collect()
+    }
+
+    batch = (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
