@@ -147,3 +147,105 @@ SCRIPT_CLASSES = {
 def script_char_counts(col: Column | str) -> dict[str, Column]:
     c = _c(col)
     return {name: _count_matching(c, cls) for name, cls in SCRIPT_CLASSES.items()}
+
+
+# --- code spans (U13/U14) and normalization (U9) -------------------------
+
+#: HTML tag-pair / JS function block / CSS rule block — the reference's
+#: code-content patterns (reference filters.py:190-199), valid in Java
+#: regex, RE2 (DuckDB) and Python alike (inline (?s) dotall, lazy reps).
+CODE_PATTERNS = (
+    r"<[^>]+?>.+?</[^>]+?>",              # HTML
+    r"(?s)function\s*?\(.*?\)\s*?\{.*?\}",  # JavaScript
+    r"(?s)\..*?\{.*?\}",                   # CSS
+)
+
+
+def remove_code(col: Column | str) -> Column:
+    """U14 intended semantics: text with every code span spliced out,
+    as a chain of JVM-side global ``regexp_replace`` (one per pattern,
+    applied in the reference's pattern order). The reference instead
+    collects match offsets pattern-major and splices assuming they are
+    sorted — wrong when an HTML span follows a JS span (SURVEY.md §4.1
+    class of defect); sequential global replacement is the intent."""
+    c = _c(col)
+    for pat in CODE_PATTERNS:
+        c = F.regexp_replace(c, pat, "")
+    return c
+
+
+def has_code(col: Column | str) -> Column:
+    """U20 ``has_code``: any pattern matches."""
+    c = _c(col)
+    out = F.lit(False)
+    for pat in CODE_PATTERNS:
+        out = out | c.rlike(pat.replace("(?s)", ""))
+    return out
+
+
+def find_code_spans_udf():
+    """U13 exact surface: per-doc ``[[start, end], …]`` span offsets in the
+    reference's pattern-major order (reference filters.py:202-219) plus a
+    success flag. Needs ``finditer`` offsets → Arrow-batched pandas UDF
+    (built lazily so module import works without pandas/session)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    compiled = [re.compile(p) for p in CODE_PATTERNS]
+    schema = StructType(
+        [
+            StructField(
+                "code_spans", ArrayType(ArrayType(IntegerType()))
+            ),
+            StructField("code_spans_success", BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _find(texts):  # no hints: strings unresolvable in closure scope
+        spans_col, ok_col = [], []
+        for text in texts.fillna(""):
+            spans = []
+            try:
+                for pat in compiled:
+                    spans.extend(
+                        [m.start(), m.end()] for m in pat.finditer(text)
+                    )
+                spans_col.append(spans if spans else None)
+                ok_col.append(True)
+            except Exception:
+                spans_col.append(None)
+                ok_col.append(False)
+        return pd.DataFrame(
+            {"code_spans": spans_col, "code_spans_success": ok_col}
+        )
+
+    return _find
+
+
+def normalize_text_udf(form: str = "NFKC"):
+    """U9: Unicode normalization (reference wraps IndicNLP's per-language
+    normalizers + NFKC, filters.py:388-446). IndicNLP is not in this
+    container, so the deterministic core — ``unicodedata.normalize`` — is
+    the default; a language-aware normalizer plugs in by swapping the inner
+    function. Built lazily (pandas UDF) so imports stay session-free."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _norm(texts):  # no hints: strings unresolvable in closure scope
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return _norm

@@ -649,3 +649,41 @@ def q45_lid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "lang", best.alias("lid_score"), pred.alias("pred_lang")
     )
+
+
+# ---------------------------------------------------------------- q46
+def _rm_code_sql(expr: str) -> str:
+    from setu_spark.functions.text import CODE_PATTERNS
+
+    out = expr
+    for pat in CODE_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '', 'g')"
+    return out
+
+
+@register(
+    "q46_code_removal",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS raw_chars,
+           length({_rm_code_sql('text')}) AS cleaned_chars,
+           (length({_rm_code_sql('text')}) < length(text)) AS had_code
+    FROM documents
+    """,
+)
+def q46_code_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-block removal (reference U13/U14 intent, filters.py:190-219 +
+    345-368): strip HTML/JS/CSS spans via chained global regexp_replace —
+    JVM-side, zero shuffles. The exact span-offset surface
+    (``find_code_spans_udf``) is exercised in unit tests; this query
+    oracle-checks the splice result on the corpus."""
+    from setu_spark.functions.text import remove_code
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = remove_code(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_chars"),
+        F.length(cleaned).alias("cleaned_chars"),
+        (F.length(cleaned) < F.length("text")).alias("had_code"),
+    )

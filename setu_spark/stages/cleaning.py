@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from setu_spark.functions.text import symbol_ratio, terminal_valid
+from setu_spark.functions.text import remove_code, symbol_ratio, terminal_valid
 
 
 @dataclass(frozen=True)
@@ -38,6 +38,7 @@ class CleanConfig:
     """Cleaning thresholds/toggles (reference config surface, SURVEY §1.4)."""
 
     chunk_sep: str = "\n"
+    remove_code: bool = True      # U13/U14 (clean_analysis.py:195, 472)
     remove_symbol_heavy: bool = True
     symbol_threshold: float = 0.5
     remove_only_num_or_punc_chunks: bool = True
@@ -136,6 +137,10 @@ def clean_documents(
     Docs whose every chunk was rejected keep a NULL text via the left join
     (reference J4 semantics, clean_analysis.py:276-279)."""
     cfg = cfg or CleanConfig()
+    if cfg.remove_code:
+        # code blocks go first, before chunking, as in the reference's
+        # stage order (clean_analysis.py:195-198)
+        docs = docs.withColumn("text", remove_code(F.col("text")))
     chunks = chunk_predicates(doc2chunks(docs, cfg, id_col), cfg)
     kept, rejected = apply_chunk_filters(chunks, cfg)
     reassembled = chunks2doc(kept, cfg, id_col)

@@ -108,3 +108,70 @@ def test_symbol_ratio(spark):
 def test_digit_ratio(spark):
     assert _one(spark, "a1b2", digit_ratio(F.col("t"))) == 0.5
     assert _one(spark, "", digit_ratio(F.col("t"))) == 0.0
+
+
+class TestCodeSpans:
+    """U13/U14 against hand-computed reference semantics
+    (reference filters.py:190-219, 345-368)."""
+
+    FIXTURE = (
+        "intro text <b>bold words</b> middle "
+        "function (x) { return x; } tail "
+        ".cls { color: red } end"
+    )
+
+    def test_find_code_spans_offsets(self, spark):
+        import re
+
+        from setu_spark.functions.text import CODE_PATTERNS, find_code_spans_udf
+
+        df = spark.createDataFrame([(1, self.FIXTURE)], ["doc_id", "text"])
+        row = df.select(
+            find_code_spans_udf()("text").alias("r")
+        ).select("r.*").head()
+        # reference ordering: pattern-major, match order within pattern
+        want = []
+        for pat in CODE_PATTERNS:
+            want.extend(
+                [m.start(), m.end()]
+                for m in re.compile(pat).finditer(self.FIXTURE)
+            )
+        assert row.code_spans_success
+        assert [list(s) for s in row.code_spans] == want
+        assert len(want) >= 3  # one span per pattern family in the fixture
+
+    def test_remove_code_strips_all_patterns(self, spark):
+        from setu_spark.functions.text import has_code, remove_code
+
+        df = spark.createDataFrame(
+            [(1, self.FIXTURE), (2, "plain prose only.")], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.cleaned, r.flag)
+            for r in df.select(
+                "doc_id",
+                remove_code("text").alias("cleaned"),
+                has_code("text").alias("flag"),
+            ).collect()
+        }
+        assert got[1][1] and not got[2][1]
+        cleaned = got[1][0]
+        assert "<b>" not in cleaned and "function" not in cleaned
+        assert ".cls" not in cleaned
+        assert got[2][0] == "plain prose only."
+
+
+def test_normalize_text_nfkc(spark):
+    from setu_spark.functions.text import normalize_text_udf
+
+    df = spark.createDataFrame(
+        [(1, "ﬁne ①"), (2, None)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_text_udf()("text").alias("norm")
+        ).collect()
+    }
+    assert got[1] == "fine 1"   # ligature + circled digit decompose
+    assert got[2] is None
