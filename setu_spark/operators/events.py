@@ -239,3 +239,48 @@ def q75_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum(F.coalesce(F.col("value"), F.lit(0.0)), "total_value"),
     )
+
+
+# ---------------------------------------------------------------- q76
+HALF_HOUR_US = 1_800_000_000
+
+
+@register(
+    "q76_sliding_event_counts",
+    oracle=f"""
+    WITH contrib AS (
+      -- an event at t belongs to the two 1h/30m sliding windows starting at
+      -- floor(t, 30m) and floor(t, 30m) - 30m
+      SELECT (epoch_us(ts) // {HALF_HOUR_US} - k) * 1800 AS win_start,
+             event_type, value
+      FROM events, unnest(range(0, 2)) AS u(k)
+    )
+    SELECT win_start, event_type,
+           count(*) AS n_events,
+           {DSUM('coalesce(value, 0)', 'total_value')}
+    FROM contrib
+    GROUP BY win_start, event_type
+    """,
+)
+def q76_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1-hour windows every 30 minutes — the
+    batch twin of ``F.window(ts, '1 hour', '30 minutes')``): each event is
+    expanded to its window/slide = 2 member windows, then one map-side-
+    combined shuffle. Shuffle volume is 2× events (generally
+    window÷slide ×), the same cost model Structured Streaming pays for
+    overlapping windows."""
+    ev = load_events(spark, sf_dir)
+    contrib = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+        F.expr(f"ts_us div {HALF_HOUR_US}").alias("halfh"),
+    ).select(
+        ((F.col("halfh") - F.col("k")) * 1800).alias("win_start"),
+        "event_type",
+        "value",
+    )
+    return contrib.groupBy("win_start", "event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.coalesce(F.col("value"), F.lit(0.0)), "total_value"),
+    )

@@ -1,0 +1,54 @@
+"""The config-driven stage runner (setu_spark.run) — the reference's
+production entry point shape (reference run.py:31-60) — chained end to end
+on the sf0.001 corpus."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_cli_pipeline_end_to_end(tmp_path):
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "clean": {"chunk_sep": " ", "repeated_chunk_filter": False},
+                "analysis": {"line_sep": " "},
+                "flag": {"min_line_count": 5},
+            }
+        )
+    )
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "setu_spark.run", "all",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out),
+            "--config", str(cfg),
+            "--master", "local[4]",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    import duckdb
+
+    counts = {
+        t: duckdb.sql(
+            f"SELECT count(*) FROM '{out}/{t}/*.parquet'"
+        ).fetchone()[0]
+        for t in ("cleaned", "doc_stats", "survivors", "minhash_signatures")
+    }
+    assert counts["cleaned"] == 500
+    assert counts["doc_stats"] == 500
+    assert counts["survivors"] == 500          # word-salad passes the gates
+    assert counts["minhash_signatures"] == 500
+    lid = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/lid/*/*.parquet',"
+        " hive_partitioning=1)"
+    ).fetchone()[0]
+    assert lid == 500
