@@ -490,3 +490,29 @@ def q17_rich_customers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFra
     rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
     return rich.subtract(buyers)  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------- q20
+@register(
+    "q20_repeat_buyers_intersection",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q20_repeat_buyers_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT, distinct semantics) — customers active in
+    both 1995 and 1996. With q17's EXCEPT and the as-of join's unionByName
+    this completes the set-op family (SURVEY.md §2.7: absent from the
+    reference, built-in here). Spark plans INTERSECT as a left-semi
+    aggregate — one shuffle per side on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return y95.intersect(y96)
