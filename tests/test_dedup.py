@@ -148,3 +148,47 @@ def test_null_signature_docs_generate_no_pairs(spark):
         (r.id_a, r.id_b) for r in lsh_candidate_pairs(sig).collect()
     }
     assert pairs == {(4, 5)}
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    """Property: the fraction of agreeing minhashes estimates the true
+    shingle Jaccard (E[match_j] = J; with 8 permutations σ ≈ 0.17, so we
+    assert the MEAN absolute error over many pairs, not per-pair bounds).
+    Pins the affine-permutation family (PERM_A/PERM_B over one 60-bit
+    hash) as a valid MinHash family."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(400)]
+    rows, truths = [], []
+    for pid in range(40):
+        n = 60
+        base = [rng.choice(vocab) for _ in range(n)]
+        keep = rng.randrange(0, n + 1)   # overlap from 0 to full
+        other = base[:keep] + [rng.choice(vocab) for _ in range(n - keep)]
+
+        def shingles(ws):
+            return {
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            }
+
+        sa, sb = shingles(base), shingles(other)
+        truths.append(len(sa & sb) / len(sa | sb))
+        rows.append((2 * pid, " ".join(base)))
+        rows.append((2 * pid + 1, " ".join(other)))
+
+    sig = {
+        r.doc_id: [r[f"m{j}"] for j in range(NUM_PERM)]
+        for r in minhash_signatures(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    errs = []
+    for pid, truth in enumerate(truths):
+        a, b = sig[2 * pid], sig[2 * pid + 1]
+        est = sum(x == y for x, y in zip(a, b)) / NUM_PERM
+        errs.append(abs(est - truth))
+    mean_err = sum(errs) / len(errs)
+    # E[|est-J|] ≤ σ ≈ sqrt(J(1-J)/8) ≤ 0.177; mean over 40 pairs has
+    # further √40 concentration — 0.12 is a loose, stable bound.
+    assert mean_err < 0.12, mean_err
