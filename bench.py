@@ -50,16 +50,20 @@ def main() -> None:
 
     spark = get_spark("setu-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
 
     queries = entry.queries()
 
-    # Warm the JVM/codegen paths once with a cheap query so the first
-    # measured query doesn't pay session spin-up.
+    # Warm the JVM/codegen paths and the Python (Arrow UDF) workers once so
+    # the first measured query doesn't pay session/worker spin-up.
     queries["q01_pricing_summary"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.range(64).select(
+        F.pandas_udf(lambda s: s, "long")(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
