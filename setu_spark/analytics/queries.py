@@ -516,3 +516,58 @@ def q20_repeat_buyers_intersection(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("o_custkey").alias("c_custkey")
     )
     return y95.intersect(y96)
+
+
+# ---------------------------------------------------------------- q21
+@register(
+    "q21_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q21_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (`percentile` ≡ DuckDB `quantile_cont`,
+    both linear-interpolation). Exact percentile needs the group's values
+    together — at 100 TB prefer `approx_percentile` (t-digest, mergeable,
+    map-side combined); the exact form is declared here because the oracle
+    can check it bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------- q22
+@register(
+    "q22_part_name_drift",
+    oracle="""
+    SELECT a.p_partkey,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           length(a.p_name) AS name_len
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    """,
+)
+def q22_part_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family over a self-join: `levenshtein` between
+    consecutive part names (the edit-distance primitive the fuzzy-match
+    tier uses after LSH candidate generation — never all-pairs). Self-join
+    on key+1 stays a co-partitioned merge after one shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    return a.join(
+        b, F.col("b.p_partkey") == F.col("a.p_partkey") + 1
+    ).select(
+        F.col("a.p_partkey").alias("p_partkey"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias(
+            "edit_dist"
+        ),
+        F.length(F.col("a.p_name")).alias("name_len"),
+    )
