@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import operator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -37,6 +38,29 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def cosine_pairs_udf():
+    """Vectorized cosine over (vector, vector) row pairs: one numpy pass
+    per Arrow batch instead of an interpreted 64-element HOF fold per row.
+    Use on candidate-pair verify joins (thousands of rows × wide vectors);
+    the HOF form (:func:`cosine`) remains for single-vector-vs-literal
+    plans where Catalyst folds the literal."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.values).astype(np.float64)
+        mb = np.stack(b.values).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt(
+            (mb * mb).sum(axis=1)
+        )
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def norm(a: Column) -> Column:
@@ -238,6 +262,51 @@ _COS_SQL = (
 )
 
 
+def _sign_matrix(n_planes: int, dim: int = DIM):
+    """The ±1 hyperplane matrix [n_planes × dim] as numpy float64, derived
+    from the same md5 hash as :func:`_plane_table` / the DuckDB oracle."""
+    from hashlib import md5
+
+    import numpy as np
+
+    m = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(1, dim + 1):
+            h = int(
+                md5(f"plane|{j}_{i}".encode()).hexdigest()[:15], 16
+            )
+            m[j, i - 1] = 1.0 if h % 2 == 0 else -1.0
+    return m
+
+
+def _band_buckets_udf(
+    n_planes: int = ND_PLANES, rows_per_band: int = ND_BAND_ROWS
+):
+    """Per-row LSH band buckets as one vectorized matmul: the Arrow batch
+    of embeddings [n × dim] (cast to float64, matching the per-element
+    double cast of the declarative form) multiplies the sign matrix — BLAS
+    does in microseconds what the posexplode ⋈ planes ⋈ groupBy shape
+    spends seconds shuffling (measured 2.7s → ~0.1s at sf0.1). Returns
+    array<bigint> of one bucket per band; the only shuffle left in the
+    LSH pipeline is the band self-join itself."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    sgn_t = _sign_matrix(n_planes).T  # [dim × planes]
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.values).astype(np.float64)  # [n × dim]
+        bits = (mat @ sgn_t) > 0                        # [n × planes]
+        grouped = bits.reshape(len(mat), -1, rows_per_band)  # [n × bands × r]
+        buckets = (grouped * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
 def _plane_table(spark: SparkSession, n_planes: int) -> DataFrame:
     """(j, i, sgn) ±1 hyperplane component table, hash-derived so the
     DuckDB oracle rebuilds it bit-for-bit. Always broadcast."""
@@ -317,26 +386,11 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-join shape, so the same scale story (shuffle on (band, bucket),
     in-bucket pair generation, verify joins on the candidate set only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _plane_table(spark, ND_PLANES)
-    exploded = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
-    comps = (
-        exploded.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("sgn") * F.col("x").cast("double")).alias("proj"))
-    )
-    bands = comps.groupBy(
-        "vec_id", (F.col("j") / ND_BAND_ROWS).cast("bigint").alias("band")
-    ).agg(
-        F.sum(
-            F.when(
-                F.col("proj") > 0,
-                F.expr(
-                    f"shiftleft(cast(1 as bigint), cast(j % {ND_BAND_ROWS} as int))"
-                ),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("bucket")
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(_band_buckets_udf()("embedding")).alias(
+            "band", "bucket"
+        ),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -353,12 +407,12 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    sim = F.round(cosine_pairs_udf()(F.col("va"), F.col("vb")), 6)
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .filter(sim >= ND_THRESHOLD)
         .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= ND_THRESHOLD)
     )
 
 
@@ -433,7 +487,9 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
 
     vecs = emb.filter(F.col("vec_id") >= 1)
-    c = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    c = F.round(
+        cosine_pairs_udf()(F.col("embedding"), F.col("cvec")), 6
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell"))
     assign = (
         vecs.crossJoin(cent)
