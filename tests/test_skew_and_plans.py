@@ -7,13 +7,18 @@ string — cheap, deterministic, no data needed beyond the scan."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 from pyspark.sql import functions as F
 
 from setu_spark.operators.skew import salted_aggregate, salted_join
+from setu_spark.plans import (
+    broadcast_join_count,
+    has_partial_aggregate,
+    plan_string,
+    pushed_filters,
+    scan_schemas,
+    shuffle_count,
+)
 from tests.conftest import SF_ORACLE
 
 import __spark_entry__ as entrymod
@@ -69,48 +74,41 @@ def test_salted_join_matches_plain(spark):
 
 # ------------------------------------------------------------------ plans
 
-def _plan(spark, name: str) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        QUERIES[name](spark, SF_ORACLE).explain(mode="formatted")
-    return buf.getvalue()
+def _q(spark, name: str):
+    return QUERIES[name](spark, SF_ORACLE)
 
 
 def test_q06_filters_pushed_to_scan(spark):
-    plan = _plan(spark, "q06_forecast_revenue")
-    assert "PushedFilters: [" in plan
     # the shipdate/discount/quantity predicates must reach the scan,
     # not sit in a post-scan Filter only
-    pushed = [
-        ln for ln in plan.splitlines() if "PushedFilters" in ln
-    ]
-    assert any("GreaterThan" in ln or "LessThan" in ln for ln in pushed), pushed
+    pushed = pushed_filters(_q(spark, "q06_forecast_revenue"))
+    assert pushed
+    assert any("GreaterThan" in f or "LessThan" in f for f in pushed), pushed
 
 
 def test_q05_dims_broadcast(spark):
-    plan = _plan(spark, "q05_region_nation_revenue")
-    assert "BroadcastHashJoin" in plan
     # region/nation must never arrive via a shuffle join
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert broadcast_join_count(_q(spark, "q05_region_nation_revenue")) >= 3
 
 
 def test_q01_partial_aggregation(spark):
-    plan = _plan(spark, "q01_pricing_summary")
     # partial_ aggregate functions before the exchange = map-side combine
-    assert "partial_" in plan
+    assert has_partial_aggregate(_q(spark, "q01_pricing_summary"))
 
 
 def test_q30_no_shuffle(spark):
-    plan = _plan(spark, "q30_doc_word_stats")
-    assert "Exchange" not in plan  # per-row profile: narrow pipeline only
+    # per-row profile: narrow pipeline only
+    assert shuffle_count(_q(spark, "q30_doc_word_stats")) == 0
+
+
+def test_q36_no_shuffle(spark):
+    # fingerprints are per-row too (Arrow UDF) — must stay shuffle-free
+    assert shuffle_count(_q(spark, "q36_rolling_fingerprints")) == 0
 
 
 def test_q51_scan_prunes_columns(spark):
-    plan = _plan(spark, "q51_minhash_signatures")
     # signature scan must read only (doc_id, text), never lang/source
-    scan_lines = [
-        ln for ln in plan.splitlines() if "ReadSchema" in ln
-    ]
-    assert scan_lines and all(
-        "lang" not in ln and "source" not in ln for ln in scan_lines
-    ), scan_lines
+    schemas = scan_schemas(_q(spark, "q51_minhash_signatures"))
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    ), schemas
