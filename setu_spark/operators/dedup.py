@@ -442,3 +442,86 @@ def simhash_column(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
             )
         )
     return functools.reduce(operator.add, bit_cols)
+
+
+# ------------------------------------------------------- survivor selection
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs by iterative
+    min-label propagation: every doc starts as its own component; each
+    round, a doc adopts the smallest component id among itself and its
+    neighbors; fixpoint when an iteration changes nothing. Returns
+    (doc_id, component) — dedup keeps one survivor per component (the
+    min id, which is exactly the component label).
+
+    Scale shape: each round is two shuffles (edge join + min-agg), and
+    the iteration count is bounded by the longest path in the duplicate
+    graph — near-dup clusters are dense and shallow, so 3-5 rounds in
+    practice. ``localCheckpoint`` cuts lineage each round (iterative
+    DataFrame plans otherwise grow exponentially)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "v").withColumnRenamed(
+                    "component", "v_comp"
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("v_comp").alias("neighbor_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neighbor_comp", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+@register("q56_dedup_components")  # rows-only: iterative fixpoint algorithm
+def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup decision: MinHash signatures → LSH candidate
+    pairs → connected components → per-component survivor stats. Declared
+    rows-only (the driver contract's carve-out for iterative algorithms);
+    the component math is pinned by unit tests on planted duplicate
+    clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("survivor_doc_id"),
+    )

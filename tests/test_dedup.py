@@ -192,3 +192,24 @@ def test_minhash_estimates_track_true_jaccard(spark):
     # E[|est-J|] ≤ σ ≈ sqrt(J(1-J)/8) ≤ 0.177; mean over 40 pairs has
     # further √40 concentration — 0.12 is a loose, stable bound.
     assert mean_err < 0.12, mean_err
+
+
+def test_connected_components_planted_clusters(spark):
+    """Min-label propagation over a path, a triangle, and an isolated
+    pair — including a long path (worst case for propagation rounds)."""
+    from setu_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
