@@ -32,6 +32,12 @@ DEFAULT_CONF = {
     # local[32]: shuffle width ~= cores; AQE coalesces down when tiny.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.maxResultSize": "4g",
+    # local mode = ONE JVM for driver + all 32 worker threads. The PySpark
+    # default heap (1g) makes every wide op GC-bound or OOM at ~100k docs;
+    # size it like the executor fleet it stands in for. (Applied at JVM
+    # launch — only effective for the process's first session, which is why
+    # it lives here in the factory and not in per-query code.)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
 }
 
