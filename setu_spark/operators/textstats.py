@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -549,27 +550,44 @@ FP_MOD = 1_000_000_007
 FP_BPOW = [pow(FP_B, j, FP_MOD) for j in range(FP_K)]
 
 
-@F.pandas_udf(_FP_SCHEMA)
-def _fp_udf(texts: pd.Series) -> pd.DataFrame:
-    """Per-doc k-gram fingerprint profile; fingerprints never leave the
-    row — no shuffle at any scale, and the whole batch is numpy."""
+def _fp_arrays(texts: pd.Series):
+    """Yield (numpy fingerprint array or None) per text — shared kernel of
+    `_fp_udf` (profile) and `_fp_list_udf` (array form)."""
     import numpy as np
 
     bpow = np.array(FP_BPOW, dtype=np.int64)
-    n_col, sum_col, min_col = [], [], []
     for text in texts.fillna(""):
         if len(text) < FP_K:
-            n_col.append(0); sum_col.append(0); min_col.append(None)
+            yield None
             continue
         cps = np.frombuffer(
             text.encode("utf-32-le"), dtype=np.uint32
         ).astype(np.int64)
         windows = np.lib.stride_tricks.sliding_window_view(cps, FP_K)
         hashes = (windows * bpow).sum(axis=1) % FP_MOD
-        fps = np.unique(hashes[hashes % FP_P == 0])
+        yield np.unique(hashes[hashes % FP_P == 0])
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _fp_list_udf(texts: pd.Series) -> pd.Series:
+    """Fingerprint set per doc as array<bigint> (for explode/join uses)."""
+    return pd.Series(
+        [([] if fps is None else fps.tolist()) for fps in _fp_arrays(texts)]
+    )
+
+
+@F.pandas_udf(_FP_SCHEMA)
+def _fp_udf(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc k-gram fingerprint profile; fingerprints never leave the
+    row — no shuffle at any scale, and the whole batch is numpy."""
+    n_col, sum_col, min_col = [], [], []
+    for fps in _fp_arrays(texts):
+        if fps is None or not fps.size:
+            n_col.append(0); sum_col.append(0); min_col.append(None)
+            continue
         n_col.append(int(fps.size))
         sum_col.append(int(fps.sum()))
-        min_col.append(int(fps[0]) if fps.size else None)
+        min_col.append(int(fps[0]))
     return pd.DataFrame(
         {"n_fp": n_col, "fp_checksum": sum_col, "min_fp": min_col}
     )
@@ -706,3 +724,71 @@ def q46_code_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).alias("cleaned_chars"),
         (F.length(cleaned) < F.length("text")).alias("had_code"),
     )
+
+
+# ---------------------------------------------------------------- q37
+FP_MAX_DF = 10     # drop fingerprints present in > this many docs
+FP_MIN_SHARED = 3  # pairs must share at least this many fingerprints
+
+
+@register(
+    "q37_fingerprint_containment",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT doc_id, unnest({_fp_array_sql()}) AS f
+      FROM documents
+    ),
+    rare AS (
+      SELECT f FROM fp GROUP BY f HAVING count(*) <= {FP_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM fp a
+      JOIN rare r ON a.f = r.f
+      JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared FROM pairs
+    WHERE n_shared >= {FP_MIN_SHARED}
+    """,
+)
+def q37_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment / partial-overlap detection: documents sharing ≥
+    {FP_MIN_SHARED} rare fingerprints (the q36 winnowing set joined against
+    itself on the fingerprint). The document-frequency cap (≤ {FP_MAX_DF}
+    docs per fingerprint) is the hot-key guard every inverted-index join
+    needs at scale: a fingerprint present in every doc carries no
+    similarity signal but would alone generate O(n²) join rows. With the
+    cap, per-fingerprint work is ≤ DF² and total cost is linear in corpus
+    size. Complements MinHash (q52): LSH finds near-identical docs,
+    containment finds excerpts/supersets."""
+    docs = load_table(spark, sf_dir, "documents")
+    # one numpy pass for the fingerprint arrays; cache because the fp table
+    # feeds three plan branches (both self-join sides + the DF-cap filter)
+    # and would otherwise be recomputed per branch
+    fp = (
+        docs.select(
+            "doc_id", F.explode(_fp_list_udf("text")).alias("f")
+        )
+        .distinct()
+        .cache()
+    )
+    rare = fp.groupBy("f").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= FP_MAX_DF
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(rare.select("f"), "f")
+        .join(
+            b,
+            (F.col("b.f") == F.col("a.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= FP_MIN_SHARED)
