@@ -112,3 +112,47 @@ def test_q51_scan_prunes_columns(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     ), schemas
+
+
+# ------------------------------------------------------------------ bucketing
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring equi-join on the join key lets
+    the sort-merge join read pre-partitioned data — zero Exchange in the
+    plan. This is the 100 TB technique for fact⋈fact joins that repeat
+    across a pipeline (bucket once at ingest, join shuffle-free forever)."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.enabled", "true"
+    )
+    orders = spark.range(0, 10_000).selectExpr(
+        "id AS o_orderkey", "id % 100 AS o_custkey"
+    )
+    lineitem = spark.range(0, 30_000).selectExpr(
+        "id % 10000 AS l_orderkey", "id AS l_qty"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    try:
+        for name, df, key in (
+            ("bktest.b_orders", orders, "o_orderkey"),
+            ("bktest.b_lineitem", lineitem, "l_orderkey"),
+        ):
+            df.write.bucketBy(8, key).sortBy(key).mode(
+                "overwrite"
+            ).saveAsTable(name)
+        joined = (
+            spark.table("bktest.b_orders")
+            .join(
+                spark.table("bktest.b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("l_qty").alias("q"))
+        )
+        # the join itself must be exchange-free; only the final groupBy
+        # (different key) may shuffle
+        assert shuffle_count(joined) <= 1
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktest.b_orders")
+        spark.sql("DROP TABLE IF EXISTS bktest.b_lineitem")
+        spark.sql("DROP DATABASE IF EXISTS bktest")
