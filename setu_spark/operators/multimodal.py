@@ -214,3 +214,30 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(16000).alias("sample_rate"),
         (F.length("text") * 10).cast("int").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------- q92
+@register(
+    "q92_media_bytes_by_kind",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_media,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+             AS total_payload_bytes,
+           max(10 * length(text)) AS max_duration_ms
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q92_media_bytes_by_kind(spark, sf_dir: str) -> DataFrame:
+    """Relational analytics over the media table's typed columns (kind,
+    payload size, duration) — the everyday query class on a multimodal
+    corpus. `octet_length(payload)` never decodes; at 100 TB the columnar
+    scan reads the byte-length statistics, not the payload bytes."""
+    media = _synth_media(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
