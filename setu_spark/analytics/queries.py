@@ -571,3 +571,90 @@ def q22_part_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(F.col("a.p_name")).alias("name_len"),
     )
+
+
+# ---------------------------------------------------------------- q23
+@register(
+    "q23_monthly_seasonality",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(month(o_orderdate) AS INT) AS month_num,
+           CAST(quarter(o_orderdate) AS INT) AS quarter_num,
+           count(*) AS n_orders,
+           {DSUM('o_totalprice', 'revenue')}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q23_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family (`date_format`/`month`/`quarter` with a pushed
+    date-range predicate): revenue by calendar month. The range predicate
+    reaches the parquet scan; at 100 TB with date-partitioned data it
+    becomes partition pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.month("o_orderdate").alias("month_num"),
+            F.quarter("o_orderdate").alias("quarter_num"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q24
+@register(
+    "q24_price_math_profile",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(ln(l_extendedprice) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_log_price,
+           round(sqrt(CAST(sum(CAST(l_quantity * l_quantity
+                                    AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(*)), 6) AS rms_qty,
+           CAST(sum(CAST(ceil(l_extendedprice / 1000) AS BIGINT)) AS BIGINT)
+             AS price_kilobuckets,
+           round(max(abs(l_discount - 0.05)), 6) AS max_discount_dev
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q24_price_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (ln/sqrt/ceil/abs) inside one map-side-combined
+    aggregate. Float averages go through the DECIMAL(18,6) route (exact,
+    order-independent — plain avg() sums doubles in partition order, which
+    can flip the 6th rounded digit between engines); min/max/integer sums
+    are order-independent already."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_log = (
+        F.sum(F.log(F.col("l_extendedprice")).cast("decimal(18,6)"))
+        .cast("double")
+        / F.count("*")
+    )
+    msq = (
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)")
+        ).cast("double")
+        / F.count("*")
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(avg_log, 6).alias("avg_log_price"),
+        F.round(F.sqrt(msq), 6).alias("rms_qty"),
+        F.sum(
+            F.ceil(F.col("l_extendedprice") / 1000).cast("bigint")
+        ).cast("bigint").alias("price_kilobuckets"),
+        F.round(F.max(F.abs(F.col("l_discount") - 0.05)), 6).alias(
+            "max_discount_dev"
+        ),
+    )
