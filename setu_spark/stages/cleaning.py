@@ -47,6 +47,11 @@ class CleanConfig:
     min_chunk_words: int = 1
     repeated_chunk_filter: bool = True
     repeat_key: str = "url"  # reference repeats are keyed (url, chunk) [J3]
+    #: reference U18 quirk (utilities.py:124-127): a chunk starting with
+    #: two spaces loses exactly one on reassembly. Off by default — the
+    #: intended semantics join chunks verbatim; flag exists for byte-exact
+    #: parity with reference outputs.
+    double_space_trim_quirk: bool = False
 
 
 def doc2chunks(df: DataFrame, cfg: CleanConfig, id_col: str = "doc_id",
@@ -117,6 +122,16 @@ def apply_chunk_filters(chunks: DataFrame, cfg: CleanConfig) -> tuple[DataFrame,
 def chunks2doc(kept: DataFrame, cfg: CleanConfig, id_col: str = "doc_id") -> DataFrame:
     """E3 lines2doc: deterministic reassembly (sort by pos inside the
     collected array — never input order)."""
+    if cfg.double_space_trim_quirk:
+        # U18 (reference utilities.py:124-127): strip ONE leading space
+        # iff the chunk starts with two, before reassembly
+        kept = kept.withColumn(
+            "chunk",
+            F.when(
+                F.col("chunk").startswith("  "),
+                F.expr("substring(chunk, 2)"),
+            ).otherwise(F.col("chunk")),
+        )
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -171,3 +171,26 @@ def test_entry_module_imports_without_session():
         timeout=120,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_double_space_trim_quirk(spark):
+    """U18 (reference utilities.py:124-127): with the quirk flag on, a
+    chunk starting with exactly two spaces loses one on reassembly; off
+    (default), chunks join verbatim."""
+    from setu_spark.stages.cleaning import CleanConfig, clean_documents
+
+    docs = spark.createDataFrame(
+        [(1, "plain\n  indented\n   deep")], ["doc_id", "text"]
+    )
+    base = CleanConfig(
+        chunk_sep="\n", repeated_chunk_filter=False, repeat_key="doc_id",
+        remove_only_num_or_punc_chunks=False, chunk_length_filter=False,
+    )
+    import dataclasses
+
+    off, _ = clean_documents(docs, base)
+    on, _ = clean_documents(
+        docs, dataclasses.replace(base, double_space_trim_quirk=True)
+    )
+    assert off.head().text == "plain\n  indented\n   deep"
+    assert on.head().text == "plain\n indented\n  deep"
