@@ -13,6 +13,8 @@ purely per-row ops).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +45,14 @@ def tokens_col(text: str = "text") -> F.Column:
     return F.split(F.col(text), " ", -1)
 
 
+def _round6(x: float) -> float:
+    """Round-HALF-UP to 6 digits — what Spark's F.round and DuckDB's
+    round() both do. Python's built-in round() is banker's (half-EVEN):
+    round(0.2265625, 6) = 0.226562 vs 0.226563 in both engines — a real
+    hash mismatch caught by the exact-equality oracle gate."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 #: explicit StructType, NOT a DDL string: string return types are parsed
 #: through the active SparkSession at decoration (= import) time, and this
 #: module must stay importable before any session exists (the driver
@@ -70,7 +80,7 @@ def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
             : math.ceil(math.sqrt(len(grams)))
         ]
         out_t.append(total)
-        out_s.append(round(sum(top) / total, 6))
+        out_s.append(_round6(sum(top) / total))
     return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 
@@ -89,7 +99,7 @@ def _word_rep_udf(texts: pd.Series) -> pd.DataFrame:
         total = sum(grams.values())
         rep = sum(c for c in grams.values() if c >= 2)
         out_t.append(total)
-        out_s.append(round(rep / total, 6))
+        out_s.append(_round6(rep / total))
     return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 

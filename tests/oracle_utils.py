@@ -64,13 +64,14 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # EXACT equality of the rounded values — the driver hashes the
+            # rounded numbers, so an isclose-tolerant local gate would hide
+            # exactly the mismatches the driver flags. Queries guarantee
+            # this via the decimal-routed sum / deterministic-fold
+            # discipline (registry.py docstring).
             ok = [
                 (pd.isna(x) and pd.isna(y))
-                or (
-                    not pd.isna(x)
-                    and not pd.isna(y)
-                    and math.isclose(x, y, rel_tol=1e-9, abs_tol=1.5e-6)
-                )
+                or (not pd.isna(x) and not pd.isna(y) and x == y)
                 for x, y in zip(av.astype("float64"), bv.astype("float64"))
             ]
         else:
