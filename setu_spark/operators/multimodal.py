@@ -241,3 +241,54 @@ def q92_media_bytes_by_kind(spark, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
         F.max("duration_ms").alias("max_duration_ms"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 24
+) -> DataFrame:
+    """Image resize over the binary payload column (the preprocessing step
+    every vision-training pipeline runs). Plumbing is real — image rows
+    filtered relationally, payload crosses to Python once per Arrow batch,
+    output is a new binary column sized for the model; the pixel kernel is
+    a deterministic fake (payload truncation/tiling to the target byte
+    count) because PIL/opencv are not in this container. A real codec
+    replaces only the marked lines."""
+    if _real_codec_available():  # pragma: no cover
+        raise NotImplementedError(
+            "real PIL-backed resize not wired; container lacks codecs"
+        )
+    target = width * height  # fake: 1 byte per pixel
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                # -- fake resample: tile/truncate payload to target size --
+                b = bytes(p)
+                reps = (target // max(len(b), 1)) + 1
+                out.append((b * reps)[:target])
+                # ---------------------------------------------------------
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "payload": out,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, schema=RESIZE_SCHEMA)
+    )

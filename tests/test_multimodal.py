@@ -78,3 +78,14 @@ def test_features_feed_similarity(spark, media):
     )
     assert len(sims) == 6
     assert all(-1.0 <= r.sim <= 1.0 for r in sims)
+
+
+def test_resize_images_shapes_and_determinism(spark, media):
+    from setu_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=8, height=4).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images and n_images > 0
+    assert all(len(r.payload) == 8 * 4 for r in out)
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 4).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
