@@ -1,0 +1,63 @@
+"""Property tests: the native-expression text operators must equal the
+reference's Python semantics on arbitrary strings — including the quirk
+cases (empty tokens, unicode digits, terminal-punct exceptions). This is
+SURVEY §7's 'quirk parity' hard part, fuzzed rather than hand-picked.
+
+Strategy: hypothesis generates the corpus driver-side (deterministic
+seeds), ONE Spark job evaluates every operator over the whole batch, and
+the assertion compares against pure-Python ground truth row by row."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from setu_spark.functions.text import (
+    TERMINAL_EXCEPTIONS,
+    TERMINAL_PUNCTUATIONS,
+    byte_count,
+    char_count,
+    is_number,
+    terminal_valid,
+    word_count,
+)
+
+#: mixed alphabet: ascii words/punct, devanagari, unicode digits, spaces
+ALPHABET = st.sampled_from(
+    list("ab  .!?#:") + ["।", "॥", "१", "२", "३", "٣", "é", "ß"]
+)
+TEXTS = st.lists(
+    st.text(alphabet=ALPHABET, min_size=0, max_size=24),
+    min_size=1,
+    max_size=48,
+)
+
+
+def _py_terminal_valid(s: str) -> bool:
+    ends = any(s.endswith(p) for p in TERMINAL_PUNCTUATIONS)
+    return ends and not any(s.endswith(e) for e in TERMINAL_EXCEPTIONS)
+
+
+@settings(max_examples=12, deadline=None)
+@given(TEXTS)
+def test_counting_and_predicates_match_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "t"]
+    )
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            word_count("t").alias("wc"),
+            char_count("t").alias("cc"),
+            byte_count("t").alias("bc"),
+            is_number("t").alias("num"),
+            terminal_valid("t").alias("term"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        r = rows[i]
+        assert r.wc == len(t.split(" ")), (t, r.wc)          # U2 quirk
+        assert r.cc == len(t), t
+        assert r.bc == len(t.encode("utf-8")), t
+        assert r.num == (len(t) > 0 and all(c.isdigit() for c in t)), t
+        assert r.term == _py_terminal_valid(t), t
