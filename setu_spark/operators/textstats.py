@@ -802,3 +802,140 @@ def q37_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= FP_MIN_SHARED)
+
+
+# ---------------------------------------------------------------- q47
+_MULTI_REP_SCHEMA = StructType(
+    [
+        StructField("score_5", DoubleType()),
+        StructField("score_10", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_MULTI_REP_SCHEMA)
+def _multi_rep_udf(texts: pd.Series) -> pd.DataFrame:
+    """Char n-gram repetition for n ∈ {5, 10} — the reference computes a
+    per-n MAP of scores (U10, char_ngram_cum_thresholds has several n's);
+    columns instead of a map so the oracle can hash them."""
+    from collections import Counter
+
+    cols = {5: [], 10: []}
+    for text in texts:
+        for n in (5, 10):
+            if len(text) < n:
+                cols[n].append(None)
+                continue
+            grams = Counter(
+                text[i : i + n] for i in range(len(text) - n + 1)
+            )
+            total = sum(grams.values())
+            top = sorted(grams.values(), reverse=True)[
+                : math.ceil(math.sqrt(len(grams)))
+            ]
+            cols[n].append(_round6(sum(top) / total))
+    return pd.DataFrame({"score_5": cols[5], "score_10": cols[10]})
+
+
+def _rep_sql(n: int) -> str:
+    return f"""
+      SELECT doc_id,
+             round(sum(CASE WHEN rn <= ceil(sqrt(n_distinct)) THEN cnt
+                            ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6)
+               AS score
+      FROM (
+        SELECT doc_id, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n_distinct
+        FROM (
+          SELECT doc_id, substr(text, i, {n}) AS gram, count(*) AS cnt
+          FROM documents,
+               unnest(range(1, greatest(length(text) - {n - 2}, 1))) AS u(i)
+          WHERE length(text) >= {n}
+          GROUP BY doc_id, substr(text, i, {n})
+        )
+      )
+      GROUP BY doc_id
+    """
+
+
+@register(
+    "q47_multi_n_repetition",
+    oracle=f"""
+    WITH s5 AS ({_rep_sql(5)}), s10 AS ({_rep_sql(10)})
+    SELECT d.doc_id, s5.score AS score_5, s10.score AS score_10
+    FROM documents d
+    LEFT JOIN s5 ON d.doc_id = s5.doc_id
+    LEFT JOIN s10 ON d.doc_id = s10.doc_id
+    """,
+)
+def q47_multi_n_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 multi-n form: repetition scores at n=5 and n=10 in one Arrow
+    pass (the reference's per-n map, flattened to hashable columns). Docs
+    shorter than n get NULL for that n (the reference's None, SURVEY §4.1's
+    intended semantics). Zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _multi_rep_udf("text").alias("r")).select(
+        "doc_id", "r.*"
+    )
+
+
+# ---------------------------------------------------------------- q48
+REP_THRESHOLD_5 = 0.18   # chosen to split the testdata non-trivially
+REP_THRESHOLD_W3 = 0.05
+
+
+@register(
+    "q48_repetition_flag_filter",
+    oracle=f"""
+    WITH c AS ({_rep_sql(5)}),
+    w AS (
+      SELECT doc_id,
+             round(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0)
+                   / CAST(sum(cnt) AS DOUBLE), 6) AS wscore
+      FROM (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram,
+               count(*) AS cnt
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+        GROUP BY doc_id, gram
+      )
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           (c.score >= {REP_THRESHOLD_5}) AS has_char_repetition,
+           (w.wscore >= {REP_THRESHOLD_W3}) AS has_word_repetition
+    FROM documents d
+    JOIN c ON d.doc_id = c.doc_id
+    JOIN w ON d.doc_id = w.doc_id
+    WHERE NOT (c.score >= {REP_THRESHOLD_5})
+      AND NOT (w.wscore >= {REP_THRESHOLD_W3})
+    """,
+)
+def q48_repetition_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U12 end to end: char/word repetition scores → threshold flags →
+    survivors (the reference's char_repetition_filter /
+    word_repetition_filter path, flagging_and_removal.py:34-47 with the
+    intended any-threshold semantics). Both scores come from the
+    zero-shuffle Arrow kernels; the filter is a per-row predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.filter(F.length("text") >= 5)
+        .select("doc_id", _char_rep_udf("text").alias("c"))
+        .select("doc_id", F.col("c.repetition_score").alias("cscore"))
+        .join(
+            docs.filter(F.size(F.split("text", " ", -1)) >= 3)
+            .select("doc_id", _word_rep_udf("text").alias("w"))
+            .select("doc_id", F.col("w.repetition_score").alias("wscore")),
+            "doc_id",
+        )
+    )
+    flagged = scored.select(
+        "doc_id",
+        (F.col("cscore") >= REP_THRESHOLD_5).alias("has_char_repetition"),
+        (F.col("wscore") >= REP_THRESHOLD_W3).alias("has_word_repetition"),
+    )
+    return flagged.filter(
+        ~F.col("has_char_repetition") & ~F.col("has_word_repetition")
+    )
