@@ -658,3 +658,39 @@ def q24_price_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_discount_dev"
         ),
     )
+
+
+# ---------------------------------------------------------------- q25
+@register(
+    "q25_name_normalization",
+    oracle="""
+    SELECT s_suppkey,
+           upper(s_name) AS name_upper,
+           trim(lower(s_name)) AS name_lower,
+           lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS key_padded,
+           replace(s_name, '#', '-') AS name_dashed,
+           split_part(s_name, '#', 1) AS name_prefix,
+           length(s_name) AS name_len
+    FROM supplier
+    """,
+)
+def q25_name_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (upper/lower/trim/lpad/replace/split_part) —
+    the normalization pass every entity-resolution pipeline starts with.
+    Pure per-row codegen'd expressions, zero shuffles."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.trim(F.lower("s_name")).alias("name_lower"),
+        F.lpad(F.col("s_suppkey").cast("string"), 9, "0").alias(
+            "key_padded"
+        ),
+        F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias(
+            "name_dashed"
+        ),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(1)).alias(
+            "name_prefix"
+        ),
+        F.length("s_name").alias("name_len"),
+    )
