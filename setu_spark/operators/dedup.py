@@ -5,28 +5,30 @@ CLI (reference README.md:128) and does exact dedup only by id
 (``dropDuplicates(["doc_id"])``, SURVEY.md P8). Here the whole dedup family
 is first-class and Spark-native:
 
-  * signatures (MinHash, SimHash) are **per-row array expressions** — no
-    explode, no shuffle, no Python; signature cost scales linearly with
-    input bytes and embarrassingly parallel;
+  * signatures (MinHash, SimHash) are **per-row** — no explode, no
+    shuffle; cost scales linearly with input bytes and is embarrassingly
+    parallel. MinHash's production kernel is a vectorized Arrow UDF; the
+    per-row Spark-expression twins exist for composition and tests;
   * candidate generation is **LSH banding** — a shuffle on (band, bandhash)
     whose buckets are collision groups, never an O(n²) cross join. This is
     the only shape that survives 100 TB: the shuffle volume is
     O(n_docs × n_bands), independent of corpus byte size;
-  * all hashes are the md5-derived :func:`setu_spark.functions.hashes.hash64`
-    so the DuckDB oracle can replay them bit-for-bit.
+  * the MinHash base hash is a polynomial (Horner) word/shingle family —
+    vectorizable AND replayable bit-for-bit by the DuckDB oracle
+    (list_reduce); band hashes still use the md5-derived
+    :func:`setu_spark.functions.hashes.hash64` where cheapness doesn't
+    matter.
 
 MinHash math: P[minhash collision] = Jaccard(A, B); with b bands of r rows
 the candidate probability is 1 - (1 - J^r)^b — here b=4, r=2 → ~0.5
 J-threshold, tuned for the word-salad testdata. Parameters are arguments,
 not constants, in the library functions.
 
-Measured cost decomposition at 100k docs (local[32]): shingle construction
-(interpreted zip_with HOF) ≈ 50% of signature wall, md5+conv ≈ 25%, the
-groupBy-min agg ≈ 25%. The known next lever is a polynomial word-hash
-family (vectorizable like q36's fingerprints, DuckDB-replayable via
-list_reduce Horner) — deliberately NOT taken while the md5 family keeps
-the whole dedup corpus oracle-exact; revisit if signatures dominate a
-real workload.
+Signature cost history at 100k docs (local[32]): salted md5 per shingle
+per permutation (~38s) → one md5 + affine permutations, explode-agg
+(12.6s; shingle-string construction was 50% of it) → polynomial word-hash
+family, numpy kernel, no shingle strings at all (4-6s). Each step stayed
+bit-identical to the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -34,8 +36,10 @@ from __future__ import annotations
 import functools
 import operator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.registry import register
@@ -93,26 +97,100 @@ def shingles_sql(text_expr: str = "text", n: int = SHINGLE_N) -> str:
     )
 
 
-#: Affine-permutation MinHash family: m_j = min over shingles of
-#: (A_j·h + B_j) mod P31, where h = hash64(shingle) mod (P31-1). One md5
-#: per shingle total (the permutations are integer arithmetic) instead of
-#: one md5 per shingle *per permutation* — 3× faster signatures, and the
-#: (a·x+b) mod p universal family keeps the collision-probability math.
-P31 = 2147483647  # 2^31 - 1 (Mersenne); products stay < 2^62, no overflow
+#: Affine-permutation MinHash over a polynomial shingle-hash family:
+#:
+#:   hw(word)        = Horner fold of codepoints: acc = (acc·WB + cp) mod P31
+#:   hs(w1,w2,w3)    = ((hw1·WB + hw2) mod P31 · WB + hw3) mod P31
+#:   m_j             = min over the doc's DISTINCT hs values of
+#:                     (A_j·hs + B_j) mod P31
+#:
+#: The polynomial family replaces the earlier md5-per-shingle one: it never
+#: materializes shingle strings (the former cost ~50% of signature wall —
+#: see module docstring) and vectorizes — the production path hashes each
+#: distinct WORD once (per-batch cache) and combines hashes with numpy
+#: arithmetic. All bounds stay in int64: values < P31 ≈ 2³¹, WB ≈ 2²⁰ →
+#: products < 2⁵¹. Replayed exactly by DuckDB (list_reduce Horner) and by
+#: the per-row Spark twin (nested HOF fold).
+P31 = 2147483647  # 2^31 - 1 (Mersenne)
+WORD_B = 1_000_003
 PERM_A = [(2 * j + 1) * 2654435761 % P31 for j in range(NUM_PERM)]
 PERM_B = [(j * 40503 + 2654435769) % P31 for j in range(NUM_PERM)]
+
+_SIG_SCHEMA = StructType(
+    [StructField(f"m{j}", LongType()) for j in range(NUM_PERM)]
+)
+
+
+def word_hash_py(w: str) -> int:
+    """Python reference of hw() — ground truth for tests."""
+    acc = 0
+    for ch in w:
+        acc = (acc * WORD_B + ord(ch)) % P31
+    return acc
+
+
+@F.pandas_udf(_SIG_SCHEMA)
+def _minhash_udf(texts: pd.Series) -> pd.DataFrame:
+    """Production signature kernel: per-batch word-hash cache (Zipf makes
+    hits dominate), numpy shingle combine + affine mins. No shuffle, no
+    string shingles, no per-permutation rehash."""
+    import numpy as np
+
+    A = np.array(PERM_A, dtype=np.int64)
+    B = np.array(PERM_B, dtype=np.int64)
+    cache: dict[str, int] = {}
+    rows = []
+    for text in texts.fillna(""):
+        words = [w for w in text.split(" ") if w]
+        if len(words) < SHINGLE_N:
+            rows.append([None] * NUM_PERM)
+            continue
+        hw = np.fromiter(
+            (
+                cache[w] if w in cache else cache.setdefault(w, word_hash_py(w))
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+        t = (hw[:-2] * WORD_B + hw[1:-1]) % P31
+        hs = np.unique((t * WORD_B + hw[2:]) % P31)
+        mins = ((np.outer(hs, A) + B) % P31).min(axis=0)
+        rows.append(mins.tolist())
+    return pd.DataFrame(rows, columns=[f"m{j}" for j in range(NUM_PERM)])
+
+
+def _shingle_hashes_expr(text_col: str = "text", n: int = SHINGLE_N) -> str:
+    """Spark-SQL per-row twin of the distinct shingle-hash array."""
+    words = f"filter(split({text_col}, ' ', -1), w -> w != '')"
+    hw = (
+        f"transform({words}, w -> aggregate(sequence(1, length(w)),"
+        f" cast(0 as bigint),"
+        f" (acc, i) -> (acc * {WORD_B} + ascii(substring(w, i, 1))) % {P31}))"
+    )
+    m = f"(size({hw}) - {n - 1})"
+    pair = (
+        f"zip_with(slice({hw}, 1, {m}), slice({hw}, 2, {m}),"
+        f" (x, y) -> (x * {WORD_B} + y) % {P31})"
+    )
+    tri = (
+        f"zip_with({pair}, slice({hw}, 3, {m}),"
+        f" (x, y) -> (x * {WORD_B} + y) % {P31})"
+    )
+    return (
+        f"array_distinct(CASE WHEN size({words}) >= {n}"
+        f" THEN {tri} ELSE array() END)"
+    )
 
 
 def minhash_columns(
     text_col: str = "text", num_perm: int = NUM_PERM, n: int = SHINGLE_N
 ) -> list[Column]:
-    """k MinHash values as per-row expressions. Docs shorter than n words
-    get NULL. Same values as :func:`minhash_signatures` (the agg form);
-    prefer that for full-table signature jobs — per-row HOF lambdas are
-    interpreted, the agg form is whole-stage-codegen'd."""
-    base = F.transform(
-        distinct_shingles(text_col, n), lambda s: hash64(s) % (P31 - 1)
-    )
+    """k MinHash values as per-row Spark expressions — value-identical to
+    :func:`minhash_signatures` (the numpy form). HOF lambdas are
+    interpreted, so this form is for composition/tests; full-table
+    signature jobs use the UDF."""
+    base = F.expr(_shingle_hashes_expr(text_col, n))
 
     def permuter(j: int):
         # single-arg lambda factory — a `lambda h, j=j:` two-param form
@@ -129,22 +207,13 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = NUM_PERM,
 ) -> DataFrame:
-    """Signature table via explode → one md5/shingle → groupBy-min: the
-    whole pipeline is codegen'd with map-side partial aggregation, so the
-    shuffle carries one (id, 8×min) row per doc per mapper — at 100 TB the
-    shuffle volume is O(docs), never O(shingles)."""
-    sh = df.select(
-        id_col, F.explode_outer(distinct_shingles(text_col)).alias("s")
-    )
-    base = sh.select(id_col, (hash64(F.col("s")) % (P31 - 1)).alias("h"))
-    return base.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(PERM_A[j]) * F.col("h") + F.lit(PERM_B[j])) % P31).alias(
-                f"m{j}"
-            )
-            for j in range(num_perm)
-        ]
-    )
+    """Signature table via the vectorized Arrow kernel — zero shuffles;
+    measured 4× faster than the md5 explode-agg form at 100k docs (and the
+    md5 form was itself 3× over the salted-md5-per-permutation one)."""
+    assert num_perm == NUM_PERM, "schema is fixed at NUM_PERM columns"
+    return df.select(
+        id_col, _minhash_udf(text_col).alias("r")
+    ).select(id_col, "r.*")
 
 
 def band_table(
@@ -201,9 +270,30 @@ def lsh_candidate_pairs(
 
 # ------------------------------------------------------------------ queries
 
+def _shingle_hashes_sql(text_expr: str = "text", n: int = SHINGLE_N) -> str:
+    """DuckDB twin of :func:`_shingle_hashes_expr` (distinct shingle-hash
+    list). list_reduce seeds its accumulator with the first element, which
+    equals the acc=0 Horner after one step, so the folds agree."""
+    words = f"list_filter(string_split({text_expr}, ' '), w -> w != '')"
+    hw = (
+        f"list_transform({words}, w -> list_reduce("
+        f"list_transform(range(1, length(w) + 1),"
+        f" i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)),"
+        f" (acc, x) -> (acc * {WORD_B} + x) % {P31}))"
+    )
+    hs = (
+        f"list_transform(range(1, greatest(len({hw}) - {n - 2}, 1)),"
+        f" i -> ((({hw})[i] * {WORD_B} + ({hw})[i + 1]) % {P31}"
+        f" * {WORD_B} + ({hw})[i + 2]) % {P31})"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {n}"
+        f" THEN {hs} ELSE [] END)"
+    )
+
+
 def _minhash_sql_cols(num_perm: int = NUM_PERM) -> list[str]:
-    sh = shingles_sql("text", SHINGLE_N)
-    base = f"list_transform({sh}, s -> {hash64_sql('s')} % {P31 - 1})"
+    base = _shingle_hashes_sql("text", SHINGLE_N)
     return [
         f"list_min(list_transform({base},"
         f" h -> ({PERM_A[j]} * h + {PERM_B[j]}) % {P31})) AS m{j}"
