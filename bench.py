@@ -32,9 +32,12 @@ HEADLINE = [
     "q30_doc_word_stats",
     "q31_word_freq_topk",
     "q36_rolling_fingerprints",
+    "q37_fingerprint_containment",
     "q41_char_ngram_repetition",
     "q45_lid_heuristic",
+    "q47_multi_n_repetition",
     "q52_minhash_lsh_pairs",
+    "q57_simhash_neardup_pairs",
     "q55_embedding_neardup",
     "q60_cosine_topk",
     "q63_ann_ivf_topk",

@@ -86,17 +86,6 @@ def distinct_shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
     )
 
 
-def shingles_sql(text_expr: str = "text", n: int = SHINGLE_N) -> str:
-    """DuckDB twin of :func:`distinct_shingles`."""
-    t = f"string_split({text_expr}, ' ')"
-    joins = " || ' ' || ".join(f"{t}[i + {k}]" for k in range(n))
-    return (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({t}) - {n - 2}, 1)),"
-        f" i -> {joins}))"
-    )
-
-
 #: Affine-permutation MinHash over a polynomial shingle-hash family:
 #:
 #:   hw(word)        = Horner fold of codepoints: acc = (acc·WB + cp) mod P31
@@ -642,13 +631,47 @@ SIMHASH_BAND_BITS = 8
 SIMHASH_MAX_HAMMING = 3  # pigeonhole: ham ≤ 3 ⇒ ≥1 of 4 bands identical
 
 
+@F.pandas_udf(LongType())
+def _weighted_simhash_udf(texts: pd.Series) -> pd.Series:
+    """Frequency-weighted SimHash over the polynomial word hashes — one
+    numpy pass per doc with the same per-batch word cache as MinHash."""
+    import numpy as np
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    cache: dict[str, int] = {}
+    out = []
+    for text in texts.fillna(""):
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            out.append(0)
+            continue
+        hw = np.fromiter(
+            (
+                cache[w] if w in cache else cache.setdefault(w, word_hash_py(w))
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+        bits = (hw[:, None] >> shifts) & 1          # [n_words × 32]
+        balance = (2 * bits - 1).sum(axis=0)        # ±1 per occurrence
+        out.append(int(((balance > 0) << shifts).sum()))
+    return pd.Series(out)
+
+
 def _simhash_sql() -> str:
     """DuckDB CTE computing (doc_id, simhash) — the frequency-WEIGHTED
-    SimHash (every token occurrence votes ±1, `simhash_column` with
-    distinct=False). The unweighted set variant (q54) degenerates on
-    shared-vocabulary corpora: on the testdata its median pairwise Hamming
-    is 7/32 with 1192 identical fingerprints at sf0.01; weighting by
-    frequency moves the median to 10 and cuts ham≤3 pairs 3×."""
+    SimHash (every token occurrence votes ±1) over the polynomial word
+    hash (`word_hash_py` family). The unweighted set variant (q54)
+    degenerates on shared-vocabulary corpora: on the testdata its median
+    pairwise Hamming is 7/32 with 1192 identical fingerprints at sf0.01;
+    weighting by frequency moves the median to 10 and cuts ham≤3 pairs
+    3×."""
+    hw = (
+        f"list_reduce(list_transform(range(1, length(tok) + 1),"
+        f" i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),"
+        f" (acc, x) -> (acc * {WORD_B} + x) % {P31})"
+    )
     return f"""
     toks AS (
       SELECT doc_id,
@@ -657,12 +680,13 @@ def _simhash_sql() -> str:
       FROM documents
     ),
     tc AS (
-      SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+      SELECT doc_id, {hw} AS hw, count(*) AS cnt
+      FROM toks GROUP BY doc_id, tok
     ),
     bits AS (
       SELECT doc_id, i,
-             sum(CASE WHEN ({hash64_sql('tok')} >> i) % 2 = 1
-                      THEN cnt ELSE -cnt END) AS balance
+             sum(CASE WHEN (hw >> i) % 2 = 1 THEN cnt ELSE -cnt END)
+               AS balance
       FROM tc, unnest(range(0, {SIMHASH_BITS})) AS u(i)
       GROUP BY doc_id, i
     ),
@@ -709,7 +733,7 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster too tightly on shared-vocabulary corpora to band usefully."""
     docs = load_table(spark, sf_dir, "documents")
     sim = docs.select(
-        "doc_id", simhash_column(distinct=False).alias("simhash")
+        "doc_id", _weighted_simhash_udf("text").alias("simhash")
     ).cache()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = sim.select(
