@@ -52,3 +52,30 @@ def test_cli_pipeline_end_to_end(tmp_path):
         " hive_partitioning=1)"
     ).fetchone()[0]
     assert lid == 500
+
+
+def test_cli_single_stage(tmp_path):
+    """A single stage invocation (clean only) — the per-stage restart path
+    the reference's operators rely on (SURVEY §3.1 step 7)."""
+    import subprocess
+
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "setu_spark.run", "clean",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out),
+            "--master", "local[4]",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/cleaned/*.parquet'"
+    ).fetchone()[0]
+    assert n == 500
