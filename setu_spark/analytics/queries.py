@@ -694,3 +694,39 @@ def q25_name_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length("s_name").alias("name_len"),
     )
+
+
+# ---------------------------------------------------------------- q26
+@register(
+    "q26_conditional_aggregates",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+           {DSUM("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END",
+                 'urgent_revenue')},
+           round(count(*) FILTER (WHERE o_totalprice > 200000)
+                 / CAST(count(*) AS DOUBLE), 6) AS large_share
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q26_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation family (FILTER / CASE-routed sums) — one
+    pass over the fact table computing several filtered metrics at once
+    instead of one scan per metric; all map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    large = (F.col("o_totalprice") > 200000).cast("long")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(large).alias("n_large"),
+        dsum(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+            ).otherwise(F.lit(0.0)),
+            "urgent_revenue",
+        ),
+        F.round(F.sum(large) / F.count("*").cast("double"), 6).alias(
+            "large_share"
+        ),
+    )

@@ -284,3 +284,53 @@ def q76_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum(F.coalesce(F.col("value"), F.lit(0.0)), "total_value"),
     )
+
+
+# ---------------------------------------------------------------- q77
+@register(
+    "q77_event_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_buy
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE t_view IS NOT NULL) AS n_viewed,
+           count(*) FILTER (WHERE t_view IS NOT NULL
+                            AND t_click > t_view) AS n_clicked_after_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_buy > t_click) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def q77_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive funnel (view → click → purchase, by each user's
+    FIRST occurrence time): one groupBy computing conditional min
+    timestamps, then per-row ordering predicates — sequence analytics with
+    a single shuffle on user_id, no self-joins, no windows over the raw
+    event stream."""
+    ev = load_events(spark, sf_dir)
+
+    def first_ts(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts_us"))
+        )
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(bought.cast("long")).alias("n_full_funnel"),
+    )
