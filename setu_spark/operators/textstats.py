@@ -939,3 +939,36 @@ def q48_repetition_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(
         ~F.col("has_char_repetition") & ~F.col("has_word_repetition")
     )
+
+
+# ---------------------------------------------------------------- q38
+@register(
+    "q38_representative_doc_per_group",
+    oracle="""
+    SELECT source, lang, doc_id, n_chars
+    FROM (
+      SELECT source, lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def q38_representative_doc_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic survivor pick per (source, lang): the windowed
+    row_number form of ``dropDuplicates`` (SURVEY.md P8 — dropDuplicates
+    keeps an ARBITRARY row; pipelines that must be reproducible need the
+    explicit ordering). One shuffle on the group key; the window state per
+    partition is a single counter."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "lang", "doc_id", "n_chars")
+    )
