@@ -730,3 +730,51 @@ def q26_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "large_share"
         ),
     )
+
+
+# ---------------------------------------------------------------- q27
+@register(
+    "q27_unified_activity_ledger",
+    oracle=f"""
+    WITH ledger AS (
+      SELECT 'order' AS entry_kind, o_custkey AS entity_id,
+             o_totalprice AS amount
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem' AS entry_kind, l_suppkey AS entity_id,
+             l_extendedprice AS amount
+      FROM lineitem
+    )
+    SELECT entry_kind,
+           count(*) AS n_entries,
+           count(DISTINCT entity_id) AS n_entities,
+           {DSUM('amount', 'total_amount')}
+    FROM ledger
+    GROUP BY entry_kind
+    """,
+)
+def q27_unified_activity_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous facts into one normalized ledger, then a
+    single aggregate over the union — the set-op family's bag semantics
+    (q17 EXCEPT and q20 INTERSECT are the distinct forms). `unionByName`
+    keeps the columns aligned by name; at scale the union is free (no
+    shuffle — each side streams into the same aggregation)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("entry_kind"),
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("entry_kind"),
+        F.col("l_suppkey").alias("entity_id"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return (
+        orders.unionByName(li)
+        .groupBy("entry_kind")
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.countDistinct("entity_id").alias("n_entities"),
+            dsum(F.col("amount"), "total_amount"),
+        )
+    )
