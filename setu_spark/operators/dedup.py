@@ -771,3 +771,69 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------- q58
+JACCARD_VERIFY_THRESHOLD = 0.5
+
+
+@register(
+    "q58_lsh_then_exact_jaccard",
+    oracle=f"""
+    WITH sig AS (SELECT doc_id, {', '.join(_minhash_sql_cols())}
+                 FROM documents),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band,"
+          f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
+          " AS band_hash FROM sig WHERE m0 IS NOT NULL"
+          for b in range(NUM_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t != '')) AS ts
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ta.ts, tb.ts))
+                 / CAST(len(list_distinct(ta.ts || tb.ts)) AS DOUBLE), 6)
+             AS jaccard
+    FROM cand c
+    JOIN toks ta ON c.id_a = ta.doc_id
+    JOIN toks tb ON c.id_b = tb.doc_id
+    WHERE len(list_intersect(ta.ts, tb.ts))
+          / CAST(len(list_distinct(ta.ts || tb.ts)) AS DOUBLE)
+          >= {JACCARD_VERIFY_THRESHOLD}
+    """,
+)
+def q58_lsh_then_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fuzzy-dedup composition q53's docstring promises:
+    exact token-set Jaccard computed ONLY on MinHash-LSH candidate pairs —
+    never the O(Σ df²) inverted-index join of the standalone form. The
+    expensive exact measure touches |candidates| pairs, and candidates are
+    O(docs × bands) by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sig)
+    toks = docs.select(
+        "doc_id", distinct_tokens().alias("ts")
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
+    jac = inter / union.cast("double")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD)
+    )
