@@ -837,3 +837,30 @@ def q58_lsh_then_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------- q59
+@register(
+    "q59_dedup_removed_docs",
+    oracle="""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.source, length(d.text) AS n_chars
+    FROM documents d
+    LEFT JOIN keep k ON d.doc_id = k.doc_id
+    WHERE k.doc_id IS NULL
+    """,
+)
+def q59_dedup_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal side of exact dedup: documents DROPPED because a
+    lower-id copy survives (q50 lists the survivors; this is the left_anti
+    complement — the reference's DocRemoval J5 shape inverted, SURVEY.md
+    §2.7's 'pipeline shape implies an anti-join' note made literal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return docs.join(keep.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )

@@ -185,3 +185,14 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_event_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — streaming twin of q76
+    (same per-window totals; window struct instead of epoch bucket)."""
+    return events.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+    )

@@ -213,3 +213,24 @@ def test_connected_components_planted_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_dedup_removed_docs_on_planted_dupes(spark):
+    """q59's anti-join semantics on planted exact duplicates: lower id
+    survives, higher-id copies are listed as removed."""
+    import setu_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "same text", "s"), (4, "same text", "s"),
+         (2, "unique a", "s"), (9, "same text", "s")],
+        ["doc_id", "text", "source"],
+    )
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        removed = {
+            r.doc_id for r in dd.q59_dedup_removed_docs(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+    assert removed == {4, 9}

@@ -170,3 +170,28 @@ def test_apply_in_pandas_with_state_matches_batch(spark, events_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_sliding_matches_batch(spark, events_dir):
+    """Sliding windows under readStream equal the same aggregation on a
+    static read (q76's streaming twin)."""
+    from setu_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        sliding_event_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        sliding_event_counts(stream), "sliding_stream", output_mode="complete"
+    )
+    got = {
+        (r.win.start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("sliding_stream").collect()
+    }
+    batch = sliding_event_counts(spark.read.parquet(events_dir))
+    want = {
+        (r.win.start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
