@@ -734,8 +734,13 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sim = docs.select(
         "doc_id", _weighted_simhash_udf("text").alias("simhash")
-    ).cache()
+    )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    # Band rows CARRY the fingerprint, so verification (bit_count of the
+    # xor — a codegen'd scalar) happens inline in the band self-join and
+    # the expensive distinct runs on the ham≤3 survivors only (≤4 band
+    # copies each), not on the full candidate explosion. One shuffle join
+    # + one small distinct; no join-back to the fingerprint table.
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -744,13 +749,15 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select(
         "doc_id",
+        "simhash",
         "b",
         F.expr(
             f"(simhash >> (b * {SIMHASH_BAND_BITS})) % 256"
         ).alias("band_val"),
     )
     a, bb = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
+    return (
         a.join(
             bb,
             (F.col("a.b") == F.col("b.b"))
@@ -758,18 +765,12 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    sa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    sb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    ham = F.expr("bit_count(ha ^ hb)").cast("int")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -31,6 +31,16 @@ DIM = 64
 N_PLANES = 8
 
 
+def round6_away(x):
+    """Vectorized round-HALF-UP (away from zero) to 6 digits — what both
+    Spark's F.round and DuckDB's round() do on doubles. np.round is
+    banker's (half-EVEN) and has already caused one real hash mismatch
+    (see textstats._round6); cosines can be negative, hence copysign."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i with double accumulation, sequential fold (oracle-exact)."""
     return F.aggregate(
@@ -477,42 +487,63 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of O(corpus). Assignment is a broadcast cross join against the
     tiny codebook + one window; at 100 TB the cell becomes the parquet
     partition key so a probe is a partition-pruned scan."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = F.broadcast(
-        emb.filter(F.col("vec_id").between(1, N_CENTROIDS)).select(
-            F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
-        )
-    )
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    import numpy as np
 
-    vecs = emb.filter(F.col("vec_id") >= 1)
-    c = F.round(
-        cosine_pairs_udf()(F.col("embedding"), F.col("cvec")), 6
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The codebook and query vector are tiny (N_CENTROIDS+1 rows): collect
+    # once driver-side and ship them in the UDF closure — the broadcast-
+    # variable form of the broadcast join. Probe cells are picked from the
+    # same 8-row codebook (HOF cosine, oracle-identical rounding).
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id").between(1, N_CENTROIDS))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell"))
-    assign = (
-        vecs.crossJoin(cent)
-        .select("vec_id", "label", "cell", "embedding", c.alias("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)  # [k × d]
+    cells = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = np.array(qvec, dtype=np.float64)
+
+    qc = round6_away(
+        (cmat @ q) / (np.sqrt((cmat * cmat).sum(axis=1)) * np.sqrt(q @ q))
     )
-    probe = (
-        cent.select(
-            "cell", F.round(cosine(F.col("cvec"), qlit), 6).alias("qc")
-        )
-        .orderBy(F.desc("qc"), F.asc("cell"))
-        .limit(N_PROBE)
-        .select("cell")
+    # top-N_PROBE cells by (cosine desc, cell asc); cells[] is already
+    # cell-ascending so stable argsort on -qc gives the tie-break free.
+    probe = set(cells[np.argsort(-qc, kind="stable")][:N_PROBE].tolist())
+
+    out_schema = (
+        "vec_id bigint, label int, cell bigint, cosine_sim double"
     )
+
+    def assign_and_score(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].values).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            # assignment: argmax over round-6 cosines; ties → first index
+            # = lowest cell (cmat rows are cell-ascending), matching the
+            # oracle's ORDER BY c DESC, cell.
+            cs = round6_away(
+                (mat @ cmat.T)
+                / (norms[:, None] * np.sqrt((cmat * cmat).sum(axis=1)))
+            )
+            cell = cells[np.argmax(cs, axis=1)]
+            keep = np.isin(cell, list(probe))
+            if not keep.any():
+                continue
+            sim = round6_away((mat @ q) / (norms * np.sqrt(q @ q)))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values[keep],
+                    "label": pdf["label"].values[keep],
+                    "cell": cell[keep],
+                    "cosine_sim": sim[keep],
+                }
+            )
+
     return (
-        assign.join(F.broadcast(probe), "cell")
-        .select(
-            "vec_id",
-            "label",
-            "cell",
-            F.round(cosine(F.col("embedding"), qlit), 6).alias("cosine_sim"),
-        )
+        emb.filter(F.col("vec_id") >= 1)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(assign_and_score, out_schema)
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(IVF_TOPK)
     )
