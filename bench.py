@@ -39,11 +39,14 @@ HEADLINE = [
     "q52_minhash_lsh_pairs",
     "q57_simhash_neardup_pairs",
     "q55_embedding_neardup",
+    "q59_dedup_removed_docs",
     "q60_cosine_topk",
     "q63_ann_ivf_topk",
+    "q66_flashtext_keyword_dist",
     "q70_hourly_event_stats",
     "q71_user_sessions",
     "q75_user_totals",
+    "q80_clean_pipeline",
 ]
 
 

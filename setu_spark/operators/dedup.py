@@ -386,14 +386,24 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q53
+TOK_MAX_DF = 10    # drop tokens present in > this many docs (hot-key guard)
+TOK_JACCARD_THRESHOLD = 0.75
+
+
 @register(
     "q53_token_jaccard_pairs",
-    oracle="""
-    WITH toks AS (
+    oracle=f"""
+    WITH toks0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(list_filter(string_split(text, ' '),
                                               t -> t != ''))) AS tok
       FROM documents
+    ),
+    rare AS (
+      SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= {TOK_MAX_DF}
+    ),
+    toks AS (
+      SELECT t.doc_id, t.tok FROM toks0 t JOIN rare r ON t.tok = r.tok
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
     shared AS (
@@ -407,18 +417,30 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared s
     JOIN sizes sa ON s.id_a = sa.doc_id
     JOIN sizes sb ON s.id_b = sb.doc_id
-    WHERE s.n_shared / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) >= 0.75
+    WHERE s.n_shared / CAST(sa.n + sb.n - s.n_shared AS DOUBLE)
+          >= {TOK_JACCARD_THRESHOLD}
     """,
 )
 def q53_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over shared-token candidate pairs (inverted-
-    index join on the token, then |A∩B| / (|A|+|B|−|A∩B|)). Exact but
-    O(Σ bucket²) — at 100 TB this runs *after* an LSH prefilter (q52), on
-    candidates only; declared standalone here for oracle coverage."""
+    """Exact Jaccard over the RARE-token universe: tokens present in more
+    than {TOK_MAX_DF} docs are dropped before the inverted-index self-join
+    (the same document-frequency hot-key guard as q37's ``FP_MAX_DF``), so
+    per-token join work is ≤ DF² and total cost is linear in corpus size. A
+    stopword-like token in every doc would otherwise alone emit O(n²) join
+    rows. Semantically this is DF-weighted near-dup detection: ubiquitous
+    tokens carry no similarity evidence, so the measure is
+    |A∩B| / |A∪B| over each doc's rare tokens — near-identical docs still
+    score ~1.0 because they share their rare tokens too. The un-capped
+    exact measure lives in q58, where an LSH prefilter bounds the pair set
+    first."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(distinct_tokens()).alias("tok")
+    # the capped token table feeds four plan branches (DF count, both
+    # self-join sides, sizes) — cache so tokenization runs once
+    toks0 = docs.select("doc_id", F.explode(distinct_tokens()).alias("tok"))
+    rare = toks0.groupBy("tok").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= TOK_MAX_DF
     )
+    toks = toks0.join(rare.select("tok"), "tok").cache()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -441,7 +463,7 @@ def q53_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shared.join(sa, shared.id_a == F.col("sa.doc_id"))
         .join(sb, shared.id_b == F.col("sb.doc_id"))
-        .filter(jac >= 0.75)
+        .filter(jac >= TOK_JACCARD_THRESHOLD)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -478,34 +500,15 @@ def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign of Σ_tokens (±1 by bit i of the token hash). Near-duplicates land
     within small Hamming distance.
 
-    Declared as the oracle-checkable composition (explode tokens × bits →
-    two groupBys). The narrow per-row variant (aggregate over the token
-    array, no shuffle) is `simhash_column` below — same values, used in the
-    production path."""
+    Registered on the narrow per-row form (`simhash_column`: aggregate over
+    the token array, zero shuffles, zero row explosion) — the oracle keeps
+    the relational explode-tokens×bits spelling, and the two are proven
+    value-identical in tests. The explode composition this replaced
+    shuffled tokens × {SIMHASH_BITS} bit-rows through two groupBys — 32×
+    token-count shuffle volume for a per-row computation."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(distinct_tokens()).alias("tok"))
-    bits = (
-        toks.select(
-            "doc_id",
-            hash64("tok").alias("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                # SQL-form shiftright: the Python API only takes int shifts
-                F.when(F.expr("shiftright(h, cast(i as int)) % 2") == 1, 1)
-                .otherwise(-1)
-            ).alias("balance")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("balance") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+    return docs.select(
+        "doc_id", simhash_column("text", distinct=True).alias("simhash")
     )
 
 
@@ -732,9 +735,12 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (see `_simhash_sql`) — the set variant's fingerprints
     cluster too tightly on shared-vocabulary corpora to band usefully."""
     docs = load_table(spark, sf_dir, "documents")
+    # cache the (doc_id, simhash) projection: the band self-join reads it
+    # twice, and without the cache the pandas fingerprint UDF re-hashes the
+    # full corpus once per side — fine at sf0.1, dominant at larger corpora
     sim = docs.select(
         "doc_id", _weighted_simhash_udf("text").alias("simhash")
-    )
+    ).cache()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     # Band rows CARRY the fingerprint, so verification (bit_count of the
     # xor — a codegen'd scalar) happens inline in the band self-join and

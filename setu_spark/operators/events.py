@@ -28,8 +28,17 @@ HOUR_US = 3_600_000_000
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with an exact integer-µs event-time column ``ts_us``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events with an exact integer-µs event-time column ``ts_us``.
+
+    ``nanosAsLong`` lives in ``session.DEFAULT_CONF`` (sessions we build
+    never mutate conf here); the guarded ensure below exists because the
+    driver's correctness harness hands us a session built elsewhere, and
+    without the conf the TIMESTAMP(NANOS) read throws. There is no per-read
+    parquet option for it (verified against ParquetOptions in 4.1.2), so a
+    conditional session-level set is the narrowest possible scope."""
+    from setu_spark.session import ensure_sql_conf
+
+    ensure_sql_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
     # ts is now int64 nanoseconds; truncate to µs exactly like DuckDB's
     # ns→µs coercion (floor for post-epoch data).

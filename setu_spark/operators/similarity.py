@@ -62,6 +62,8 @@ def cosine_pairs_udf():
 
     @F.pandas_udf(DoubleType())
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # np.stack rejects empty batches
+            return pd.Series([], dtype="float64")
         ma = np.stack(a.values).astype(np.float64)
         mb = np.stack(b.values).astype(np.float64)
         num = (ma * mb).sum(axis=1)
@@ -194,50 +196,21 @@ def q62_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing (the ANN scale path): 8 deterministic
     ±1 hyperplanes (signs derived from the shared md5 hash so the oracle can
     reproduce them); bucket id = sign-pattern of the 8 projections.
-    Composition: posexplode embeddings ⋈ broadcast plane table → one
-    aggregate per (vec, plane) → one per vec."""
-    spark_planes = (
-        spark.range(N_PLANES)
-        .withColumnRenamed("id", "j")
-        .crossJoin(
-            spark.range(1, DIM + 1).withColumnRenamed("id", "i")
-        )
-        .select(
-            "j",
-            "i",
-            F.when(
-                hash64(
-                    F.concat_ws(
-                        "_", F.col("j").cast("string"), F.col("i").cast("string")
-                    ),
-                    salt="plane",
-                )
-                % 2
-                == 0,
-                F.lit(1.0),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("sgn"),
-        )
-    )
+
+    Registered on the vectorized form: all 8 projections per vector are one
+    BLAS matmul per Arrow batch (``_band_buckets_udf`` with a single
+    8-plane band) — zero shuffles, zero row explosion. The composition this
+    replaced (posexplode embeddings ⋈ broadcast plane table ⋈ two groupBys)
+    exploded every vector into 64 rows and shuffled twice; the oracle keeps
+    that relational spelling and the two forms are value-identical (q55's
+    band join already relies on the same kernel)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
-    comps = (
-        exploded.join(F.broadcast(spark_planes), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("sgn") * F.col("x").cast("double")).alias("proj"))
+    buckets = _band_buckets_udf(
+        n_planes=N_PLANES, rows_per_band=N_PLANES
     )
-    return comps.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("proj") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-        .cast("bigint")
-        .alias("bucket")
+    return emb.select(
+        "vec_id",
+        F.element_at(buckets("embedding"), 1).alias("bucket"),
     )
 
 
@@ -308,6 +281,8 @@ def _band_buckets_udf(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:  # np.stack rejects empty batches
+            return pd.Series([], dtype="object")
         mat = np.stack(embs.values).astype(np.float64)  # [n × dim]
         bits = (mat @ sgn_t) > 0                        # [n × planes]
         grouped = bits.reshape(len(mat), -1, rows_per_band)  # [n × bands × r]
@@ -484,9 +459,12 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1..{N_CENTROIDS}, standing in for a k-means codebook), then answer the
     vec_id=0 query by probing only the {N_PROBE} nearest cells — the
     inverted-file scale path where query cost is O(corpus/cells × nprobe)
-    instead of O(corpus). Assignment is a broadcast cross join against the
-    tiny codebook + one window; at 100 TB the cell becomes the parquet
-    partition key so a probe is a partition-pruned scan."""
+    instead of O(corpus). The codebook and query vector are collected once
+    driver-side ({N_CENTROIDS}+1 tiny rows) and shipped inside a
+    ``mapInPandas`` closure — the broadcast-variable form of the broadcast
+    join — so assignment + probe-filter + query scoring is a single narrow
+    pass with no shuffle before the final top-k. At 100 TB the cell becomes
+    the parquet partition key so a probe is a partition-pruned scan."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -504,8 +482,14 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     q = np.array(qvec, dtype=np.float64)
 
+    # Score accumulation is element-wise multiply + np.sum — NOT a BLAS
+    # matvec: BLAS block/FMA accumulation diverges from a plain sum at ULP
+    # level, and the round-6 gate should not be asked to absorb more
+    # fold-order divergence than necessary (np.sum's pairwise reduction vs
+    # DuckDB's sequential fold is already absorbed by round-6; tested).
     qc = round6_away(
-        (cmat @ q) / (np.sqrt((cmat * cmat).sum(axis=1)) * np.sqrt(q @ q))
+        (cmat * q).sum(axis=1)
+        / (np.sqrt((cmat * cmat).sum(axis=1)) * np.sqrt((q * q).sum()))
     )
     # top-N_PROBE cells by (cosine desc, cell asc); cells[] is already
     # cell-ascending so stable argsort on -qc gives the tie-break free.
@@ -517,11 +501,14 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign_and_score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # some Arrow paths emit empty batches
+                continue
             mat = np.stack(pdf["embedding"].values).astype(np.float64)
             norms = np.sqrt((mat * mat).sum(axis=1))
             # assignment: argmax over round-6 cosines; ties → first index
             # = lowest cell (cmat rows are cell-ascending), matching the
-            # oracle's ORDER BY c DESC, cell.
+            # oracle's ORDER BY c DESC, cell. Matmul is fine here: only
+            # the argmax ordering matters, not exact hash-gated values.
             cs = round6_away(
                 (mat @ cmat.T)
                 / (norms[:, None] * np.sqrt((cmat * cmat).sum(axis=1)))
@@ -530,7 +517,10 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = np.isin(cell, list(probe))
             if not keep.any():
                 continue
-            sim = round6_away((mat @ q) / (norms * np.sqrt(q @ q)))
+            # final hash-gated score: element-wise + np.sum (see qc note)
+            sim = round6_away(
+                (mat * q).sum(axis=1) / (norms * np.sqrt((q * q).sum()))
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].values[keep],

@@ -1,0 +1,443 @@
+"""Language-resource loading + the queries that run off file-loaded lists.
+
+The reference ships per-language NSFW/stopword/junk wordlists and two
+language-mapping JSONs, loaded at import into flashtext processors
+(reference constants.py:17-143, setu/data/filter_data/*,
+data/language_mapping.json, data/lang_iso_mapping.json). This module is
+that capability, Spark-first:
+
+  * wordlist .txt files (one keyword per line, ``<category>/<lang>.txt``)
+    load through ``spark.read.text`` + ``input_file_name()`` — a
+    distributed scan that works identically for 5 fixture files or 5000
+    production lists — into a (category, lang, keyword) dim DataFrame
+    that is broadcast into token joins;
+  * mapping JSONs are config-sized: parsed driver-side and lifted into
+    broadcast dims (the reference holds them in driver closures);
+  * the fixture lists under ``setu_spark/data`` use the testdata
+    vocabulary so hit counts are non-trivial; oracle SQL embeds literals
+    read from the SAME files at import, so engine and oracle can't drift.
+
+Query surface (all over ``documents``):
+  q49  per-language flagged/stopword counting from file-loaded lists
+  q65  multi-word phrase hits, overlap-allowed (native shingle join — the
+       screening form that never leaves the JVM)
+  q66  flashtext-exact keyword dist (greedy longest-match non-overlap;
+       engine = Arrow trie scan, oracle = recursive-CTE replay)
+  q67  per-language normalization (functions/normalize.py rule tables)
+  q68  language→script/ISO mapping profile
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from setu_spark.registry import register
+from setu_spark.sources.io import load_table
+
+DATA_ROOT = Path(__file__).resolve().parent.parent / "data"
+FILTER_DATA_ROOT = DATA_ROOT / "filter_data"
+
+#: category name → glob under the filter-data root (reference
+#: constants.py:20-23's junk_partial/junk_complete/stopwords/nsfw globs).
+CATEGORY_GLOBS = {
+    "nsfw": "nsfw/*.txt",
+    "stopwords": "stopwords/*.txt",
+    "junk_partial": "junk/partial/*.txt",
+    "junk_complete": "junk/complete/*.txt",
+}
+
+
+# ------------------------------------------------------------------ loaders
+
+def read_wordlists(root: Path = FILTER_DATA_ROOT) -> dict[tuple[str, str], list[str]]:
+    """Driver-side ground truth: (category, lang) → keywords. Used for
+    oracle-literal generation and tests; the engine path is
+    :func:`load_wordlists`."""
+    out: dict[tuple[str, str], list[str]] = {}
+    for category, pattern in CATEGORY_GLOBS.items():
+        for p in sorted(root.glob(pattern)):
+            words = [
+                w.strip()
+                for w in p.read_text().splitlines()
+                if w.strip()
+            ]
+            out[(category, p.stem)] = words
+    return out
+
+
+def load_wordlists(
+    spark: SparkSession, root: Path = FILTER_DATA_ROOT
+) -> DataFrame:
+    """(category, lang, keyword) DataFrame via a distributed text scan.
+    lang and category come from the file path (``<category>/<lang>.txt``),
+    exactly the reference's directory convention. Small by construction —
+    always broadcast at the join site."""
+    paths = [
+        str(root / pattern) for pattern in CATEGORY_GLOBS.values()
+    ]
+    raw = spark.read.text(paths).withColumn(
+        "path", F.input_file_name()
+    )
+    lang = F.regexp_extract("path", r"([^/]+)\.txt$", 1)
+    # the category is the path segment(s) between the filter-data root and
+    # the file: "nsfw", "stopwords", "junk/partial", "junk/complete"
+    rel = F.regexp_extract("path", r"filter_data/(.+)/[^/]+\.txt$", 1)
+    category = F.replace(rel, F.lit("/"), F.lit("_"))
+    return (
+        raw.select(
+            category.alias("category"),
+            lang.alias("lang"),
+            F.trim(F.col("value")).alias("keyword"),
+        )
+        .filter(F.col("keyword") != "")
+        .distinct()
+    )
+
+
+def load_language_mapping(path: Path | None = None) -> list[dict]:
+    """Flatten language_mapping.json (model → code → {language, script},
+    reference data/language_mapping.json shape) into rows."""
+    p = path or (DATA_ROOT / "language_mapping.json")
+    blob = json.loads(p.read_text())
+    rows = []
+    for model, codes in blob.items():
+        for code, props in codes.items():
+            rows.append(
+                {
+                    "model": model,
+                    "code": code,
+                    "language": props["language"],
+                    "script": props["script"],
+                }
+            )
+    return rows
+
+
+def load_iso_mapping(path: Path | None = None) -> dict[str, str | None]:
+    """language → ISO-639 code (reference data/lang_iso_mapping.json)."""
+    p = path or (DATA_ROOT / "lang_iso_mapping.json")
+    return json.loads(p.read_text())
+
+
+def language_mapping_df(spark: SparkSession) -> DataFrame:
+    """Broadcast-ready dim joining both mapping files: one row per
+    (language) with iso code and script (first model's entry wins —
+    the fixture has one model)."""
+    rows = load_language_mapping()
+    iso = load_iso_mapping()
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["language"], r["script"])
+    return spark.createDataFrame(
+        [
+            (lang, iso.get(lang), script)
+            for lang, script in sorted(seen.items())
+        ],
+        ["language", "iso", "script"],
+    )
+
+
+# ----------------------------------------------------- oracle literal prep
+
+_WL = read_wordlists()
+
+# q49 uses the single-word entries of nsfw + stopwords, per language.
+_Q49_ROWS = sorted(
+    (lang, category, w)
+    for (category, lang), words in _WL.items()
+    if category in ("nsfw", "stopwords")
+    for w in words
+    if " " not in w
+)
+# the words_count column counts post-join rows, which equals the token
+# count only if no (lang, word) appears in both categories — assert the
+# invariant the fixture relies on instead of silently double-counting
+assert len({(l, w) for l, _, w in _Q49_ROWS}) == len(_Q49_ROWS), (
+    "wordlist fixture must keep per-lang nsfw/stopword sets disjoint"
+)
+
+#: q65/q66 keyword set: the English nsfw list, single- and multi-word.
+_KEYWORDS = _WL[("nsfw", "en")]
+_MAX_PHRASE_LEN = max(len(k.split(" ")) for k in _KEYWORDS)
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------- q49
+@register(
+    "q49_wordlist_flagged_counts",
+    oracle=f"""
+    WITH wl(lang, category, word) AS (VALUES
+      {", ".join(f"({_sq(l)}, {_sq(c)}, {_sq(w)})" for l, c, w in _Q49_ROWS)}
+    ),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           count(*) FILTER (WHERE w.category = 'nsfw') AS nsfw_count,
+           count(*) FILTER (WHERE w.category = 'stopwords') AS stopword_count,
+           count(*) AS words_count,
+           round(count(*) FILTER (WHERE w.category = 'nsfw')
+                 / CAST(count(*) AS DOUBLE), 6) AS nsfw_ratio
+    FROM toks t
+    LEFT JOIN wl w ON w.lang = t.lang AND w.word = t.word
+    GROUP BY t.doc_id
+    """,
+)
+def q49_wordlist_flagged_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NSFW/stopword hit counting driven by FILE-LOADED
+    per-language wordlists (reference U6/U7 with the real constants.py
+    loading path, not a demo tuple): the wordlist dim comes from
+    ``load_wordlists`` (distributed text scan over the category/lang
+    files) and joins the exploded tokens per (lang, word) as a broadcast
+    hash join — tokens never shuffle. q44 is the wordlist-agnostic demo
+    form; this is the production wiring."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = load_wordlists(spark).filter(
+        F.col("category").isin("nsfw", "stopwords")
+        & ~F.col("keyword").contains(" ")
+    ).withColumnRenamed("keyword", "word")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ", -1)).alias("word")
+    )
+    joined = toks.join(F.broadcast(wl), ["lang", "word"], "left")
+    nsfw = F.sum((F.col("category") == "nsfw").cast("long"))
+    stop = F.sum((F.col("category") == "stopwords").cast("long"))
+    return joined.groupBy("doc_id").agg(
+        F.coalesce(nsfw, F.lit(0)).alias("nsfw_count"),
+        F.coalesce(stop, F.lit(0)).alias("stopword_count"),
+        F.count("*").alias("words_count"),
+        F.round(
+            F.coalesce(nsfw, F.lit(0)) / F.count("*").cast("double"), 6
+        ).alias("nsfw_ratio"),
+    )
+
+
+# ---------------------------------------------------------------- q65
+@register(
+    "q65_keyword_phrase_hits",
+    oracle=f"""
+    WITH kw(keyword) AS (VALUES
+      {", ".join(f"({_sq(k)})" for k in sorted(_KEYWORDS))}
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    cand AS (
+      SELECT doc_id,
+             unnest(ts || CASE WHEN len(ts) >= 2
+                    THEN list_transform(range(1, len(ts)),
+                                        i -> ts[i] || ' ' || ts[i + 1])
+                    ELSE [] END) AS g
+      FROM toks
+    )
+    SELECT c.doc_id, k.keyword, count(*) AS n_hits
+    FROM cand c JOIN kw k ON c.g = k.keyword
+    GROUP BY c.doc_id, k.keyword
+    """,
+)
+def q65_keyword_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word phrase hit counts, OVERLAP-ALLOWED (each token position
+    that starts an occurrence counts) — the screening form of keyword
+    matching that never leaves the JVM: build 1-gram + 2-gram shingle
+    arrays per row (zip_with over shifted slices, same trick as MinHash
+    shingling), explode once, broadcast-join the phrase dim, count. At
+    100 TB this is a narrow scan + one partial-aggregated shuffle. The
+    flashtext-exact non-overlapping form is q66."""
+    assert _MAX_PHRASE_LEN <= 2, "extend the shingle union for longer phrases"
+    docs = load_table(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(
+        [(k,) for k in _KEYWORDS], ["keyword"]
+    )
+    t = "split(text, ' ', -1)"
+    grams2 = (
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"zip_with(slice({t}, 1, size({t}) - 1), slice({t}, 2, size({t}) - 1),"
+        f" (x, y) -> concat(x, ' ', y)) ELSE array() END"
+    )
+    cand = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"concat({t}, {grams2})")).alias("g"),
+    )
+    return (
+        cand.join(F.broadcast(kw), cand.g == kw.keyword)
+        .groupBy("doc_id", "keyword")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------- q66
+def _q66_oracle() -> str:
+    kw_values = ", ".join(f"({_sq(k)})" for k in sorted(_KEYWORDS))
+    return f"""
+    WITH RECURSIVE
+    kw(keyword) AS (VALUES {kw_values}),
+    kwt AS (
+      SELECT keyword, string_split(keyword, ' ') AS kt,
+             len(string_split(keyword, ' ')) AS klen
+      FROM kw
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    m0 AS (
+      SELECT t.doc_id, k.keyword, k.klen, t.ts, k.kt,
+             unnest(range(1, t.n - k.klen + 2)) AS start
+      FROM toks t CROSS JOIN kwt k
+      WHERE t.n >= k.klen
+    ),
+    m AS (
+      SELECT doc_id, keyword, klen, start FROM m0
+      WHERE list_slice(ts, start, start + klen - 1) = kt
+    ),
+    best AS (
+      SELECT doc_id, start, keyword, klen FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, start
+                                     ORDER BY klen DESC) AS rn
+        FROM m
+      ) WHERE rn = 1
+    ),
+    scan AS (
+      SELECT doc_id, 1 AS pos, CAST(NULL AS VARCHAR) AS matched, n
+      FROM toks
+      UNION ALL
+      SELECT s.doc_id, s.pos + coalesce(b.klen, 1), b.keyword, s.n
+      FROM scan s
+      LEFT JOIN best b ON b.doc_id = s.doc_id AND b.start = s.pos
+      WHERE s.pos <= s.n
+    )
+    SELECT doc_id, matched AS keyword,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM scan WHERE matched IS NOT NULL
+    GROUP BY doc_id, matched
+    """
+
+
+@register("q66_flashtext_keyword_dist", oracle=_q66_oracle())
+def q66_flashtext_keyword_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flashtext-EXACT keyword distribution (reference U6,
+    filters.py:742-748): case-insensitive, word-boundary-anchored,
+    longest-match-wins, non-overlapping left-to-right greedy scan,
+    returning the ``Map<word,int>`` dist — here map-flattened to
+    (doc_id, keyword, n_matches) rows so the hash gate can check values.
+
+    Engine side: ``functions/keywords.py`` matcher inside an Arrow UDF —
+    per-row, narrow, keyword list in the closure. Oracle side: the greedy
+    scan replayed as a DuckDB recursive CTE over token arrays (one
+    frontier row per doc, one iteration per token position, cursor jumps
+    over matches). The two agree on this corpus because document text is
+    single-spaced word chars; the char-level boundary cases (punctuation,
+    double spaces) are pinned by unit tests against hand-computed spans."""
+    from setu_spark.functions.keywords import keyword_dist_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    dist = keyword_dist_udf(_KEYWORDS)
+    return (
+        docs.select("doc_id", F.explode(dist("text")).alias("keyword", "nm"))
+        .select("doc_id", "keyword", F.col("nm").cast("bigint").alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------- q67
+#: vowels -> chars that exercise every rule family: precomposed nukta
+#: consonants U+0958/U+0929 (decomposed by the table), chandrabindu
+#: U+0901 (folded to anusvara), ZWSP U+200B (stripped), NBSP U+00A0
+#: (folded to space). Explicit escapes: editors silently NFC-mangle
+#: precomposed nukta literals.
+_Q67_SRC = "aeiou"
+_Q67_DST = "\u0958\u0929\u0901\u200b\u00a0"
+
+
+def _q67_oracle() -> str:
+    from setu_spark.functions.normalize import normalize_rules_sql
+
+    derived = f"translate(text, {_sq(_Q67_SRC)}, {_sq(_Q67_DST)})"
+    norm = "nfc_normalize(" + normalize_rules_sql(
+        derived, lang="hindi", remove_nuktas=True, fold_chandrabindu=True
+    ) + ")"
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_raw,
+           length({norm}) AS n_norm,
+           md5({norm}) AS norm_md5
+    FROM documents
+    """
+
+
+@register("q67_normalize_indic", oracle=_q67_oracle())
+def q67_normalize_indic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language normalization (reference U9, filters.py:388-446) with
+    the Devanagari rule set doing real work: the corpus text is lifted
+    into Devanagari-bearing text deterministically (translate maps vowels
+    onto precomposed-nukta consonants, chandrabindu, ZWSP, NBSP), then the
+    hindi normalizer decomposes nuktas, strips zero-width chars, folds
+    NBSP and chandrabindu, drops nuktas (``remove_nuktas=True``) and
+    applies NFC. Engine = the actual ``TextNormalizer`` object inside an
+    Arrow UDF; oracle = the identical rule chain in SQL + nfc_normalize —
+    so the Python normalizer and its declarative twin are hash-compared
+    end-to-end, not just unit-tested."""
+    from setu_spark.functions.normalize import normalize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = F.translate("text", _Q67_SRC, _Q67_DST)
+    norm = normalize_udf(
+        "hindi", form="NFC", remove_nuktas=True, fold_chandrabindu=True
+    )(derived)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+    )
+
+
+# ---------------------------------------------------------------- q68
+def _q68_oracle() -> str:
+    rows = load_language_mapping()
+    iso = load_iso_mapping()
+    seen: dict[str, str] = {}
+    for r in rows:
+        seen.setdefault(r["language"], r["script"])
+    values = ", ".join(
+        f"({_sq(lang)}, {_sq(iso[lang])}, {_sq(script)})"
+        for lang, script in sorted(seen.items())
+        if iso.get(lang)
+    )
+    return f"""
+    WITH lm(language, iso, script) AS (VALUES {values})
+    SELECT m.script,
+           count(*) AS n_docs,
+           count(DISTINCT m.language) AS n_langs,
+           sum(d.n_chars) AS total_chars
+    FROM documents d
+    JOIN lm m ON d.lang = m.iso
+    GROUP BY m.script
+    """
+
+
+@register("q68_language_script_profile", oracle=_q68_oracle())
+def q68_language_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile keyed through the language-mapping JSONs (reference
+    data/language_mapping.json + lang_iso_mapping.json, the dims behind
+    per-language partitioned writes): docs join the broadcast
+    language→(iso, script) dim on their lang code and aggregate per
+    script. The dim is config-sized, parsed driver-side, broadcast —
+    the Spark form of the reference's driver-closure constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = language_mapping_df(spark).filter(F.col("iso").isNotNull())
+    return (
+        docs.join(F.broadcast(lm), docs.lang == lm.iso)
+        .groupBy("script")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("language").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -39,7 +39,24 @@ DEFAULT_CONF = {
     # it lives here in the factory and not in per-query code.)
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
+    # The events parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to
+    # read as a timestamp; read it as int64 nanoseconds instead (event-time
+    # math is then exact integer µs — see operators/events.py). Session-wide
+    # here so no query builder needs to mutate conf at plan-build time.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def ensure_sql_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a runtime SQL conf only if it differs — for sessions built by a
+    foreign harness (the driver's correctness runner) that didn't go through
+    :func:`get_spark`. No-op on our own sessions."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
 
 
 def get_spark(

@@ -29,8 +29,61 @@ TESTDATA_TABLES = (
 )
 
 
+#: Hadoop conf for object-store paths (S9). The reference shells out to
+#: gsutil / google.cloud.storage inside partitions (text_extraction.py:
+#: 200-214, main.py:143-147); the Spark-native replacement is the Hadoop
+#: connector: the SAME ``spark.read`` call handles ``gs://`` / ``s3a://``
+#: once the filesystem impl + credentials conf is set. Profiles below hold
+#: the non-secret keys; credentials come from the environment (instance
+#: metadata / env vars), never from code.
+OBJECT_STORE_PROFILES: dict[str, dict[str, str]] = {
+    "gs": {
+        "spark.hadoop.fs.gs.impl": (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+        ),
+        "spark.hadoop.fs.AbstractFileSystem.gs.impl": (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS"
+        ),
+    },
+    "s3a": {
+        "spark.hadoop.fs.s3a.impl": (
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        ),
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        ),
+    },
+}
+
+
+def path_scheme(path: str) -> str | None:
+    """URI scheme of a path ('gs', 's3a', …) or None for local/relative."""
+    head, sep, _ = path.partition("://")
+    return head if sep else None
+
+
+def configure_object_store(spark: SparkSession, scheme: str) -> dict[str, str]:
+    """Apply the Hadoop conf profile for an object-store scheme to the
+    session's Hadoop configuration (runtime-settable, unlike spark.* core
+    conf). Returns the applied key→value map so callers/tests can assert
+    it. No-op for schemes without a profile (file, hdfs — built in)."""
+    profile = OBJECT_STORE_PROFILES.get(scheme, {})
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    applied = {}
+    for k, v in profile.items():
+        key = k.removeprefix("spark.hadoop.")
+        hconf.set(key, v)
+        applied[key] = v
+    return applied
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one testdata table (S2)."""
+    """Parquet scan of one testdata table (S2). Object-store sf_dirs
+    (``gs://bucket/sf100``, ``s3a://…``) get their connector conf applied
+    on first touch (S9) — the query code itself is storage-agnostic."""
+    scheme = path_scheme(sf_dir)
+    if scheme:
+        configure_object_store(spark, scheme)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -106,6 +106,24 @@ def test_q36_no_shuffle(spark):
     assert shuffle_count(_q(spark, "q36_rolling_fingerprints")) == 0
 
 
+def test_q54_simhash_no_shuffle(spark):
+    # q54 is registered on the narrow per-row simhash_column form: the
+    # explode-tokens×bits composition it replaced shuffled 32× the token
+    # count through two groupBys — this guard keeps it per-row
+    assert shuffle_count(_q(spark, "q54_simhash")) == 0
+
+
+def test_q62_buckets_no_explode_join(spark):
+    # q62 computes all 8 hyperplane projections as one matmul per Arrow
+    # batch — the plan must contain no posexplode⋈planes shape: zero
+    # shuffles, zero joins, no Generate (explode) operator
+    df = _q(spark, "q62_ann_lsh_buckets")
+    assert shuffle_count(df) == 0
+    plan = plan_string(df)
+    assert "Generate" not in plan, plan
+    assert broadcast_join_count(df) == 0
+
+
 def test_q51_scan_prunes_columns(spark):
     # signature scan must read only (doc_id, text), never lang/source
     schemas = scan_schemas(_q(spark, "q51_minhash_signatures"))
