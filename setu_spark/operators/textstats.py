@@ -635,14 +635,13 @@ def q36_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q45
-#: per-language stopword profiles for the declarative LID tier (mirrors
-#: setu_spark.stages.lid.STOPWORD_PROFILES; the model-backed path is q82).
-LID_PROFILES = {
-    "en": ("the", "a", "of", "and", "is"),
-    "de": ("der", "die", "das", "und", "ist"),
-    "fr": ("le", "la", "les", "et", "est"),
-    "es": ("el", "la", "los", "y", "es"),
-}
+#: per-language stopword profiles for the declarative LID tier — loaded
+#: from the same ``data/lid_profiles`` files as
+#: setu_spark.stages.lid.STOPWORD_PROFILES (the model-backed path is q82),
+#: so the declarative twin and the mapInPandas stage can never drift.
+from setu_spark.operators.wordlists import load_stopword_profiles
+
+LID_PROFILES = load_stopword_profiles()
 
 
 def _lid_score(lang: str) -> F.Column:

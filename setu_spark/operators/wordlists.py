@@ -98,6 +98,24 @@ def load_wordlists(
     )
 
 
+def load_stopword_profiles(
+    root: Path | None = None,
+) -> dict[str, tuple[str, ...]]:
+    """lang → stopword-profile tuple from ``data/lid_profiles/<lang>.txt``
+    (one word per line) — the file-loaded form of the reference's
+    per-language stopword constants (constants.py:82-88 + MIN_STOP_WORDS
+    heuristics). Consumed driver-side and shipped in detector closures
+    (``stages/lid.py``) and literal columns (textstats q45), exactly like
+    the reference's driver-loaded CONSTANTS."""
+    p = root or (DATA_ROOT / "lid_profiles")
+    return {
+        f.stem: tuple(
+            w.strip() for w in f.read_text().splitlines() if w.strip()
+        )
+        for f in sorted(p.glob("*.txt"))
+    }
+
+
 def load_language_mapping(path: Path | None = None) -> list[dict]:
     """Flatten language_mapping.json (model → code → {language, script},
     reference data/language_mapping.json shape) into rows."""

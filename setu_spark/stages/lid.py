@@ -31,14 +31,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: tiny per-language stopword profiles for the heuristic tier. Real
-#: deployments replace this with model detectors.
-STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and", "is"),
-    "de": ("der", "die", "das", "und", "ist"),
-    "fr": ("le", "la", "les", "et", "est"),
-    "es": ("el", "la", "los", "y", "es"),
-}
+#: per-language stopword profiles for the heuristic tier, loaded from the
+#: ``data/lid_profiles/<lang>.txt`` files (the reference loads the same
+#: per-language lists driver-side in constants.py:82-88 and ships them in
+#: closures). Real deployments replace the heuristic with model detectors.
+from setu_spark.operators.wordlists import load_stopword_profiles
+
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = load_stopword_profiles()
 
 Detector = Callable[[pd.Series], pd.DataFrame]  # text → (lang, prob)
 

@@ -143,6 +143,19 @@ def test_load_wordlists_matches_driver_side(spark):
     assert rows == expected
 
 
+def test_stopword_profiles_single_source():
+    # lid stage profiles and q45's declarative twin must come from the
+    # same files — drift here would silently split the two LID tiers
+    from setu_spark.operators.textstats import LID_PROFILES
+    from setu_spark.operators.wordlists import load_stopword_profiles
+    from setu_spark.stages.lid import STOPWORD_PROFILES
+
+    loaded = load_stopword_profiles()
+    assert loaded == STOPWORD_PROFILES == LID_PROFILES
+    assert {"en", "de", "fr", "es"} <= set(loaded)
+    assert loaded["en"] == ("the", "a", "of", "and", "is")
+
+
 def test_language_mappings_agree():
     langs = {r["language"] for r in load_language_mapping()}
     iso = load_iso_mapping()
