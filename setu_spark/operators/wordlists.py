@@ -289,6 +289,84 @@ def q65_keyword_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q69
+_JUNK_PARTIAL = _WL[("junk_partial", "en")]
+_JUNK_COMPLETE = _WL[("junk_complete", "en")]
+assert max(len(k.split(" ")) for k in _JUNK_PARTIAL) <= 2
+
+
+@register(
+    "q69_junk_document_flags",
+    oracle=f"""
+    WITH jp(pat) AS (VALUES
+      {", ".join(f"({_sq(k)})" for k in sorted(_JUNK_PARTIAL))}
+    ),
+    toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+             FROM documents),
+    cand AS (
+      SELECT doc_id,
+             unnest(ts || CASE WHEN len(ts) >= 2
+                    THEN list_transform(range(1, len(ts)),
+                                        i -> ts[i] || ' ' || ts[i + 1])
+                    ELSE [] END) AS g
+      FROM toks
+    ),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n
+      FROM cand c JOIN jp ON c.g = jp.pat
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS junk_partial_hits,
+           t.text IN ({", ".join(_sq(k) for k in sorted(_JUNK_COMPLETE))})
+             AS is_junk_complete,
+           (coalesce(h.n, 0) > 0 OR t.text IN
+             ({", ".join(_sq(k) for k in sorted(_JUNK_COMPLETE))}))
+             AS is_junk
+    FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def q69_junk_document_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk filtering from the file-loaded junk lists — the one wordlist
+    category the reference LOADS but never applies (constants.py:93-94
+    builds junk keyword processors; no pipeline stage consumes them), made
+    functional with the natural semantics: ``junk_partial`` patterns flag
+    a document when they occur anywhere in it (overlap-allowed phrase hits,
+    the q65 shingle-join machinery), ``junk_complete`` when the whole text
+    IS the pattern. Both sides broadcast; one narrow scan + one counting
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = load_wordlists(spark)
+    jp = wl.filter(
+        (F.col("category") == "junk_partial") & (F.col("lang") == "en")
+    ).select(F.col("keyword").alias("pat"))
+    t = "split(text, ' ', -1)"
+    grams2 = (
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"zip_with(slice({t}, 1, size({t}) - 1), slice({t}, 2, size({t}) - 1),"
+        f" (x, y) -> concat(x, ' ', y)) ELSE array() END"
+    )
+    cand = docs.select(
+        "doc_id", F.explode(F.expr(f"concat({t}, {grams2})")).alias("g")
+    )
+    hits = (
+        cand.join(F.broadcast(jp), cand.g == F.col("pat"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    complete = F.col("text").isin(*_JUNK_COMPLETE)
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("junk_partial_hits"),
+            complete.alias("is_junk_complete"),
+            ((n > 0) | complete).alias("is_junk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- q66
 def _q66_oracle() -> str:
     kw_values = ", ".join(f"({_sq(k)})" for k in sorted(_KEYWORDS))

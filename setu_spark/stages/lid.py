@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     FloatType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -65,13 +66,61 @@ class _HeuristicModel:
         return pd.DataFrame({"lang": langs, "prob": probs})
 
 
-_MODEL_CACHE: dict[str, _HeuristicModel] = {}
+@dataclass
+class _CharNgramModel:
+    """Second deterministic detector tier: scores languages by occurrence
+    density of distinctive character bigrams — the shape of cld3-style
+    character-n-gram LID, deterministic so tests can pin the vote."""
+
+    profiles: dict[str, tuple[str, ...]]
+
+    def predict(self, texts: pd.Series) -> pd.DataFrame:
+        langs, probs = [], []
+        for t in texts.fillna(""):
+            n = max(len(t), 1)
+            scores = {
+                lang: sum(t.count(g) for g in grams) / n
+                for lang, grams in self.profiles.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            langs.append(best if scores[best] > 0 else "und")
+            probs.append(float(scores[best]))
+        return pd.DataFrame({"lang": langs, "prob": probs})
 
 
-def _get_model() -> _HeuristicModel:
-    if "m" not in _MODEL_CACHE:
-        _MODEL_CACHE["m"] = _HeuristicModel(STOPWORD_PROFILES)
-    return _MODEL_CACHE["m"]
+#: distinctive char bigrams per language for the charngram tier
+CHAR_NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "ng", "wh"),
+    "de": ("ch", "ei", "un", "sch"),
+    "fr": ("ou", "qu", "eu", "oi"),
+    "es": ("ll", "os", "ñ", "ci"),
+}
+
+
+# --------------------------------------------------------- detector registry
+
+#: name → zero-arg factory returning a loaded model. The registry is the
+#: plug point the reference lacks an interface for (its 3 models are
+#: hard-wired inside run_lid, lid.py:588-660): a real deployment registers
+#:   register_detector("indiclid", lambda: IndicLIDWrapper(model_path))
+#: and lists the name in ``detectors=`` / the stage config. Factories run
+#: lazily on each Python WORKER (not the driver) and the loaded model is
+#: cached per worker process — exactly the reference's per-partition model
+#: singleton, minus the reload-per-partition cost.
+DETECTOR_FACTORIES: dict[str, Callable[[], Detector]] = {}
+
+
+def register_detector(name: str, factory: Callable[[], object]) -> None:
+    DETECTOR_FACTORIES[name] = factory
+
+
+register_detector("stopword", lambda: _HeuristicModel(STOPWORD_PROFILES))
+register_detector(
+    "charngram", lambda: _CharNgramModel(CHAR_NGRAM_PROFILES)
+)
+
+#: per-worker-process loaded-model cache, keyed by detector name
+_MODEL_CACHE: dict[str, object] = {}
 
 
 def predict_lid(
@@ -79,32 +128,74 @@ def predict_lid(
     id_col: str = "doc_id",
     text_col: str = "text",
     probability_threshold: float = 0.0,
+    detectors: tuple[str, ...] = ("stopword",),
 ) -> DataFrame:
-    """mapInPandas LID inference: (id, text) in, (id, lang, prob) out.
+    """mapInPandas LID ensemble: (id, text) in, (id, lang, prob, per-model
+    labels) out.
 
-    Scale: Arrow-batched, model cached per worker, only the two needed
+    Vote semantics are the reference's INTENDED ones (U19): each named
+    detector predicts (lang, prob); a prediction below
+    ``probability_threshold`` or equal to 'und' ABSTAINS (the reference
+    counts a vote in both branches of the threshold check, making the
+    threshold a no-op — defect lid.py:575-578); the majority of
+    non-abstaining votes wins, ties break deterministically by
+    (votes desc, lang asc); zero votes → 'und'. ``lid_prob`` is the
+    highest probability among the winner's voters. ``model_langs`` is the
+    per-model label map (reference lid.py:686's ``MapType`` column).
+
+    Scale: Arrow-batched, models cached per worker, only the two needed
     columns cross the JVM↔Python boundary (column pruning — the reference
-    ships whole rows). Predictions below ``probability_threshold`` abstain
-    to 'und' (intended semantics; see module docstring)."""
+    ships whole rows)."""
     # keep the caller's id type so the join back is type-exact
     schema = StructType(
         [
             StructField(id_col, docs.schema[id_col].dataType),
             StructField("pred_lang", StringType()),
             StructField("lid_prob", FloatType()),
+            StructField("model_langs", MapType(StringType(), StringType())),
         ]
     )
 
+    # resolve names → factories DRIVER-side (workers never see the
+    # registry dict — a detector registered mid-session would be missing
+    # from their imported module copy); the factories ride the closure and
+    # the loaded models cache per worker process
+    factories = [(name, DETECTOR_FACTORIES[name]) for name in detectors]
+
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _get_model()
+        models = []
+        for name, factory in factories:
+            if name not in _MODEL_CACHE:  # setdefault would load eagerly
+                _MODEL_CACHE[name] = factory()
+            models.append((name, _MODEL_CACHE[name]))
         for pdf in batches:
-            res = model.predict(pdf[text_col])
-            res.loc[res["prob"] < probability_threshold, "lang"] = "und"
+            preds = {name: m.predict(pdf[text_col]) for name, m in models}
+            out_lang, out_prob, out_map = [], [], []
+            for i in range(len(pdf)):
+                votes: dict[str, list[float]] = {}
+                labels = {}
+                for name, _ in models:
+                    lang = preds[name]["lang"].iat[i]
+                    prob = float(preds[name]["prob"].iat[i])
+                    labels[name] = lang
+                    if lang != "und" and prob >= probability_threshold:
+                        votes.setdefault(lang, []).append(prob)
+                if votes:
+                    winner = max(
+                        sorted(votes), key=lambda k: (len(votes[k]),)
+                    )
+                    out_lang.append(winner)
+                    out_prob.append(max(votes[winner]))
+                else:
+                    out_lang.append("und")
+                    out_prob.append(0.0)
+                out_map.append(labels)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "pred_lang": res["lang"],
-                    "lid_prob": res["prob"].astype("float32"),
+                    "pred_lang": out_lang,
+                    "lid_prob": pd.Series(out_prob, dtype="float32"),
+                    "model_langs": out_map,
                 }
             )
 

@@ -155,6 +155,70 @@ def test_lid_heuristic_and_join(spark):
     assert set(strict.values()) == {"und"}
 
 
+def test_lid_ensemble_vote(spark):
+    """U19 intended vote semantics: majority of non-abstaining detectors,
+    deterministic tie-break, threshold abstention, per-model label map."""
+    import pandas as pd
+
+    from setu_spark.stages.lid import register_detector
+
+    class _Fixed:
+        def __init__(self, lang, prob):
+            self.lang, self.prob = lang, prob
+
+        def predict(self, texts):
+            return pd.DataFrame(
+                {"lang": [self.lang] * len(texts),
+                 "prob": [self.prob] * len(texts)}
+            )
+
+    register_detector("fake_de_strong", lambda: _Fixed("de", 0.95))
+    register_detector("fake_de_weak", lambda: _Fixed("de", 0.10))
+    register_detector("fake_fr_weak", lambda: _Fixed("fr", 0.10))
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog is here on the mat")], ["doc_id", "text"]
+    )
+    # two de votes vs one en (stopword) -> majority de
+    row = predict_lid(
+        docs, detectors=("stopword", "fake_de_strong", "fake_de_weak")
+    ).collect()[0]
+    assert row.pred_lang == "de"
+    assert abs(row.lid_prob - 0.95) < 1e-6  # strongest of winner's voters
+    assert row.model_langs["stopword"] == "en"
+    assert row.model_langs["fake_de_strong"] == "de"
+
+    # threshold: weak voters abstain, the strong one decides alone
+    row = predict_lid(
+        docs,
+        detectors=("fake_de_weak", "fake_fr_weak", "fake_de_strong"),
+        probability_threshold=0.5,
+    ).collect()[0]
+    assert row.pred_lang == "de"
+
+    # 1-1 tie breaks lang-ascending (deterministic, not input-order)
+    row = predict_lid(
+        docs, detectors=("fake_fr_weak", "fake_de_weak")
+    ).collect()[0]
+    assert row.pred_lang == "de"
+
+
+def test_lid_charngram_detector(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the weather there was something they thought"),
+            (2, "durch schnee und eis chillen die eichhörnchen"),
+        ],
+        ["doc_id", "text"],
+    )
+    preds = {
+        r.doc_id: r.pred_lang
+        for r in predict_lid(docs, detectors=("charngram",)).collect()
+    }
+    assert preds[1] == "en"
+    assert preds[2] == "de"
+
+
 def test_entry_module_imports_without_session():
     """The driver imports __spark_entry__ before (or without) creating a
     SparkSession; module import must never require an active session
