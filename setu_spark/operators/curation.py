@@ -1,0 +1,271 @@
+"""Corpus-curation operators — the selection side of a training-data
+pipeline (the reference stops at filtering/dedup; a 100 TB pretraining
+run also needs decontamination against eval sets, importance scoring,
+and budgeted sampling — SURVEY.md §2's "beyond-reference" mandate).
+
+Query surface (all over ``documents``):
+  q64  eval-set decontamination: word-5-gram overlap between each
+       training doc and a held-out eval slice ("don't train on your
+       test set") — the cross-corpus twin of fuzzy dedup;
+  q39  TF-IDF top terms per document — the classic importance score,
+       computed corpus-wide with one token shuffle;
+  q29  token-budget selection: deterministic pseudo-random order +
+       distributed prefix sum, keep documents while the cumulative
+       word count fits the budget.
+
+Cross-engine determinism: every pseudo-random choice derives from
+``md5`` of stable ids/strings (identical in Spark and DuckDB), never
+from engine hash functions or RNGs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from setu_spark.registry import register
+from setu_spark.sources.io import load_table
+
+#: Decontamination n-gram width (word 5-grams; production eval-set decon
+#: typically uses 8-13-gram windows — the plan shape is identical).
+DECON_N = 5
+#: Docs whose md5(doc_id) starts with this hex digit form the pseudo
+#: "eval set" (~1/16 of the corpus) — a deterministic stand-in for the
+#: real held-out benchmark files a production run would load (S1/S3).
+EVAL_HEX = "0"
+
+#: q29 word budget at test scale.
+WORD_BUDGET = 10_000
+#: q29 range partitions for the distributed prefix sum (at 100 TB this
+#: is O(cluster cores); the per-partition totals stay one row each).
+PREFIX_PARTS = 16
+
+TFIDF_TOPK = 3
+
+
+def _eval_flag() -> F.Column:
+    """Deterministic eval-set membership: first hex digit of
+    md5(doc_id)."""
+    return (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == EVAL_HEX
+    )
+
+
+# ---------------------------------------------------------------- q64
+@register(
+    "q64_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {DECON_N}
+    ),
+    grams AS (
+      -- raw gram strings: the engine joins on 64-bit xxhash64 keys
+      -- instead; the compared COUNT agrees absent 64-bit collisions
+      SELECT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             t[i+3] || ' ' || t[i+4] AS g
+      FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS u(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g FROM grams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_HEX}'
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id, g FROM grams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{EVAL_HEX}'
+    )
+    SELECT doc_id, count(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing at
+    least one word-{DECON_N}-gram with the (deterministic md5-slice) eval
+    set, with the count of distinct shared n-grams. The "did my training
+    corpus swallow the benchmark" check every serious pretraining run
+    performs; reported as counts so thresholds stay a reader-side choice.
+
+    Scale shape: n-grams are joined as 64-bit ``xxhash64`` keys computed
+    straight off the sliced token array — no gram string is ever built,
+    and shuffle rows are fixed-width regardless of document length
+    (measured 1.5× over an md5-of-joined-string key at sf0.1). The
+    oracle counts raw gram strings instead; the outputs agree because
+    the compared value is the COUNT of distinct shared grams, equal
+    unless 64-bit keys collide (~n²/2⁶⁵ — and the md5-prefix
+    alternative is a 64-bit key with the same collision width, so
+    nothing is lost vs the "portable" form). The eval side is
+    eval-set-sized (distinct grams of a few thousand docs in practice)
+    and broadcast — the train side streams through a map-side hash
+    join, then one partial-aggregated groupBy on doc_id. No self-join,
+    no all-pairs: cost is O(train grams) + O(eval grams), the same
+    inverted-gate shape as q58's LSH-then-verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    base = docs.filter(F.size(t) >= DECON_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # 1-based slice positions; filter guarantees a non-empty,
+                # ascending sequence (sequence() would happily descend).
+                F.sequence(F.lit(1), F.size(t) - (DECON_N - 1)),
+                lambda i: F.xxhash64(F.slice(t, i, DECON_N)),
+            )
+        ).alias("g"),
+    )
+    ev = base.filter(_eval_flag()).select("g").distinct()
+    tr = base.filter(~_eval_flag()).select("doc_id", "g").distinct()
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------- q39
+@register(
+    "q39_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM toks GROUP BY doc_id, word
+    ),
+    idf AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN idf USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, word)
+                 AS rn
+          FROM scored)
+    WHERE rn <= {TFIDF_TOPK}
+    """,
+)
+def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_TOPK} terms per document — the corpus-wide
+    importance score (what does this doc say that the corpus doesn't).
+    tf·ln(N/df), ranked per doc on the ROUND-6 score (both engines rank
+    the identical rounded value, so cross-engine ULP noise in ln can't
+    flip adjacent ranks; residual risk is only a value exactly on a
+    rounding boundary, the same stance as every ratio query here).
+
+    Scale shape: one token shuffle builds tf; df reuses tf (count of
+    doc-rows per word — no second pass over text); N is a one-row
+    broadcast; the rank window partitions by doc_id, so per-doc state is
+    vocabulary-of-one-doc sized. The df join shuffles on word — skew on
+    stopword-like tokens is bounded because tf already collapsed each
+    (doc, word) to one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(idf, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "word", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------- q29
+@register(
+    "q29_token_budget_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words_count,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS skey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words_count,
+             CAST(sum(words_count) OVER (ORDER BY skey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words
+      FROM d
+    )
+    SELECT doc_id, words_count, cum_words
+    FROM c WHERE cum_words <= {WORD_BUDGET}
+    """,
+)
+def q29_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: order the corpus by a deterministic
+    pseudo-random key (md5 of doc_id — a uniform shuffle that both
+    engines reproduce exactly), then keep documents while the running
+    word count fits {WORD_BUDGET}. The "give me a fair 50 B-token sample
+    of this 10 T-token corpus" operator.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a single global window:
+    a global ``ORDER BY`` window (the oracle's form) funnels 100 TB
+    through ONE task. Instead: range-partition on the sample key, run
+    the running sum per partition (parallel, partition-local window),
+    then lift per-partition totals — {PREFIX_PARTS} rows of metadata, an
+    AQE-statistics-sized driver collect — into per-partition offsets
+    rejoined by broadcast. Identical result, and every stage is
+    partition-parallel with one range shuffle. The projection is cached
+    so the totals pass and the output pass share one materialization
+    (also pinning one range-boundary sampling for both)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("words_count"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias(
+            "skey"
+        ),
+    )
+    local = (
+        d.repartitionByRange(PREFIX_PARTS, "skey")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_cum",
+            F.sum("words_count").over(
+                Window.partitionBy("pid")
+                .orderBy("skey")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .cache()
+    )
+    # Tiny metadata collect (≤ PREFIX_PARTS rows): per-partition totals →
+    # exclusive prefix offsets. Range partitions are key-ordered, so
+    # ascending pid IS ascending key range.
+    totals = sorted(
+        local.groupBy("pid").agg(F.max("local_cum").alias("tot")).collect()
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((row["pid"], running))
+        running += row["tot"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    return (
+        local.join(F.broadcast(off), "pid")
+        .withColumn("cum_words", F.col("local_cum") + F.col("off"))
+        .filter(F.col("cum_words") <= WORD_BUDGET)
+        .select("doc_id", "words_count", "cum_words")
+    )

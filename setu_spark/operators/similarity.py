@@ -543,3 +543,119 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(IVF_TOPK)
     )
+
+
+# -------------------------------------------------------------- k-means
+KM_K = 8
+KM_ITERS = 3
+KM_SCHEMA = "vec_id bigint, label int, cluster int, cosine_to_centroid double"
+
+
+def kmeans_clusters(
+    df: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Spherical (cosine) k-means over a (vec_id, label, embedding)
+    DataFrame — Lloyd's iterations, Spark-shaped:
+
+      * init: the embeddings of the k lowest vec_ids (deterministic; a
+        production run would plug k-means|| here — the loop is identical);
+      * assignment + partial sums in ONE ``mapInPandas`` pass per
+        iteration: each Arrow batch emits at most k rows
+        (cluster, count, vector-sum), so the per-iteration reduce is
+        O(batches × k) metadata collected driver-side — the same
+        "broadcast-variable closure" shape as q63's codebook, never a
+        shuffle of the corpus;
+      * update: new centroid = mean of members (cosine assignment is
+        scale-invariant, so no renormalization step is needed); empty
+        clusters keep their previous centroid.
+
+    The corpus projection is cached once and reused by all iterations +
+    the final labeled pass. Iterative fixpoint → rows-only driver check
+    (same contract carve-out as q56's connected components); planted-
+    cluster recovery is pinned in tests/test_kmeans.py."""
+    import numpy as np
+
+    src = df.select("vec_id", "label", "embedding").cache()
+    cents = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in src.orderBy("vec_id").limit(k).select("embedding").collect()
+        ]
+    )
+
+    def _cos_to(cents_snap):
+        cnorm = np.sqrt((cents_snap * cents_snap).sum(axis=1))
+        cnorm = np.maximum(cnorm, 1e-12)
+
+        def cos(mat):
+            mnorm = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            return (mat @ cents_snap.T) / (mnorm[:, None] * cnorm)
+
+        return cos
+
+    for _ in range(iters):
+        cos = _cos_to(cents)
+
+        def partials(batches, _cos=cos, _k=k):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["embedding"].values).astype(np.float64)
+                assign = np.argmax(_cos(mat), axis=1)
+                out = []
+                for c in np.unique(assign):
+                    sel = mat[assign == c]
+                    out.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(
+                    out, columns=["cluster", "cnt", "vsum"]
+                )
+
+        rows = src.mapInPandas(
+            partials, "cluster int, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(k)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            cnts[r["cluster"]] += r["cnt"]
+        nonempty = cnts > 0
+        cents = np.where(
+            nonempty[:, None],
+            sums / np.maximum(cnts, 1)[:, None],
+            cents,
+        )
+
+    cos = _cos_to(cents)
+
+    def label_pass(batches, _cos=cos):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].values).astype(np.float64)
+            sims = _cos(mat)
+            assign = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "label": pdf["label"].values,
+                    "cluster": assign.astype("int32"),
+                    "cosine_to_centroid": round6_away(
+                        sims[np.arange(len(assign)), assign]
+                    ),
+                }
+            )
+
+    return src.mapInPandas(label_pass, KM_SCHEMA)
+
+
+@register("q85_kmeans_clusters")  # rows-only: iterative fixpoint (the
+# same contract carve-out as q56) — no closed-form SQL oracle exists;
+# planted-cluster recovery + determinism are pinned in tests.
+def q85_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embeddings table ({KM_K} clusters,
+    {KM_ITERS} Lloyd's iterations) — the corpus-organization operator
+    (topic bucketing, diversity sampling, IVF codebook training: q63
+    consumes exactly this output as its codebook at scale). See
+    :func:`kmeans_clusters` for the scale design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, KM_K, KM_ITERS)

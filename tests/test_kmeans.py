@@ -1,0 +1,67 @@
+"""K-means (similarity.kmeans_clusters): planted-cluster recovery,
+determinism, and the q85 registration contract."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from setu_spark.operators.similarity import KM_K, kmeans_clusters
+from tests.conftest import SF_ORACLE
+
+
+def _planted_df(spark, per_cluster=20, dim=8, jitter=0.05):
+    """Three tight direction-clusters along distinct axes; vec_ids 0,1,2
+    land one per cluster so the lowest-id init starts separated."""
+    rows = []
+    for g in range(3):
+        for j in range(per_cluster):
+            vec_id = j * 3 + g  # interleave: ids 0,1,2 hit all 3 groups
+            base = [0.0] * dim
+            base[g] = 1.0
+            # deterministic small perturbation on a non-axis coordinate
+            base[(g + 3) % dim] = jitter * ((vec_id % 5) - 2) / 2.0
+            rows.append((vec_id, g, base))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    out = kmeans_clusters(_planted_df(spark), k=3, iters=2).collect()
+    assert len(out) == 60
+    by_group: dict[int, set[int]] = {}
+    for r in out:
+        by_group.setdefault(r.label, set()).add(r.cluster)
+    # each planted group maps to exactly one cluster, all distinct
+    assert all(len(cs) == 1 for cs in by_group.values()), by_group
+    assert len({cs.pop() for cs in by_group.values()}) == 3
+    # members sit close to their centroid
+    assert all(r.cosine_to_centroid > 0.9 for r in out)
+
+
+def test_kmeans_deterministic(spark):
+    df = _planted_df(spark)
+    a = sorted((r.vec_id, r.cluster) for r in kmeans_clusters(df, 3, 2).collect())
+    b = sorted((r.vec_id, r.cluster) for r in kmeans_clusters(df, 3, 2).collect())
+    assert a == b
+
+
+def test_q85_registered_rows_only(spark):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert "q85_kmeans_clusters" in qs
+    assert "q85_kmeans_clusters" not in oracles  # iterative carve-out
+    out = qs["q85_kmeans_clusters"](spark, SF_ORACLE)
+    rows = out.collect()
+    from setu_spark.sources.io import load_table
+
+    assert len(rows) == load_table(spark, SF_ORACLE, "embeddings").count()
+    assert {r.cluster for r in rows} <= set(range(KM_K))
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_kmeans_k_edge(spark, k):
+    out = kmeans_clusters(_planted_df(spark, per_cluster=4), k=k, iters=1)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert {r.cluster for r in rows} <= set(range(k))

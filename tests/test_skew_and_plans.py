@@ -174,3 +174,25 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.b_orders")
         spark.sql("DROP TABLE IF EXISTS bktest.b_lineitem")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_q64_eval_grams_broadcast(spark):
+    # decontamination joins train grams against the eval-gram set as a
+    # map-side broadcast hash join — never a shuffled join on gram
+    assert broadcast_join_count(_q(spark, "q64_decontamination")) >= 1
+
+
+def test_q29_no_global_window(spark):
+    # the distributed prefix sum must never funnel the corpus through a
+    # single-partition global-sort window: every window spec in the plan
+    # carries a partition key, and the offsets join is broadcast
+    df = _q(spark, "q29_token_budget_sample")
+    plan = plan_string(df, mode="extended")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # partition-by-nothing window specs start with the order expression
+    # only; ours must lead with the pid partition key
+    assert all("pid" in s for s in specs), specs
+    assert broadcast_join_count(df) >= 1
