@@ -11,7 +11,10 @@ Query surface (all over ``documents``):
        computed corpus-wide with one token shuffle;
   q29  token-budget selection: deterministic pseudo-random order +
        distributed prefix sum, keep documents while the cumulative
-       word count fits the budget.
+       word count fits the budget;
+  q86  weighted sampling without replacement (Efraimidis–Spirakis
+       exponential keys), probability ∝ document length;
+  q87  stratified downsampling to a language-balanced corpus.
 
 Cross-engine determinism: every pseudo-random choice derives from
 ``md5`` of stable ids/strings (identical in Spark and DuckDB), never
@@ -24,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -268,4 +272,121 @@ def q29_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_words", F.col("local_cum") + F.col("off"))
         .filter(F.col("cum_words") <= WORD_BUDGET)
         .select("doc_id", "words_count", "cum_words")
+    )
+
+
+# ---------------------------------------------------------------- q86
+#: q86 sample size and the u-quantization modulus (2^20: coarse enough
+#: that both engines compute the identical rational, fine enough that
+#: collisions in u don't matter — ties fall to the doc_id tie-break).
+SAMPLE_N = 100
+U_MOD = 1 << 20
+
+
+@register(
+    "q86_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words_count,
+             ({hash64_sql("CAST(doc_id AS VARCHAR)", salt="ws")} % {U_MOD}
+              + 1) / CAST({U_MOD + 1} AS DOUBLE) AS u
+      FROM documents
+    )
+    SELECT doc_id, words_count,
+           round(-ln(u) / words_count, 6) AS sample_key
+    FROM d
+    ORDER BY sample_key, doc_id
+    LIMIT {SAMPLE_N}
+    """,
+)
+def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, probability ∝ document
+    length (Efraimidis–Spirakis A-Res): each doc draws a deterministic
+    uniform u from md5(doc_id) and competes on key = −ln(u)/w; the
+    {SAMPLE_N} smallest keys ARE a weight-proportional sample. The
+    "sample 50 B tokens ∝ quality score" primitive — substitute any
+    weight column for words_count.
+
+    Scale shape: one narrow pass computes the key; the global top-N is
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    {SAMPLE_N}-row partials), never a full sort — O(corpus) scan,
+    O(sample) memory, no shuffle. Both engines rank the ROUND-6 key
+    with doc_id tie-break (same cross-engine-ULP stance as q39)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        hash64(F.col("doc_id").cast("string"), salt="ws") % U_MOD + 1
+    ) / float(U_MOD + 1)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ", -1)).cast("long").alias(
+                "words_count"
+            ),
+            F.round(-F.log(u) / F.col("words_count"), 6).alias(
+                "sample_key"
+            ),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(SAMPLE_N)
+    )
+
+
+# ---------------------------------------------------------------- q87
+@register(
+    "q87_lang_balanced_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             {hash64_sql("CAST(doc_id AS VARCHAR)", salt="strat")}
+               AS skey
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(min(cnt) AS BIGINT) AS min_cnt
+      FROM (SELECT count(*) AS cnt FROM keyed GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang FROM ranked CROSS JOIN m WHERE rn <= min_cnt
+    """,
+)
+def q87_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling to a balanced corpus: keep, per language,
+    the ⌊smallest-stratum⌋ docs with the lowest deterministic hash key —
+    every language ends up equally represented (the "don't let English
+    drown the tail languages" rebalance; the reference's per-language
+    partitioned outputs, SURVEY S7, are the natural input).
+
+    Scale shape: per-stratum rank windows partition by lang — parallel
+    across strata, one shuffle on the stratum key; the stratum-size
+    floor is a langs-count-sized aggregate broadcast back. Heavy skew
+    (one giant stratum) stays windowed per lang — at 100 TB swap the
+    row_number window for a per-stratum top-k (the q86 heap shape) keyed
+    by the same hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        hash64(F.col("doc_id").cast("string"), salt="strat").alias("skey"),
+    )
+    min_cnt = (
+        keyed.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("min_cnt"))
+    )
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("skey", "doc_id")
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_cnt))
+        .filter(F.col("rn") <= F.col("min_cnt"))
+        .select("doc_id", "lang")
     )
