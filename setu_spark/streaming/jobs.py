@@ -196,3 +196,37 @@ def sliding_event_counts(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
     )
+
+
+# --- stream-static join ----------------------------------------------------
+
+def enrich_with_user_profile(
+    events: DataFrame, profile: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the (possibly streaming) events flow
+    with a per-user profile dimension — the canonical "join the firehose
+    to the slowly-changing dim" pattern. The static side is broadcast, so
+    the streaming side needs NO state and NO shuffle: each micro-batch is
+    a map-side hash join (stateless → works in append mode with no
+    watermark requirement). Left join keeps events from users the profile
+    hasn't seen yet (cold-start rows get NULL profile columns).
+
+    The same function body serves batch DataFrames — the stream≡batch
+    equivalence test in tests/test_streaming.py feeds it both."""
+    prof = F.broadcast(
+        profile.select(
+            "user_id",
+            F.col("n_events").alias("profile_n_events"),
+            F.col("total_value").alias("profile_total_value"),
+        )
+    )
+    return events.join(prof, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "profile_n_events",
+        F.when(
+            F.col("profile_n_events") >= 3, F.lit("heavy")
+        ).otherwise(F.lit("light")).alias("user_tier"),
+    )

@@ -195,3 +195,45 @@ def test_stream_sliding_matches_batch(spark, events_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, events_dir):
+    from setu_spark.streaming.jobs import enrich_with_user_profile
+
+    batch = spark.read.parquet(events_dir)
+    profile = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = enrich_with_user_profile(stream, profile)
+    assert enriched.isStreaming
+    run_to_memory(enriched, "enriched_mem", output_mode="append")
+    got = sorted(
+        (r.event_id, r.user_id, r.profile_n_events, r.user_tier)
+        for r in spark.sql("SELECT * FROM enriched_mem").collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.profile_n_events, r.user_tier)
+        for r in enrich_with_user_profile(batch, profile).collect()
+    )
+    assert got == want
+    assert len(got) == 6
+    # user 1 has 4 events -> heavy; user 2 has 2 -> light
+    tiers = {u: t for (_, u, _, t) in got}
+    assert tiers == {1: "heavy", 2: "light"}
+
+
+def test_stream_static_join_unknown_user(spark, events_dir):
+    from setu_spark.streaming.jobs import enrich_with_user_profile
+
+    batch = spark.read.parquet(events_dir)
+    profile = batch.filter(F.col("user_id") == 1).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    out = enrich_with_user_profile(batch, profile).collect()
+    # user 2's events survive the left join with NULL profile -> light
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 2
+    assert all(r.profile_n_events is None and r.user_tier == "light" for r in u2)
