@@ -14,7 +14,9 @@ Query surface (all over ``documents``):
        word count fits the budget;
   q86  weighted sampling without replacement (Efraimidis–Spirakis
        exponential keys), probability ∝ document length;
-  q87  stratified downsampling to a language-balanced corpus.
+  q87  stratified downsampling to a language-balanced corpus;
+  q88  unigram-LM negative log-probability — the perplexity-proxy
+       quality score.
 
 Cross-engine determinism: every pseudo-random choice derives from
 ``md5`` of stable ids/strings (identical in Spark and DuckDB), never
@@ -389,4 +391,71 @@ def q87_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(min_cnt))
         .filter(F.col("rn") <= F.col("min_cnt"))
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------- q88
+@register(
+    "q88_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM toks GROUP BY doc_id, word
+    ),
+    freq AS (
+      SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY word
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(
+             CAST(sum(CAST(tf * -ln(cnt / CAST(total AS DOUBLE))
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logprob
+    FROM tf JOIN freq USING (word) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own unigram model — the cheap "perplexity proxy" quality score
+    (gibberish and boilerplate sit at the distribution's extremes; real
+    pipelines threshold on exactly this before any model-based filter).
+    score(doc) = Σ_w tf·(−ln(cnt_w / T)) / Σ_w tf.
+
+    Scale shape: one token shuffle builds tf; the unigram table derives
+    from tf (never a second text pass) and joins back on word — a
+    vocabulary-sized shuffle join (NOT broadcast: at 100 TB the vocab is
+    executor-memory-sized, and tf's per-(doc,word) collapse has already
+    bounded stopword skew). The total-token count T is a one-row
+    broadcast. Each per-term product is quantized to DECIMAL(18,6)
+    before the per-doc sum (registry.dsum discipline), so both engines
+    add identical exact decimals in any order — cross-engine ULP noise
+    in ln() never compounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    term = F.col("tf") * -F.log(
+        F.col("cnt") / F.col("total").cast("double")
+    )
+    return (
+        tf.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
     )
