@@ -122,11 +122,16 @@ def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     ev = base.filter(_eval_flag()).select("g").distinct()
-    tr = base.filter(~_eval_flag()).select("doc_id", "g").distinct()
+    tr = base.filter(~_eval_flag()).select("doc_id", "g")
+    # join BEFORE any train-side distinct: the broadcast hash join is a
+    # map-side filter, so only MATCHED grams (eval-overlap sized, tiny)
+    # ever shuffle; countDistinct collapses band duplicates in the same
+    # aggregate. Two shuffles total vs three for distinct-then-join —
+    # and the dropped one was O(train grams), the largest in the query.
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared_ngrams"))
+        .agg(F.countDistinct("g").alias("n_shared_ngrams"))
     )
 
 
@@ -165,21 +170,23 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip adjacent ranks; residual risk is only a value exactly on a
     rounding boundary, the same stance as every ratio query here).
 
-    Scale shape: one token shuffle builds tf; df reuses tf (count of
-    doc-rows per word — no second pass over text); N is a one-row
-    broadcast; the rank window partitions by doc_id, so per-doc state is
-    vocabulary-of-one-doc sized. The df join shuffles on word — skew on
-    stopword-like tokens is bounded because tf already collapsed each
-    (doc, word) to one row."""
+    Scale shape: one token shuffle builds tf; df is a COUNT WINDOW over
+    the same tf rows partitioned by word — one shuffle that both
+    computes df and keeps the tf rows, where the groupBy-then-self-join
+    alternative re-executes the whole tf subplan for each branch of the
+    diamond (measured: 4 shuffles → 3, one token pass instead of two).
+    N is a one-row broadcast off the raw scan; the rank window
+    partitions by doc_id, so per-doc state is vocabulary-of-one-doc
+    sized. Stopword skew on the word partition is bounded because tf
+    already collapsed each (doc, word) to one row."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    idf = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(idf, "word")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -427,27 +434,31 @@ def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines threshold on exactly this before any model-based filter).
     score(doc) = Σ_w tf·(−ln(cnt_w / T)) / Σ_w tf.
 
-    Scale shape: one token shuffle builds tf; the unigram table derives
-    from tf (never a second text pass) and joins back on word — a
-    vocabulary-sized shuffle join (NOT broadcast: at 100 TB the vocab is
-    executor-memory-sized, and tf's per-(doc,word) collapse has already
-    bounded stopword skew). The total-token count T is a one-row
-    broadcast. Each per-term product is quantized to DECIMAL(18,6)
-    before the per-doc sum (registry.dsum discipline), so both engines
-    add identical exact decimals in any order — cross-engine ULP noise
-    in ln() never compounds."""
+    Scale shape: one token shuffle builds tf; the per-word corpus count
+    is a SUM WINDOW over the same tf rows partitioned by word — one
+    shuffle that both computes cnt_w and keeps the tf rows (the
+    groupBy-then-join diamond re-executed the tf subplan three times:
+    measured 6 shuffles → 3). T comes off the raw scan as a one-row
+    broadcast (a narrow sum of per-doc sizes — no token explosion).
+    Each per-term product is quantized to DECIMAL(18,6) before the
+    per-doc sum (registry.dsum discipline), so both engines add
+    identical exact decimals in any order — cross-engine ULP noise in
+    ln() never compounds."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    freq = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
-    total = freq.agg(F.sum("cnt").alias("total"))
+    total = docs.agg(
+        F.sum(F.size(F.split("text", " ", -1))).alias("total")
+    )
     term = F.col("tf") * -F.log(
         F.col("cnt") / F.col("total").cast("double")
     )
     return (
-        tf.join(freq, "word")
+        tf.withColumn(
+            "cnt", F.sum("tf").over(Window.partitionBy("word"))
+        )
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
