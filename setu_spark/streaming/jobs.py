@@ -230,3 +230,40 @@ def enrich_with_user_profile(
             F.col("profile_n_events") >= 3, F.lit("heavy")
         ).otherwise(F.lit("light")).alias("user_tier"),
     )
+
+
+# --- stream-stream join ----------------------------------------------------
+
+def clicks_followed_by_views(
+    events: DataFrame, horizon: str = "30 minutes", delay: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream time-bounded join: pair every click with the same
+    user's views landing within ``horizon`` after it — the attribution
+    join ("which views did this click lead to"). Both sides derive from
+    the same flow; each carries its own watermark, and the join range
+    condition lets Spark expire buffered state once the watermark passes
+    click_ts + horizon — state is O(events inside the horizon window),
+    never unbounded.
+
+    On a batch DataFrame ``withWatermark`` is a no-op and the same body
+    is the time-bounded self-join (the q18 range-join family), which is
+    what the stream≡batch test compares against."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", delay)
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", delay)
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")

@@ -237,3 +237,36 @@ def test_stream_static_join_unknown_user(spark, events_dir):
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 2
     assert all(r.profile_n_events is None and r.user_tier == "light" for r in u2)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from setu_spark.streaming.jobs import clicks_followed_by_views
+
+    d = tempfile.mkdtemp(prefix="setu-ssj-")
+    try:
+        rows = [
+            (1, 1, "click", 1),   # event 0: paired with view@20
+            (20, 1, "view", 2),   # event 1
+            (35, 1, "click", 3),  # event 2: paired with view@50
+            (50, 1, "view", 4),   # event 3 (49m after click@1 -> out)
+            (200, 2, "click", 5), # event 4: view@290 is 90m later -> out
+            (290, 2, "view", 6),  # event 5
+        ]
+        _mk_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+        stream = read_events_stream(spark, d)
+        joined = clicks_followed_by_views(stream)
+        assert joined.isStreaming
+        run_to_memory(joined, "ssj_mem", output_mode="append")
+        got = sorted(
+            (r.user_id, r.click_id, r.view_id)
+            for r in spark.sql("SELECT * FROM ssj_mem").collect()
+        )
+        batch = spark.read.parquet(d)
+        want = sorted(
+            (r.user_id, r.click_id, r.view_id)
+            for r in clicks_followed_by_views(batch).collect()
+        )
+        assert got == want
+        assert got == [(1, 0, 1), (1, 2, 3)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
