@@ -16,7 +16,9 @@ Query surface (all over ``documents``):
        exponential keys), probability ∝ document length;
   q87  stratified downsampling to a language-balanced corpus;
   q88  unigram-LM negative log-probability — the perplexity-proxy
-       quality score.
+       quality score;
+  q83  the composed curation pipeline: dedup survivors → quality gate
+       → decontamination removal.
 
 Cross-engine determinism: every pseudo-random choice derives from
 ``md5`` of stable ids/strings (identical in Spark and DuckDB), never
@@ -469,4 +471,85 @@ def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_neg_logprob"),
         )
+    )
+
+
+# ---------------------------------------------------------------- q83
+@register(
+    "q83_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {DECON_N}
+    ),
+    grams AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             t[i+3] || ' ' || t[i+4] AS g
+      FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS u(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g FROM grams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_HEX}'
+    ),
+    contam AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{EVAL_HEX}'
+        AND g IN (SELECT g FROM ev)
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words_count,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('slow', 'error', 'big')))
+               AS flagged,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT doc_id, lang, words_count
+    FROM d
+    WHERE doc_id = keeper
+      AND words_count >= 30 AND flagged < 5
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{EVAL_HEX}'
+      AND doc_id NOT IN (SELECT doc_id FROM contam)
+    """,
+)
+def q83_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision, composed from this module's and
+    the dedup family's primitives exactly the way a production run chains
+    them: exact-dedup survivors (q50's min-id-per-content-hash) → quality
+    gate (q33's length + flagged-word predicates) → eval-set exclusion +
+    decontamination removal (q64's gram overlap as a broadcast anti-join).
+    Returns the surviving training corpus.
+
+    Scale shape: the survivor pick is ONE window over the 128-bit content
+    hash (no groupBy-join diamond); quality predicates are per-row; the
+    contaminated-id set is overlap-sized and broadcast into a left_anti
+    join — so the whole pipeline is two shuffles (content-hash window +
+    the q64 subplan's aggregates) regardless of corpus size, and every
+    filter before the window prunes… nothing here: dedup must see ALL
+    rows first, which is why the window comes first and the cheap
+    predicates run on its (already narrow) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    flag_arr = F.array(*[F.lit(w) for w in ("slow", "error", "big")])
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    )
+    contam = q64_decontamination(spark, sf_dir).select("doc_id")
+    return (
+        docs.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("words_count"),
+            F.size(
+                F.filter(toks, lambda w: F.array_contains(flag_arr, w))
+            ).alias("flagged"),
+        )
+        .filter((F.col("words_count") >= 30) & (F.col("flagged") < 5))
+        .filter(~_eval_flag())
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+        .select("doc_id", "lang", "words_count")
     )
