@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # queries changed this round (dedup q53/q54/q59, wordlists) to the front so
 # they land inside the driver's window.
 import setu_spark.operators.curation  # noqa: F401, E402
+import setu_spark.operators.sketches  # noqa: F401, E402
 import setu_spark.operators.joins  # noqa: F401, E402
 import setu_spark.stages.queries  # noqa: F401, E402
 import setu_spark.operators.multimodal  # noqa: F401, E402

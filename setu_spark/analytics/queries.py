@@ -369,27 +369,6 @@ def q12_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- q28
-@register("q28_approx_distinct_parts")  # rows-only: HLL sketches are
-# engine-specific, so the estimate can't hash-match a different engine;
-# the exact twin column in the result shows estimate quality instead
-def q28_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to its exact twin — the
-    sketch the 100 TB path uses for cardinality profiling (SURVEY §2.4's
-    absent-from-reference distinct-aggregate family): the HLL sketch
-    map-side combines into a few KB per group regardless of cardinality,
-    where exact countDistinct shuffles every distinct (group, value) pair.
-    rsd=0.01 bounds relative error at ~1%; the query returns both so the
-    bound is visible in the result, and the rows-only driver check plus a
-    local assertion in tests pin it."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.count("*").alias("n_items"),
-    )
-
-
 # ---------------------------------------------------------------- q13
 @register(
     "q13_segment_acctbal",

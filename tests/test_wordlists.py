@@ -160,18 +160,3 @@ def test_language_mappings_agree():
     langs = {r["language"] for r in load_language_mapping()}
     iso = load_iso_mapping()
     assert langs <= set(iso)
-
-
-def test_q28_approx_within_rsd(spark):
-    # rows-only query: pin the HLL estimate against its exact twin locally
-    import __spark_entry__ as entrymod
-    from tests.conftest import SF_ORACLE
-
-    rows = entrymod.queries()["q28_approx_distinct_parts"](
-        spark, SF_ORACLE
-    ).collect()
-    assert rows
-    for r in rows:
-        assert abs(r.approx_parts - r.exact_parts) <= max(
-            0.05 * r.exact_parts, 2
-        ), r
