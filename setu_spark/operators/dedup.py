@@ -871,3 +871,98 @@ def q59_dedup_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", "source", F.length("text").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------- q93
+#: md5(doc_id) first hex digit ≤ this → "existing" corpus; above → the
+#: "new crawl" side (hex digits order '0'<…<'9'<'a'<…<'f', so this splits
+#: the corpus deterministically in both engines).
+CROSS_EXIST_MAX_HEX = "7"
+
+
+def _cross_corpus_sql() -> str:
+    sig_cols = ", ".join(_minhash_sql_cols())
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
+        " AS band_hash FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(NUM_PERM)
+    )
+    side = "substr(md5(CAST({id} AS VARCHAR)), 1, 1)"
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS exist_id
+      FROM bands n JOIN bands e
+        ON n.band = e.band AND n.band_hash = e.band_hash
+      WHERE {side.format(id="n.doc_id")} > '{CROSS_EXIST_MAX_HEX}'
+        AND {side.format(id="e.doc_id")} <= '{CROSS_EXIST_MAX_HEX}'
+    ),
+    verified AS (
+      SELECT c.new_id, ({eq_terms}) / {NUM_PERM}.0 AS est
+      FROM cand c
+      JOIN sig sa ON c.new_id = sa.doc_id
+      JOIN sig sb ON c.exist_id = sb.doc_id
+      WHERE ({eq_terms}) / {NUM_PERM}.0 >= 0.5
+    )
+    SELECT new_id AS new_doc_id, count(*) AS n_matches,
+           round(max(est), 6) AS best_est_jaccard
+    FROM verified GROUP BY new_id
+    """
+
+
+@register("q93_cross_corpus_neardup", oracle=_cross_corpus_sql())
+def q93_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup: which NEW-crawl documents are fuzzy
+    duplicates of the EXISTING corpus (deterministic md5 halves stand in
+    for the two corpora) — the incremental-ingest twin of q52's
+    within-corpus dedup: a new crawl is deduped AGAINST what's already
+    ingested, not against itself. Per flagged new doc: how many existing
+    docs it collides with and the best signature-estimated Jaccard.
+
+    Scale shape: identical to q52's banded join except the two sides are
+    different (filtered) tables, so candidate volume is O(new × bands)
+    against bucketed existing bands — at 100 TB the existing side's band
+    table is precomputed once and stored bucketed by (band, band_hash),
+    making each incremental crawl a co-partitioned join, no re-signing
+    of the existing corpus. Signature table cached: it feeds both band
+    sides and both verify joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sig = minhash_signatures(docs).cache()
+    new_b = band_table(sig.filter(side > CROSS_EXIST_MAX_HEX)).alias("n")
+    ex_b = band_table(sig.filter(side <= CROSS_EXIST_MAX_HEX)).alias("e")
+    cand = (
+        new_b.join(
+            ex_b,
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("exist_id"),
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    eq_terms = [
+        (F.col(f"sa.m{j}") == F.col(f"sb.m{j}")).cast("int")
+        for j in range(NUM_PERM)
+    ]
+    est = functools.reduce(operator.add, eq_terms) / float(NUM_PERM)
+    return (
+        cand.join(sa, cand.new_id == F.col("sa.doc_id"))
+        .join(sb, cand.exist_id == F.col("sb.doc_id"))
+        .filter(est >= 0.5)
+        .select("new_id", est.alias("est"))
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.round(F.max("est"), 6).alias("best_est_jaccard"),
+        )
+        .withColumnRenamed("new_id", "new_doc_id")
+    )
