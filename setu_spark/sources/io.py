@@ -131,3 +131,58 @@ def write_partitioned(
     data). We partition directly — readers that need the column get it back
     from partition discovery, enabling partition pruning downstream."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path_glob: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Schema'd CSV scan — same no-inference stance as the JSON reader
+    (an inferred-schema CSV read is a full extra pass at 100 TB). CSV is
+    the interchange format the reference never needed (its corpora arrive
+    as JSON/parquet) but any real ingest inevitably meets; permissive
+    mode routes malformed rows to nulls rather than failing the scan."""
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .load(path_glob)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar twin of the parquet scan (S2) with the same
+    pushdown/pruning behavior; exists so a corpus stored by an
+    ORC-centric warehouse can be read without conversion."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar twin of write_parquet (S6)."""
+    df.write.mode(mode).orc(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files-safe sink: repartition to ⌈rows / target⌉ files before
+    writing. The operational fix for the many-small-files failure mode a
+    100 TB pipeline hits when upstream filters shrink partitions to KBs —
+    readers then pay per-file open cost, and object stores throttle on
+    request count. The row count comes from one count() job (the same
+    statistics pass AQE does); returns the file count written.
+
+    At cluster scale prefer ``df.repartition(n)`` on a size estimate from
+    the input scan; rows are the portable proxy the local tests can pin."""
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -79,3 +79,57 @@ def test_cli_single_stage(tmp_path):
         f"SELECT count(*) FROM '{out}/cleaned/*.parquet'"
     ).fetchone()[0]
     assert n == 500
+
+
+# --- source/sink format breadth (uses the shared spark fixture) -----------
+
+from tests.conftest import SF_ORACLE as SF_DIR  # noqa: E402
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from setu_spark.sources.io import read_csv_corpus
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = spark.createDataFrame([(1, "hello world"), (2, "x,y")], schema)
+    p = str(tmp_path / "csv")
+    src.write.mode("overwrite").option("header", "true").csv(p)
+    back = read_csv_corpus(spark, p, schema)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "hello world"),
+        (2, "x,y"),
+    ]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from setu_spark.sources.io import load_table, read_orc, write_orc
+
+    src = load_table(spark, SF_DIR, "region")
+    p = str(tmp_path / "orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert sorted(r.r_regionkey for r in back.collect()) == sorted(
+        r.r_regionkey for r in src.collect()
+    )
+
+
+def test_write_compacted_file_count(spark, tmp_path):
+    import glob
+
+    from setu_spark.sources.io import load_table, write_compacted
+
+    src = load_table(spark, SF_DIR, "customer")  # 1500 rows at sf0.01
+    p = str(tmp_path / "compact")
+    n_files = write_compacted(src, p, target_rows_per_file=400)
+    parts = glob.glob(p + "/part-*.parquet")
+    assert len(parts) == n_files == -(-src.count() // 400)
+    back = spark.read.parquet(p)
+    assert back.count() == src.count()
