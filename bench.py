@@ -45,6 +45,9 @@ HEADLINE = [
     "q64_decontamination",
     "q39_tfidf_top_terms",
     "q29_token_budget_sample",
+    "q83_curation_pipeline",
+    "q88_unigram_logprob",
+    "q93_cross_corpus_neardup",
     "q66_flashtext_keyword_dist",
     "q70_hourly_event_stats",
     "q71_user_sessions",
