@@ -18,7 +18,10 @@ Query surface (all over ``documents``):
   q88  unigram-LM negative log-probability — the perplexity-proxy
        quality score;
   q83  the composed curation pipeline: dedup survivors → quality gate
-       → decontamination removal.
+       → decontamination removal;
+  q94  greedy sequence packing into fixed token-budget training
+       windows (partition-local mapInPandas — the imperative escape
+       hatch, used only where bin state defeats SQL).
 
 Cross-engine determinism: every pseudo-random choice derives from
 ``md5`` of stable ids/strings (identical in Spark and DuckDB), never
@@ -553,3 +556,74 @@ def q83_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contam), "doc_id", "left_anti")
         .select("doc_id", "lang", "words_count")
     )
+
+
+# ---------------------------------------------------------------- q94
+#: Token budget of one packed training sequence (test-scale; production
+#: uses the model's context length, e.g. 2048/8192).
+SEQ_LEN = 256
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-budget training
+    sequences ("pack 2048-token windows with minimal padding") — the one
+    curation op that is genuinely IMPERATIVE: bin state (the running fill
+    of the open sequence) depends on every prior decision, so no
+    window/join/agg expresses it. This is the sanctioned escape hatch
+    (SURVEY §7 build stance): an Arrow-batched ``mapInPandas`` running
+    partition-LOCAL greedy next-fit, after a range repartition + in-
+    partition sort make the scan order deterministic.
+
+    Packing is embarrassingly partition-parallel — sequences never span
+    partitions, so at 100 TB each executor packs its own range and the
+    only cross-node data movement is the one range shuffle. Sequence ids
+    are (partition id << 33) | local counter: unique without any global
+    coordination. Docs longer than the budget are clamped (production
+    would chunk them first — q40's explode/reassembly family)."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    sized = docs.select(
+        "doc_id",
+        F.least(
+            F.size(F.split("text", " ", -1)).cast("long"), F.lit(seq_len)
+        ).alias("words_count"),
+    )
+
+    def pack(batches):
+        pid = TaskContext.get().partitionId()
+        seq_no, fill = 0, 0
+        out_docs: list[tuple[int, int, int]] = []
+        for pdf in batches:
+            for doc_id, words in zip(
+                pdf["doc_id"].values, pdf["words_count"].values
+            ):
+                if fill + words > seq_len:
+                    seq_no += 1
+                    fill = 0
+                fill += int(words)
+                out_docs.append(
+                    ((pid << 33) | seq_no, int(doc_id), int(words))
+                )
+        if out_docs:
+            yield pd.DataFrame(
+                out_docs, columns=["seq_id", "doc_id", "words_count"]
+            )
+
+    return (
+        sized.repartitionByRange(PREFIX_PARTS, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(
+            pack, "seq_id long, doc_id long, words_count long"
+        )
+    )
+
+
+@register("q94_sequence_packing")  # rows-only: greedy bin state is
+# order-dependent imperative logic — no SQL oracle exists; the packing
+# invariants (every doc exactly once, no sequence over budget,
+# utilization floor, determinism) are pinned in tests/test_packing.py
+def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into {SEQ_LEN}-word training sequences — see
+    :func:`pack_sequences`."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
