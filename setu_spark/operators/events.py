@@ -343,3 +343,43 @@ def q77_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
         F.sum(bought.cast("long")).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------- q95
+DAY_US = 24 * HOUR_US
+
+
+@register(
+    "q95_cohort_retention",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+    ),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+    SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+           count(DISTINCT e.user_id) AS active_users
+    FROM e JOIN c USING (user_id)
+    GROUP BY c.cohort_day, age_days
+    """,
+)
+def q95_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, then
+    distinct-active counts per (cohort, days-since-first) cell — the
+    classic product-analytics readout, here in integer-µs day buckets so
+    both engines bucket identically.
+
+    Scale shape: the cohort day is a MIN WINDOW over the user partition
+    of the same projected rows (one shuffle on user_id — no
+    groupBy-then-join diamond, the same collapse as q39/q88), then one
+    partial-aggregated distinct-count shuffle on the (cohort, age)
+    cell. Per-user state is one bigint; cells are
+    O(days × days) — tiny forever."""
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+    ).withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return e.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
+    ).agg(F.countDistinct("user_id").alias("active_users"))
