@@ -383,3 +383,84 @@ def q95_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
     ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+# ---------------------------------------------------------------- q96
+#: trailing buckets used as the anomaly baseline
+ANOM_LOOKBACK = 6
+
+
+@register(
+    "q96_event_anomaly",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, epoch_us(ts) // {HOUR_US} AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, bucket
+    ),
+    trail AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER w AS s,
+             sum(cnt * cnt) OVER w AS sq,
+             count(*) OVER w AS n
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING
+                            AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, cnt,
+           round((cnt - s / CAST(n AS DOUBLE))
+                 / sqrt((sq - s * s / CAST(n AS DOUBLE))
+                        / CAST(n - 1 AS DOUBLE)), 6) AS zscore
+    FROM trail
+    WHERE n = {ANOM_LOOKBACK}
+      AND (sq - s * s / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) > 0
+    """,
+)
+def q96_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each (event_type, hour) count
+    z-scored against the previous {ANOM_LOOKBACK} hours — the streaming-
+    monitor readout ("did click volume just spike") in its batch form.
+
+    Cross-engine determinism by construction: the trailing mean/variance
+    derive from SUMS OF INTEGER COUNTS (exact in any order in both
+    engines) rather than avg/stddev aggregates, whose engine-specific
+    accumulation (Welford vs naive) would race the round-6 hash gate.
+    Zero-variance and short-history rows are excluded — a z-score
+    against no baseline is noise, not signal.
+
+    Scale shape: one shuffle to the (type, bucket) counts — cardinality
+    O(types × hours), tiny forever — then a per-type ordered window over
+    those counts; per-partition state is {ANOM_LOOKBACK} bigints."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {HOUR_US}").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    trail = counts.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sq"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (
+        F.col("sq") - F.col("s") * F.col("s") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    return (
+        trail.filter((F.col("n") == ANOM_LOOKBACK) & (var > 0))
+        .select(
+            "event_type",
+            "bucket",
+            "cnt",
+            F.round((F.col("cnt") - mean) / F.sqrt(var), 6).alias(
+                "zscore"
+            ),
+        )
+    )
