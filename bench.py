@@ -43,12 +43,16 @@ HEADLINE = [
     "q60_cosine_topk",
     "q63_ann_ivf_topk",
     "q64_decontamination",
+    "q89_bloom_decontamination",
     "q39_tfidf_top_terms",
     "q29_token_budget_sample",
     "q83_curation_pipeline",
     "q88_unigram_logprob",
     "q93_cross_corpus_neardup",
     "q66_flashtext_keyword_dist",
+    "q97_pii_redaction",
+    "q98_hash_split",
+    "q99_gopher_quality_rules",
     "q70_hourly_event_stats",
     "q71_user_sessions",
     "q75_user_totals",
@@ -79,16 +83,31 @@ def main() -> None:
 
     # min of 2 runs per query: the machine hosting the bench also hosts
     # other work, and single-shot numbers swing ±40% with background load;
-    # the min is the engine's actual cost.
+    # the min is the engine's actual cost. A co-tenant burst can span
+    # BOTH runs (observed: a ~10s stall landing on a different <2s query
+    # each full sweep), so when even the min looks stalled (> SLOW_FLOOR,
+    # above every honest per-query cost at sf0.1) retry up to 2 more
+    # times — a burst long enough to poison four spaced runs hasn't been
+    # observed.
+    SLOW_FLOOR = 5.0
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        retries = 0
+        while min(runs) > SLOW_FLOOR and retries < 2:
+            retries += 1
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         # queries that cache internal projections (q29/q37/q55/…) must
         # not leak blocks into later timings: measured +2-5s of GC/
         # eviction pressure on the tail queries once a few runs of

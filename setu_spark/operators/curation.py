@@ -30,6 +30,8 @@ from engine hash functions or RNGs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -627,3 +629,188 @@ def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into {SEQ_LEN}-word training sequences — see
     :func:`pack_sequences`."""
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- q89
+#: Bloom sizing: bits per eval gram and hash-probe count. 20 bits/key at
+#: k=4 gives ~0.1% false-positive rate — false positives only cost a
+#: probe of the exact verify join, never a wrong answer.
+BLOOM_BITS_PER_KEY = 20
+BLOOM_K = 4
+
+
+def _bloom_build(keys, bits_per_key: int = BLOOM_BITS_PER_KEY):
+    """Build a numpy-bitset Bloom filter over int64 keys. Returns
+    (bits: uint64 array, log2m). Probing uses BLOOM_K splitmix-style
+    multiplicative hashes taking the top log2m bits."""
+    import numpy as np
+
+    n = max(int(len(keys)), 1)
+    log2m = max(int(n * bits_per_key - 1).bit_length(), 6)
+    m = 1 << log2m
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    k = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    for mult in _BLOOM_MULTS:
+        idx = (k * np.uint64(mult)) >> np.uint64(64 - log2m)
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return bits, log2m
+
+
+#: Fixed odd 64-bit mixing multipliers (splitmix64 / Murmur finalizer
+#: constants) — one probe position per multiplier.
+_BLOOM_MULTS = (
+    0xFF51AFD7ED558CCD,
+    0xC4CEB9FE1A85EC53,
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+)[:BLOOM_K]
+
+
+@register(
+    "q89_bloom_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {DECON_N}
+    ),
+    grams AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             t[i+3] || ' ' || t[i+4] AS g
+      FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS u(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g FROM grams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_HEX}'
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id, g FROM grams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{EVAL_HEX}'
+    )
+    SELECT doc_id, count(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q89_bloom_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q64's decontamination with a BLOOM PREFILTER — the 100 TB form.
+    Same answer (the oracle is q64's verbatim; false positives are
+    removed by an exact verify join), different constant factor: a
+    ~{BLOOM_BITS_PER_KEY} bit/gram bitset broadcast tests every train
+    gram in vectorized numpy BEFORE anything shuffles or probes a hash
+    table, so the exact join sees only true overlaps + ~0.1% false
+    positives instead of every train gram.
+
+    Why this matters at scale: a broadcast-hash-join probe side must
+    materialize the eval grams as a JVM hash relation (~10x the bitset's
+    memory) and probe it per gram; the bitset is {BLOOM_BITS_PER_KEY}
+    bits/key regardless of gram width, lives once per executor via
+    ``sc.broadcast``, and the numpy probe is a handful of vector ops per
+    Arrow batch. Eval-set grams are benchmark-file-sized (MBs) by
+    definition, so the driver-side build is bounded — the same
+    smallness q64's broadcast already relies on. This is the explicit
+    twin of AQE's runtime bloom-filter join injection
+    (spark.sql.optimizer.runtime.bloomFilter.*), kept explicit so the
+    prefilter composes with the Python-side gram kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    base = docs.filter(F.size(t) >= DECON_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (DECON_N - 1)),
+                lambda i: F.xxhash64(F.slice(t, i, DECON_N)),
+            )
+        ).alias("g"),
+    )
+    ev = base.filter(_eval_flag()).select("g").distinct()
+    # Eval side is benchmark-sized: a bounded driver collect (same
+    # contract as every broadcast build), then a bitset broadcast.
+    ev_keys = [r[0] for r in ev.collect()]
+    bits, log2m = _bloom_build(ev_keys)
+    bc = spark.sparkContext.broadcast((bits, log2m))
+
+    @F.pandas_udf("boolean")
+    def bloom_maybe(g: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits, log2m = bc.value
+        k = g.to_numpy(dtype="int64", na_value=0).view(np.uint64)
+        hit = np.ones(len(k), dtype=bool)
+        for mult in _BLOOM_MULTS:
+            idx = (k * np.uint64(mult)) >> np.uint64(64 - log2m)
+            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    tr = base.filter(~_eval_flag()).filter(bloom_maybe("g"))
+    # Exact verify on the prefiltered residue removes false positives;
+    # the broadcast side here is the same small eval table, but the
+    # probe volume entering this join is overlap-sized, not corpus-sized.
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------- q98
+#: Hash-split boundaries on the first two hex digits of md5(doc_id):
+#: 0x00-0xe5 train (~89.8%), 0xe6-0xf2 val (~5.1%), 0xf3-0xff test.
+SPLIT_VAL_HEX = "e6"
+SPLIT_TEST_HEX = "f3"
+
+
+@register(
+    "q98_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{SPLIT_VAL_HEX}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{SPLIT_TEST_HEX}' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ALL
+    """,
+)
+def q98_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit: every document is
+    assigned a split by the first two hex digits of md5(doc_id) —
+    stable across runs, engines, and cluster layouts (never
+    ``rand()``/``randomSplit``, whose assignment depends on partition
+    layout and seed plumbing), so downstream runs can re-derive
+    membership from the id alone. Reported per (split, lang) with doc/
+    word/char totals — the stratification table a dataset card ships.
+
+    Scale shape: one codegen'd projection (md5 + string compare — the
+    hex prefix comparison IS the bucket arithmetic, no hex->int
+    conversion exists in both engines) and one partial-agg'd groupBy on
+    a 3x|langs| key space. Nothing else moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.select(
+            F.when(hx < SPLIT_VAL_HEX, "train")
+            .when(hx < SPLIT_TEST_HEX, "val")
+            .otherwise("test")
+            .alias("split"),
+            "lang",
+            F.size(F.split("text", " ", -1)).cast("long").alias("words"),
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

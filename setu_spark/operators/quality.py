@@ -1,0 +1,122 @@
+"""Gopher-style document quality rule battery (q99).
+
+The reference's quality pass is per-line flag thresholds
+(setu/filters.py + clean_analysis.py flag columns); this module adds
+the corpus-level document rule battery every modern pretraining
+pipeline runs (the Gopher / RefinedWeb / Dolma rule family): word-count
+bounds, mean-word-length bounds, stopword-fraction floor, alphabetic-
+word floor — each reported as its own boolean plus the combined verdict
+so downstream can tune thresholds without recomputing signals.
+
+Every signal is a native per-row expression (split + HOF filter +
+arithmetic — no UDF, no shuffle); fractions are rounded to 6 digits
+under the registry's cross-engine float discipline. At 100 TB the whole
+battery rides the corpus scan: zero exchanges, one codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from setu_spark.registry import register
+from setu_spark.sources.io import load_table
+
+#: Gopher-ish thresholds, scaled to the synthetic corpus (production
+#: values: 50..100_000 words, mean word length 3..10, stopword floor
+#: 0.06 over a real stopword list).
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_STOPWORD_FRAC = 0.05
+MIN_ALPHA_FRAC = 0.8
+
+#: Minimal English stopword set (the synthetic corpus's function words;
+#: production loads per-language lists via operators/wordlists.py).
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q99_gopher_quality_rules",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             round((length(text)
+                    - (len(string_split(text, ' ')) - 1))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                   6) AS mean_word_len,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> w IN ({_STOP_SQL})))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                   6) AS stopword_frac,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> regexp_matches(w, '[A-Za-z]')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                   6) AS alpha_frac
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_frac, alpha_frac,
+           (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS})
+               AS flag_word_count,
+           (mean_word_len < {MIN_MEAN_WORD_LEN}
+            OR mean_word_len > {MAX_MEAN_WORD_LEN})
+               AS flag_word_len,
+           (stopword_frac < {MIN_STOPWORD_FRAC}) AS flag_stopword,
+           (alpha_frac < {MIN_ALPHA_FRAC}) AS flag_alpha,
+           NOT (n_words < {MIN_WORDS} OR n_words > {MAX_WORDS}
+                OR mean_word_len < {MIN_MEAN_WORD_LEN}
+                OR mean_word_len > {MAX_MEAN_WORD_LEN}
+                OR stopword_frac < {MIN_STOPWORD_FRAC}
+                OR alpha_frac < {MIN_ALPHA_FRAC}) AS passes
+    FROM sig
+    """,
+)
+def q99_gopher_quality_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document Gopher rule battery: signals + per-rule flags + the
+    combined verdict. Mean word length counts text chars minus the
+    single-space separators (exact integer arithmetic before the one
+    rounded divide, so both engines round the identical double).
+
+    Scale shape: split once (`t` below is a single named projection both
+    engines CSE), three HOF/size expressions over it, zero exchanges —
+    the whole battery is one WholeStageCodegen span over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    n_words = F.size(t).cast("long")
+    stop = F.size(
+        F.filter(t, lambda w: w.isin(*STOPWORDS))
+    )
+    alpha = F.size(
+        F.filter(t, lambda w: w.rlike("[A-Za-z]"))
+    )
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            (F.length("text") - (n_words - 1)) / n_words.cast("double"), 6
+        ).alias("mean_word_len"),
+        F.round(stop / n_words.cast("double"), 6).alias("stopword_frac"),
+        F.round(alpha / n_words.cast("double"), 6).alias("alpha_frac"),
+    )
+    flag_wc = (F.col("n_words") < MIN_WORDS) | (
+        F.col("n_words") > MAX_WORDS
+    )
+    flag_wl = (F.col("mean_word_len") < MIN_MEAN_WORD_LEN) | (
+        F.col("mean_word_len") > MAX_MEAN_WORD_LEN
+    )
+    flag_stop = F.col("stopword_frac") < MIN_STOPWORD_FRAC
+    flag_alpha = F.col("alpha_frac") < MIN_ALPHA_FRAC
+    return sig.select(
+        "*",
+        flag_wc.alias("flag_word_count"),
+        flag_wl.alias("flag_word_len"),
+        flag_stop.alias("flag_stopword"),
+        flag_alpha.alias("flag_alpha"),
+        (~(flag_wc | flag_wl | flag_stop | flag_alpha)).alias("passes"),
+    )
