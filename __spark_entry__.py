@@ -55,6 +55,7 @@ _DEMOTED = (
     "q50_exact_dedup_survivors",
     "q51_minhash_signatures",
     "q52_minhash_lsh_pairs",
+    "q56_dedup_components",
     "q58_lsh_then_exact_jaccard",
 )
 

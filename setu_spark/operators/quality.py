@@ -120,3 +120,103 @@ def q99_gopher_quality_rules(
         flag_alpha.alias("flag_alpha"),
         (~(flag_wc | flag_wl | flag_stop | flag_alpha)).alias("passes"),
     )
+
+
+# ---------------------------------------------------------------- q100
+@register(
+    "q100_dataset_card",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             md5(text) AS text_key,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             n_chars,
+             (len(string_split(text, ' ')) >= {MIN_WORDS}
+              AND len(string_split(text, ' ')) <= {MAX_WORDS}
+              AND round((length(text)
+                         - (len(string_split(text, ' ')) - 1))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                  BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+              AND round(len(list_filter(string_split(text, ' '),
+                                        w -> w IN ({_STOP_SQL})))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                  >= {MIN_STOPWORD_FRAC}
+              AND round(len(list_filter(string_split(text, ' '),
+                                        w -> regexp_matches(w, '[A-Za-z]')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                  >= {MIN_ALPHA_FRAC}) AS passes
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) - count(DISTINCT text_key) AS BIGINT)
+               AS n_dup_docs,
+           round((count(*) - count(DISTINCT text_key))
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac,
+           round(sum(CASE WHEN passes THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS quality_pass_frac
+    FROM sig
+    GROUP BY lang
+    """,
+)
+def q100_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table: per-language doc/word/char totals, exact-
+    duplicate count and rate (md5 text keys — engine-portable), and the
+    fraction passing the q99 Gopher battery. One query emits the summary
+    a corpus release ships — the capstone composition of the counting,
+    dedup, and quality families.
+
+    Scale shape: one scan computes every per-doc signal in codegen; the
+    single exchange is a per-lang aggregate whose distinct-count runs on
+    fixed-width 128-bit keys (md5), partial-agg'd map-side. At 100 TB
+    this is the same two-stage plan — |langs| final rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    n_words = F.size(t).cast("long")
+    mean_wl = F.round(
+        (F.length("text") - (n_words - 1)) / n_words.cast("double"), 6
+    )
+    stop_frac = F.round(
+        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+        / n_words.cast("double"),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+        / n_words.cast("double"),
+        6,
+    )
+    passes = (
+        (n_words >= MIN_WORDS)
+        & (n_words <= MAX_WORDS)
+        & mean_wl.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (stop_frac >= MIN_STOPWORD_FRAC)
+        & (alpha_frac >= MIN_ALPHA_FRAC)
+    )
+    sig = docs.select(
+        "lang",
+        F.md5("text").alias("text_key"),
+        n_words.alias("n_words"),
+        "n_chars",
+        passes.alias("passes"),
+    )
+    return sig.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.count("*") - F.countDistinct("text_key"))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.round(
+            (F.count("*") - F.countDistinct("text_key"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_frac"),
+        F.round(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("quality_pass_frac"),
+    )

@@ -186,3 +186,47 @@ def write_compacted(
     n_files = max(1, -(-n_rows // target_rows_per_file))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def read_text_corpus(
+    spark: SparkSession, path_glob: str, whole_file: bool = False
+) -> DataFrame:
+    """Plain-text scan: one row per line (or per file with
+    ``whole_file`` — raw document ingest). Built-in ``text`` source, so
+    splits/parallelism follow Hadoop input splits like every other scan;
+    at 100 TB line-mode streams, whole-file mode is for corpora stored
+    one-document-per-file (pair with ``write_compacted`` downstream)."""
+    return (
+        spark.read.format("text")
+        .option("wholetext", str(whole_file).lower())
+        .load(path_glob)
+    )
+
+
+def read_binary_corpus(
+    spark: SparkSession, path_glob: str, suffix: str | None = None
+) -> DataFrame:
+    """Binary-file scan for multimodal payloads (images/audio/video as
+    opaque bytes + metadata): Spark's built-in ``binaryFile`` source
+    yields (path, modificationTime, length, content). The ingest mate of
+    operators/multimodal.py — decode stays in mapInPandas, the SCAN is
+    the engine's own (splittable listing, predicate pushdown on the
+    metadata columns, e.g. ``length < maxBytes`` never reads content)."""
+    reader = spark.read.format("binaryFile")
+    if suffix:
+        reader = reader.option("pathGlobFilter", f"*{suffix}")
+    return reader.load(path_glob)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — the interchange format every LLM-data toolchain
+    reads. One JSON object per line (Spark's json sink IS jsonl),
+    optionally gzipped per-part; downstream line-oriented tools stream
+    it without a JVM."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

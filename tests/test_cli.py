@@ -133,3 +133,53 @@ def test_write_compacted_file_count(spark, tmp_path):
     assert len(parts) == n_files == -(-src.count() // 400)
     back = spark.read.parquet(p)
     assert back.count() == src.count()
+
+
+def test_text_corpus_line_and_wholefile(spark, tmp_path):
+    from setu_spark.sources.io import read_text_corpus
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text_corpus(spark, str(p / "*.txt"))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    whole = read_text_corpus(spark, str(p / "*.txt"), whole_file=True)
+    texts = sorted(r["value"] for r in whole.collect())
+    assert texts == ["line one\nline two\n", "solo\n"]
+
+
+def test_binary_corpus_metadata_and_suffix_filter(spark, tmp_path):
+    from setu_spark.sources.io import read_binary_corpus
+
+    p = tmp_path / "media"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"\x00\x01\x02\x03")
+    (p / "y.bin").write_bytes(b"\xff" * 10)
+    (p / "skip.txt").write_text("not binary payload")
+    df = read_binary_corpus(spark, str(p), suffix=".bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.bin", "y.bin"}
+    assert rows["x.bin"]["length"] == 4
+    assert bytes(rows["y.bin"]["content"]) == b"\xff" * 10
+    # metadata-only predicate must not require reading content
+    assert df.filter("length > 5").count() == 1
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from setu_spark.sources.io import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    )
+    out = str(tmp_path / "out_jsonl")
+    write_jsonl(df, out)
+    back = spark.read.schema("id long, s string").json(out)
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # gzip parts: line-oriented tools can stream these without a JVM
+    import glob
+    assert glob.glob(out + "/*.json.gz")
