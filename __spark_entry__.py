@@ -57,6 +57,9 @@ _DEMOTED = (
     "q52_minhash_lsh_pairs",
     "q56_dedup_components",
     "q58_lsh_then_exact_jaccard",
+    # rows-only and fully pinned by local exact-twin tests — the weakest
+    # driver check; its slot goes to an oracle'd query instead.
+    "q84_approx_quantiles",
 )
 
 

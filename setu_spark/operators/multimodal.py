@@ -292,3 +292,67 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(kernel, schema=RESIZE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------- q101
+#: Fixed media chunk width (test-scale; production uses e.g. 30_000 ms
+#: windows for ASR / captioning batches).
+CHUNK_MS = 500
+
+
+@register(
+    "q101_media_chunk_windows",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             10 * length(text) AS duration_ms
+      FROM documents
+    ),
+    chunks AS (
+      SELECT media_id, kind, duration_ms,
+             unnest(generate_series(0,
+               greatest(CAST(floor((duration_ms + {CHUNK_MS} - 1)
+                                   / ({CHUNK_MS} * 1.0)) AS INT) - 1, 0)))
+               AS chunk_idx
+      FROM media WHERE kind <> 'image'
+    )
+    SELECT media_id, kind, chunk_idx,
+           chunk_idx * {CHUNK_MS} AS start_ms,
+           least((chunk_idx + 1) * {CHUNK_MS}, duration_ms) AS end_ms
+    FROM chunks
+    """,
+)
+def q101_media_chunk_windows(spark, sf_dir: str) -> DataFrame:
+    """Chunk audio/video into fixed {CHUNK_MS} ms processing windows from
+    typed metadata alone — the batching step before any ASR/captioning
+    decode (the decode itself stays in mapInPandas; THIS op never touches
+    payload bytes, so the scan prunes the binary column entirely).
+
+    Scale shape: per-row sequence explode sized by duration — output
+    rows = sum(ceil(duration/chunk)), no shuffle, no payload I/O. At
+    100 TB the chunk table is the join spine that routes payload slices
+    to decode workers."""
+    media = _synth_media(spark, sf_dir).filter(F.col("kind") != "image")
+    last_idx = F.greatest(
+        F.floor(
+            (F.col("duration_ms") + CHUNK_MS - 1) / (CHUNK_MS * 1.0)
+        ).cast("int")
+        - 1,
+        F.lit(0),
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+        "duration_ms",
+    ).select(
+        "media_id",
+        "kind",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_MS).alias("start_ms"),
+        F.least(
+            (F.col("chunk_idx") + 1) * CHUNK_MS, F.col("duration_ms")
+        ).alias("end_ms"),
+    )
