@@ -58,8 +58,13 @@ _DEMOTED = (
     "q56_dedup_components",
     "q58_lsh_then_exact_jaccard",
     # rows-only and fully pinned by local exact-twin tests — the weakest
-    # driver check; its slot goes to an oracle'd query instead.
+    # driver check; their slots go to oracle'd queries instead.
     "q84_approx_quantiles",
+    "q28_approx_distinct_parts",
+    # NEW queries queued for round 4's window rotation: the round-3
+    # window is full of this round's changed/new queries, so these wait
+    # just past the cut (still oracle'd + locally parity-tested).
+    "q103_snapshot_diff",
 )
 
 

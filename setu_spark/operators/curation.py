@@ -814,3 +814,112 @@ def q98_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------- q102
+#: Number of quality tiers (deciles).
+N_TIERS = 10
+
+#: The q88 scoring CTEs, shared verbatim by q102's oracle so the tier
+#: boundaries derive from the identical rounded score in both engines.
+_Q88_SQL_CTES = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM toks GROUP BY doc_id, word
+    ),
+    freq AS (
+      SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY word
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(
+               CAST(sum(CAST(tf * -ln(cnt / CAST(total AS DOUBLE))
+                             AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logprob
+      FROM tf JOIN freq USING (word) CROSS JOIN t
+      GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q102_quality_tiers",
+    oracle=f"""
+    WITH {_Q88_SQL_CTES},
+    ranked AS (
+      SELECT doc_id, n_tokens, avg_neg_logprob,
+             row_number() OVER (ORDER BY avg_neg_logprob, doc_id) AS rn,
+             count(*) OVER () AS n_total
+      FROM scored
+    )
+    SELECT CAST(floor((rn - 1) * {N_TIERS} / CAST(n_total AS DOUBLE))
+                AS INT) + 1 AS tier,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(avg_neg_logprob), 6) AS best_score,
+           round(max(avg_neg_logprob), 6) AS worst_score
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q102_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket the corpus into {N_TIERS} quality tiers by the q88
+    perplexity proxy ("train on the top 3 deciles" is a standard
+    curation policy) — tier = exact global rank decile over the ROUND-6
+    score with doc_id tie-break, so both engines draw identical
+    boundaries.
+
+    Scale shape — the q29 distributed-rank pattern generalized: a global
+    ntile/row_number window funnels 100 TB through ONE task, so instead
+    the scored docs are RANGE-partitioned on (score, doc_id), ranked
+    partition-locally (parallel), and lifted to global ranks by a
+    {PREFIX_PARTS}-row offsets collect + broadcast join. Any range
+    boundary sampling yields the same final ranks (offsets correct for
+    whatever boundaries were drawn). The scoring sub-plan is q88's
+    (one token shuffle + word-partition window)."""
+    scored = q88_unigram_logprob(spark, sf_dir)
+    local = (
+        scored.repartitionByRange(
+            PREFIX_PARTS, "avg_neg_logprob", "doc_id"
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    "avg_neg_logprob", "doc_id"
+                )
+            ),
+        )
+        .cache()
+    )
+    totals = sorted(
+        local.groupBy("pid").agg(F.max("local_rn").alias("tot")).collect()
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((row["pid"], running))
+        running += row["tot"]
+    n_total = running
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    ranked = local.join(F.broadcast(off), "pid").withColumn(
+        "rn", F.col("local_rn") + F.col("off")
+    )
+    tier = (
+        F.floor(
+            (F.col("rn") - 1) * N_TIERS / F.lit(float(n_total))
+        ).cast("int")
+        + 1
+    ).alias("tier")
+    return ranked.groupBy(tier).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.min("avg_neg_logprob"), 6).alias("best_score"),
+        F.round(F.max("avg_neg_logprob"), 6).alias("worst_score"),
+    )

@@ -220,3 +220,88 @@ def q100_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality_pass_frac"),
     )
+
+
+# ---------------------------------------------------------------- q103
+#: Deterministic snapshot simulation moduli: the "previous" corpus
+#: version lacks doc_id % PREV_ABSENT == 0 (those are "added" now), the
+#: "current" version lacks doc_id % CUR_ABSENT == 0 (those were
+#: "removed"), and docs with doc_id % CHANGED == 0 carry a different
+#: text in the previous version ("changed").
+PREV_ABSENT = 7
+CUR_ABSENT = 11
+CHANGED = 5
+
+
+@register(
+    "q103_snapshot_diff",
+    oracle=f"""
+    WITH prev AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % {CHANGED} = 0
+                      THEN text || ' v1' ELSE text END) AS k,
+             n_chars
+      FROM documents WHERE doc_id % {PREV_ABSENT} <> 0
+    ),
+    cur AS (
+      SELECT doc_id, md5(text) AS k, n_chars
+      FROM documents WHERE doc_id % {CUR_ABSENT} <> 0
+    )
+    SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN p.k <> c.k THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(c.n_chars, 0)) AS BIGINT) AS cur_chars,
+           CAST(sum(coalesce(p.n_chars, 0)) AS BIGINT) AS prev_chars
+    FROM prev p FULL OUTER JOIN cur c USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q103_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the incremental-versioning audit (what a
+    crawl refresh changed): added / removed / changed / unchanged doc
+    counts and char volumes between two corpus versions, compared by
+    content hash. The versions here are deterministic md5-stable slices
+    of the documents table (simulating a refresh); on real data the two
+    sides are two parquet snapshots.
+
+    Scale shape: one full-outer sort-merge join on doc_id comparing
+    fixed-width md5 keys — at 100 TB both snapshots bucket by doc_id at
+    ingest (`write_compacted`/bucketBy), making this join co-located
+    with zero shuffle; the aggregate is 4 rows after map-side partials.
+    DuckDB's USING join exposes a coalesced key, matched by joining on
+    the column name in Spark."""
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % PREV_ABSENT != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % CHANGED == 0,
+                F.concat(F.col("text"), F.lit(" v1")),
+            ).otherwise(F.col("text"))
+        ).alias("pk"),
+        F.col("n_chars").alias("p_chars"),
+    )
+    cur = docs.filter(F.col("doc_id") % CUR_ABSENT != 0).select(
+        "doc_id",
+        F.md5("text").alias("ck"),
+        F.col("n_chars").alias("c_chars"),
+    )
+    joined = prev.join(cur, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("pk").isNull(), "added")
+        .when(F.col("ck").isNull(), "removed")
+        .when(F.col("pk") != F.col("ck"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return joined.groupBy(status).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("c_chars", F.lit(0)))
+        .cast("long")
+        .alias("cur_chars"),
+        F.sum(F.coalesce("p_chars", F.lit(0)))
+        .cast("long")
+        .alias("prev_chars"),
+    )
