@@ -270,3 +270,60 @@ def test_stream_stream_join_matches_batch(spark):
         assert got == [(1, 0, 1), (1, 2, 3)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_pii_and_quality_gate_matches_batch(spark):
+    """The governance tier composes with readStream unchanged: PII
+    redaction + the Gopher word-count gate are stateless projections, so
+    the streaming micro-batch output must equal the batch output on the
+    same files."""
+    import tempfile, shutil
+
+    from setu_spark.functions.pii import pii_count, redact_pii
+
+    d = tempfile.mkdtemp(prefix="setu-pii-stream-")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me a@b.io about account 1234567"),
+                (2, "plain words only here"),
+                (3, "host 10.0.0.1 retries"),
+            ],
+            "doc_id long, text string",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+
+        def gate(df):
+            return df.select(
+                "doc_id",
+                redact_pii("text").alias("clean_text"),
+                (
+                    pii_count("text", "email")
+                    + pii_count("text", "ipv4")
+                    + pii_count("text", "id_num")
+                ).alias("pii_hits"),
+                (F.size(F.split("text", " ", -1)) >= 4).alias("keeps"),
+            )
+
+        batch = {r["doc_id"]: r for r in gate(spark.read.parquet(d)).collect()}
+        stream = gate(
+            spark.readStream.schema("doc_id long, text string").parquet(d)
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pii_gate")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql("select * from pii_gate").collect()
+        }
+        assert set(got) == set(batch)
+        for k in batch:
+            assert got[k] == batch[k]
+        assert got[1]["pii_hits"] == 2 and "<EMAIL>" in got[1]["clean_text"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
