@@ -65,6 +65,8 @@ _DEMOTED = (
     # window is full of this round's changed/new queries, so these wait
     # just past the cut (still oracle'd + locally parity-tested).
     "q103_snapshot_diff",
+    "q104_compression_ratio",
+    "q105_source_overlap",
 )
 
 

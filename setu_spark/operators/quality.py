@@ -16,6 +16,8 @@ battery rides the corpus scan: zero exchanges, one codegen stage.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -304,4 +306,148 @@ def q103_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("p_chars", F.lit(0)))
         .cast("long")
         .alias("prev_chars"),
+    )
+
+
+# ---------------------------------------------------------------- q104
+#: Compression-ratio floor below which a document is flagged as
+#: low-entropy (boilerplate / repetition compresses hard; the classic
+#: Dolma/Gopher "zlib ratio" signal).
+MIN_ZLIB_RATIO = 0.35
+
+
+@register("q104_compression_ratio")  # rows-only: no SQL engine exposes
+# zlib; semantics pinned by planted-fixture tests (repetitive text must
+# flag, high-entropy text must not)
+def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/original bytes) —
+    the cheap entropy proxy quality pipelines threshold on: boilerplate,
+    templated spam, and runaway repetition compress far below natural
+    text. stdlib zlib inside an Arrow-batched pandas UDF (C-speed per
+    row, one JVM<->Python crossing per batch); zero shuffle, rides the
+    corpus scan like every other per-row signal."""
+    import zlib
+
+    @F.pandas_udf("long")
+    def zbytes(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else 0
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orig = F.octet_length("text")
+    return docs.select(
+        "doc_id",
+        orig.alias("orig_bytes"),
+        zbytes("text").alias("compressed_bytes"),
+    ).select(
+        "*",
+        F.round(
+            F.col("compressed_bytes")
+            / F.greatest(F.col("orig_bytes"), F.lit(1)).cast("double"),
+            6,
+        ).alias("zlib_ratio"),
+    ).select(
+        "*",
+        (F.col("zlib_ratio") < MIN_ZLIB_RATIO).alias("flag_low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------- q105
+#: Source-overlap gram width (word bigrams: wide enough to beat shared
+#: vocabulary, narrow enough that honest overlap exists).
+OVERLAP_N = 2
+
+
+@register(
+    "q105_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {OVERLAP_N}
+    ),
+    grams AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] AS g
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE i < len(t)
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           round(n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def q105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap matrix between sources: exact Jaccard of
+    word-{OVERLAP_N}-gram sets — "how much does crawl A repeat crawl B",
+    the due-diligence table before mixing corpora (the exact companion
+    of q93's banded cross-corpus near-dup).
+
+    Scale shape: distinct (source, gram) collapses each source to its
+    gram set in one partial-agg'd shuffle; the gram self-join fans out
+    at most C(|sources|, 2) pairs per gram — bounded by the SOURCE
+    count squared, independent of corpus size (the unbounded-token-join
+    trap q53 had is structurally absent). Gram keys are xxhash64 of the
+    token slice (fixed-width, no gram strings); the oracle counts raw
+    strings — counts agree absent 64-bit collisions, q64's argument."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    grams = (
+        docs.filter(F.size(t) >= OVERLAP_N)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (OVERLAP_N - 1)),
+                    lambda i: F.xxhash64(F.slice(t, i, OVERLAP_N)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
     )

@@ -1,0 +1,68 @@
+"""Quality-family semantics the oracles can't pin: the zlib entropy
+signal (no SQL twin exists) on planted fixtures, plus a Gopher-battery
+spot check against hand-computed values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from setu_spark.operators.quality import (
+    MIN_STOPWORD_FRAC,
+    MIN_WORDS,
+)
+
+
+def test_compression_ratio_flags_low_entropy(spark, tmp_path):
+    """Repetitive text must flag, high-entropy text must not — the whole
+    point of the signal."""
+    import os
+    import random
+
+    from setu_spark.operators.quality import q104_compression_ratio
+
+    random.seed(11)
+    rows = [
+        (1, "spam " * 400),  # pure repetition -> tiny ratio
+        (2, " ".join(
+            "".join(random.choices("abcdefghijklmnopqrstuvwxyz", k=8))
+            for _ in range(400)
+        )),  # random words -> ratio near/above the floor
+    ]
+    d = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in q104_compression_ratio(spark, d).collect()}
+    assert out[1]["flag_low_entropy"] and out[1]["zlib_ratio"] < 0.05
+    assert not out[2]["flag_low_entropy"]
+    # ratio is compressed/original on utf-8 bytes
+    assert out[2]["orig_bytes"] == len(rows[1][1].encode())
+
+
+def test_gopher_battery_hand_computed(spark, tmp_path):
+    import os
+
+    from setu_spark.operators.quality import q99_gopher_quality_rules
+
+    text = "the quick brown fox jumps over the lazy dog again today yes"
+    short = "too short"
+    rows = [(1, text), (2, short)]
+    d = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in q99_gopher_quality_rules(spark, d).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 12
+    # 'the' twice of 12 words
+    assert abs(r1["stopword_frac"] - round(2 / 12, 6)) < 1e-9
+    assert r1["alpha_frac"] == 1.0
+    assert r1["flag_word_count"]  # 12 < MIN_WORDS=30
+    assert MIN_WORDS > 12 and MIN_STOPWORD_FRAC < 2 / 12
+    r2 = out[2]
+    assert r2["n_words"] == 2 and r2["flag_word_count"]
+    assert not r2["passes"]
