@@ -196,3 +196,78 @@ def test_q29_no_global_window(spark):
     # only; ours must lead with the pid partition key
     assert all("pid" in s for s in specs), specs
     assert broadcast_join_count(df) >= 1
+
+
+def test_q99_gopher_battery_no_shuffle(spark):
+    # the whole rule battery is one codegen projection over the scan
+    assert shuffle_count(_q(spark, "q99_gopher_quality_rules")) == 0
+
+
+def test_q101_media_chunks_no_shuffle_and_pruned(spark):
+    # chunk spine: per-row sequence explode sized by metadata; no
+    # exchange, and the scan never reads the lang/source columns the
+    # media adapter doesn't touch
+    df = _q(spark, "q101_media_chunk_windows")
+    assert shuffle_count(df) == 0
+    schemas = scan_schemas(df)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    ), schemas
+
+
+def test_q97_pii_two_phase_distinct_agg(spark):
+    # scan -> codegen regex projection -> partial agg; the two exchanges
+    # are the countDistinct expansion ((segment, redacted) then
+    # (segment)) — both carry pre-aggregated rows, never raw text
+    df = _q(spark, "q97_pii_redaction")
+    assert shuffle_count(df) == 2
+    assert has_partial_aggregate(df)
+
+
+def test_q98_split_single_exchange(spark):
+    df = _q(spark, "q98_hash_split")
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_q89_bloom_filter_precedes_verify_join(spark):
+    # the bloom prefilter (a python UDF filter over gram keys) must sit
+    # BELOW the exact verify join in the plan — prefilter then join,
+    # never join then filter
+    df = _q(spark, "q89_bloom_decontamination")
+    plan = plan_string(df)
+    assert broadcast_join_count(df) >= 1
+    ijoin = plan.index("BroadcastHashJoin")
+    # the arrow-eval of the bloom UDF appears in the join's input subtree
+    # (later in the printed tree = deeper/below)
+    ieval = max(
+        plan.find("ArrowEvalPython"), plan.find("BatchEvalPython")
+    )
+    assert ieval > ijoin, plan[:2000]
+
+
+def test_q102_tiers_no_global_window(spark):
+    # distributed ranking: every window spec carries the pid partition
+    # key (q29's invariant, generalized to row_number)
+    import re
+
+    df = _q(spark, "q102_quality_tiers")
+    plan = plan_string(df, mode="extended")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # q102 composes q88, whose word-frequency window partitions by word;
+    # the ranking windows must carry pid — no spec may be partitionless
+    assert all(("pid" in s) or ("word" in s) for s in specs), specs
+
+
+def test_q105_overlap_distinct_before_selfjoin(spark):
+    # the source-overlap self-join must run on the DISTINCT per-source
+    # gram sets (bounded fan-out), never the raw exploded gram stream
+    import re
+
+    df = _q(spark, "q105_source_overlap")
+    plan = plan_string(df)
+    assert "Join" in plan
+    # a distinct aggregate keyed (source, g) must exist (the gram-set
+    # collapse both join inputs read)
+    assert re.search(r"Keys \[2\]: \[source#\d+, g#\d+", plan), plan[:1500]
