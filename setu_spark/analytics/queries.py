@@ -778,3 +778,87 @@ def q27_unified_activity_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("amount"), "total_amount"),
         )
     )
+
+
+# ---------------------------------------------------------------- q106
+#: Pivot column domain, declared explicitly: Spark otherwise runs an
+#: extra distinct JOB to discover it, and at 100 TB column discovery
+#: must never scan the fact table (the reference has no pivot at all —
+#: SURVEY.md §2.4 covers only plain/rollup/cube shapes).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q106_event_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+               f" AS n_{t}" for t in EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q106_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per user, one count column per event type — the
+    wide-format export every BI/feature-store handoff asks for.
+
+    Scale shape: with the pivot domain DECLARED (values list), Spark
+    compiles this to a single groupBy(user_id) whose aggregate buffer
+    holds |types| counters — one partial-agg'd shuffle, identical to the
+    oracle's FILTER-routed conditional aggregation; no per-type scans,
+    no domain-discovery job."""
+    from setu_spark.operators.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+# ---------------------------------------------------------------- q107
+@register(
+    "q107_grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2
+                + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q107_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular multi-level report
+    rollup/cube can't express ((status), (priority), ()) without paying
+    for the (status, priority) cross level. Declared through the SQL API
+    (``spark.sql`` over a temp view): grouping sets have no DataFrame
+    builder, and the engine's surface includes SQL-first users.
+
+    Scale shape: Spark expands grouping sets into one Expand + single
+    partial-agg'd shuffle — rows replicate once per set (3× here), never
+    once per group; same plan family as q15's cube."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q107_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM q107_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
