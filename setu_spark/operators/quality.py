@@ -41,6 +41,47 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+def gopher_signals(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)
+                   ) -> DataFrame:
+    """The Gopher battery as a reusable projection: ``keep`` columns +
+    signals + per-rule flags + the combined verdict over any DataFrame
+    with a ``text`` column (queries AND the ``govern`` CLI stage share
+    this). One codegen projection, zero exchanges."""
+    t = F.split("text", " ", -1)
+    n_words = F.size(t).cast("long")
+    stop = F.size(
+        F.filter(t, lambda w: w.isin(*STOPWORDS))
+    )
+    alpha = F.size(
+        F.filter(t, lambda w: w.rlike("[A-Za-z]"))
+    )
+    sig = docs.select(
+        *keep,
+        n_words.alias("n_words"),
+        F.round(
+            (F.length("text") - (n_words - 1)) / n_words.cast("double"), 6
+        ).alias("mean_word_len"),
+        F.round(stop / n_words.cast("double"), 6).alias("stopword_frac"),
+        F.round(alpha / n_words.cast("double"), 6).alias("alpha_frac"),
+    )
+    flag_wc = (F.col("n_words") < MIN_WORDS) | (
+        F.col("n_words") > MAX_WORDS
+    )
+    flag_wl = (F.col("mean_word_len") < MIN_MEAN_WORD_LEN) | (
+        F.col("mean_word_len") > MAX_MEAN_WORD_LEN
+    )
+    flag_stop = F.col("stopword_frac") < MIN_STOPWORD_FRAC
+    flag_alpha = F.col("alpha_frac") < MIN_ALPHA_FRAC
+    return sig.select(
+        "*",
+        flag_wc.alias("flag_word_count"),
+        flag_wl.alias("flag_word_len"),
+        flag_stop.alias("flag_stopword"),
+        flag_alpha.alias("flag_alpha"),
+        (~(flag_wc | flag_wl | flag_stop | flag_alpha)).alias("passes"),
+    )
+
+
 @register(
     "q99_gopher_quality_rules",
     oracle=f"""
@@ -85,43 +126,10 @@ def q99_gopher_quality_rules(
     single-space separators (exact integer arithmetic before the one
     rounded divide, so both engines round the identical double).
 
-    Scale shape: split once (`t` below is a single named projection both
+    Scale shape: split once (the split is a single named projection both
     engines CSE), three HOF/size expressions over it, zero exchanges —
     the whole battery is one WholeStageCodegen span over the scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ", -1)
-    n_words = F.size(t).cast("long")
-    stop = F.size(
-        F.filter(t, lambda w: w.isin(*STOPWORDS))
-    )
-    alpha = F.size(
-        F.filter(t, lambda w: w.rlike("[A-Za-z]"))
-    )
-    sig = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(
-            (F.length("text") - (n_words - 1)) / n_words.cast("double"), 6
-        ).alias("mean_word_len"),
-        F.round(stop / n_words.cast("double"), 6).alias("stopword_frac"),
-        F.round(alpha / n_words.cast("double"), 6).alias("alpha_frac"),
-    )
-    flag_wc = (F.col("n_words") < MIN_WORDS) | (
-        F.col("n_words") > MAX_WORDS
-    )
-    flag_wl = (F.col("mean_word_len") < MIN_MEAN_WORD_LEN) | (
-        F.col("mean_word_len") > MAX_MEAN_WORD_LEN
-    )
-    flag_stop = F.col("stopword_frac") < MIN_STOPWORD_FRAC
-    flag_alpha = F.col("alpha_frac") < MIN_ALPHA_FRAC
-    return sig.select(
-        "*",
-        flag_wc.alias("flag_word_count"),
-        flag_wl.alias("flag_word_len"),
-        flag_stop.alias("flag_stopword"),
-        flag_alpha.alias("flag_alpha"),
-        (~(flag_wc | flag_wl | flag_stop | flag_alpha)).alias("passes"),
-    )
+    return gopher_signals(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------- q100

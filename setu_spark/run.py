@@ -127,6 +127,50 @@ def stage_dedup(spark, inp: str, out: str, cfg: dict) -> str:
     return dst
 
 
+def stage_govern(spark, inp: str, out: str, cfg: dict) -> str:
+    """Governance pass (beyond-reference): PII redaction + Gopher rule
+    battery + deterministic hash split in ONE projection over the input
+    corpus — the release-preparation stage a dataset ships through.
+    Writes ``governed`` (redacted text + flags + split label) and the
+    per-(split, lang) ``dataset_card`` aggregate."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.functions.pii import PII_PATTERNS, pii_count, redact_pii
+    from setu_spark.operators.curation import SPLIT_TEST_HEX, SPLIT_VAL_HEX
+    from setu_spark.operators.quality import gopher_signals
+
+    df = _read(spark, inp)
+    keep = [c for c in ("doc_id", "lang", "source") if c in df.columns]
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    base = df.select(
+        *keep,
+        redact_pii("text").alias("text"),
+        sum(
+            (pii_count("text", k) for k in PII_PATTERNS),
+            F.lit(0),
+        ).alias("pii_hits"),
+        F.when(hx < SPLIT_VAL_HEX, "train")
+        .when(hx < SPLIT_TEST_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sigs = gopher_signals(df, keep=("doc_id",))
+    governed = base.join(sigs, "doc_id")
+    dst = os.path.join(out, "governed")
+    write_parquet(governed, dst)
+    lang = F.col("lang") if "lang" in df.columns else F.lit("und")
+    card = governed.groupBy("split", lang.alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("pii_hits").alias("pii_hits"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias(
+            "quality_pass"
+        ),
+    )
+    write_parquet(card, os.path.join(out, "dataset_card"))
+    return dst
+
+
 STAGES = {
     "extract": stage_extract,
     "clean": stage_clean,
@@ -134,11 +178,12 @@ STAGES = {
     "lid": stage_lid,
     "flag_filter": stage_flag_filter,
     "dedup": stage_dedup,
+    "govern": stage_govern,
 }
 
 #: `all` runs the post-extraction chain (extraction needs raw crawl JSON,
 #: the rest chain parquet → parquet).
-PIPELINE = ("clean", "analyse", "lid", "flag_filter", "dedup")
+PIPELINE = ("clean", "analyse", "lid", "flag_filter", "dedup", "govern")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -169,6 +214,7 @@ def main(argv: list[str] | None = None) -> None:
             ("lid", cleaned),
             ("flag_filter", doc_stats),
             ("dedup", cleaned),
+            ("govern", cleaned),
         ):
             dst = STAGES[name](spark, src, args.output, cfg)
             print(f"[setu_spark.run] {name} -> {dst}")

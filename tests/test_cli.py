@@ -52,6 +52,17 @@ def test_cli_pipeline_end_to_end(tmp_path):
         " hive_partitioning=1)"
     ).fetchone()[0]
     assert lid == 500
+    gov = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN split IN ('train','val','test')"
+        f" THEN 1 ELSE 0 END), count(DISTINCT split)"
+        f" FROM '{out}/governed/*.parquet'"
+    ).fetchone()
+    assert gov[0] == 500 and gov[1] == 500 and gov[2] == 3
+    card = duckdb.sql(
+        f"SELECT CAST(sum(n_docs) AS BIGINT) FROM"
+        f" '{out}/dataset_card/*.parquet'"
+    ).fetchone()[0]
+    assert card == 500
 
 
 def test_cli_single_stage(tmp_path):
