@@ -74,12 +74,15 @@ def main() -> None:
 
     # Warm the JVM/codegen paths and the Python (Arrow UDF) workers once so
     # the first measured query doesn't pay session/worker spin-up.
-    queries["q01_pricing_summary"](spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    spark.range(64).select(
-        F.pandas_udf(lambda s: s, "long")(F.col("id"))
-    ).write.format("noop").mode("overwrite").save()
+    try:
+        queries["q01_pricing_summary"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark.range(64).select(
+            F.pandas_udf(lambda s: s, "long")(F.col("id"))
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # warm-up failure must not kill the run
+        print(f"[bench] warm-up failed: {exc!r}", file=sys.stderr)
 
     # min of 2 runs per query: the machine hosting the bench also hosts
     # other work, and single-shot numbers swing ±40% with background load;
@@ -90,44 +93,63 @@ def main() -> None:
     # times — a burst long enough to poison four spaced runs hasn't been
     # observed.
     SLOW_FLOOR = 5.0
+    # Failure isolation: one throwing query must not abort the sweep (a
+    # single bad query killed the entire round-3 bench before any JSON was
+    # written). Each query runs under try/except; errors are recorded in a
+    # parallel map and the partial result is checkpointed to
+    # bench_partial.json after EVERY query so a hard crash mid-sweep still
+    # leaves numbers on disk.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        retries = 0
-        while min(runs) > SLOW_FLOOR and retries < 2:
-            retries += 1
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        best = min(runs)
-        # queries that cache internal projections (q29/q37/q55/…) must
-        # not leak blocks into later timings: measured +2-5s of GC/
-        # eviction pressure on the tail queries once a few runs of
-        # cached DataFrames accumulate in the block manager
-        spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+    errors: dict[str, str] = {}
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    def _checkpoint() -> None:
+        payload = {
+            "metric": "headline_query_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+        }
+        if errors:
+            payload["errors"] = errors
+        try:
+            with open("bench_partial.json", "w") as fh:
+                json.dump(payload, fh)
+        except OSError:
+            pass
+        return payload
+
+    for name in HEADLINE:
+        try:
+            runs: list[float] = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            retries = 0
+            while min(runs) > SLOW_FLOOR and retries < 2:
+                retries += 1
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = repr(exc)[:500]
+            print(f"[bench] {name}: ERROR {exc!r}", file=sys.stderr)
+        finally:
+            # queries that cache internal projections (q29/q37/q55/…) must
+            # not leak blocks into later timings: measured +2-5s of GC/
+            # eviction pressure on the tail queries once a few runs of
+            # cached DataFrames accumulate in the block manager
+            spark.catalog.clearCache()
+            _checkpoint()
+
+    print(json.dumps(_checkpoint()))
 
 
 if __name__ == "__main__":

@@ -573,17 +573,23 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     of the open sequence) depends on every prior decision, so no
     window/join/agg expresses it. This is the sanctioned escape hatch
     (SURVEY §7 build stance): an Arrow-batched ``mapInPandas`` running
-    partition-LOCAL greedy next-fit, after a range repartition + in-
-    partition sort make the scan order deterministic.
+    group-LOCAL greedy next-fit over deterministic doc_id-range groups.
 
-    Packing is embarrassingly partition-parallel — sequences never span
-    partitions, so at 100 TB each executor packs its own range and the
-    only cross-node data movement is the one range shuffle. Sequence ids
-    are (partition id << 33) | local counter: unique without any global
-    coordination. Docs longer than the budget are clamped (production
-    would chunk them first — q40's explode/reassembly family)."""
+    Determinism is by VALUE, not by physical partition: each doc gets an
+    explicit pack-group ``pid = (doc_id - lo) * P // span`` (lo/span from
+    a bounded min/max aggregate — one tiny driver collect), the kernel
+    resets its bin state whenever pid changes, and sequence ids are
+    (pid << 33) | local counter. The output is therefore a pure function
+    of the data — identical under any partitioning, any executor count,
+    and exactly replayable by the driver's DuckDB oracle (a per-pid
+    recursive-CTE replay of the same next-fit recurrence).
+
+    Packing stays embarrassingly parallel — sequences never span pack
+    groups, so at 100 TB each executor packs its own doc_id range and the
+    only cross-node movement is the one hash shuffle on pid. Docs longer
+    than the budget are clamped (production would chunk them first —
+    q40's explode/reassembly family)."""
     import pandas as pd
-    from pyspark import TaskContext
 
     sized = docs.select(
         "doc_id",
@@ -591,40 +597,84 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
             F.size(F.split("text", " ", -1)).cast("long"), F.lit(seq_len)
         ).alias("words_count"),
     )
+    lo, hi = sized.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return sized.sparkSession.createDataFrame(
+            [], "seq_id long, doc_id long, words_count long"
+        )
+    span = hi - lo + 1
+    sized = sized.withColumn(
+        "pid", F.expr(f"(doc_id - {lo}) * {PREFIX_PARTS} div {span}")
+    )
 
     def pack(batches):
-        pid = TaskContext.get().partitionId()
-        seq_no, fill = 0, 0
-        out_docs: list[tuple[int, int, int]] = []
+        cur_pid, seq_no, fill = None, 0, 0
         for pdf in batches:
-            for doc_id, words in zip(
-                pdf["doc_id"].values, pdf["words_count"].values
+            out_docs: list[tuple[int, int, int]] = []
+            for pid, doc_id, words in zip(
+                pdf["pid"].values, pdf["doc_id"].values,
+                pdf["words_count"].values,
             ):
+                if pid != cur_pid:
+                    cur_pid, seq_no, fill = pid, 0, 0
                 if fill + words > seq_len:
                     seq_no += 1
                     fill = 0
                 fill += int(words)
                 out_docs.append(
-                    ((pid << 33) | seq_no, int(doc_id), int(words))
+                    ((int(pid) << 33) | seq_no, int(doc_id), int(words))
                 )
-        if out_docs:
-            yield pd.DataFrame(
-                out_docs, columns=["seq_id", "doc_id", "words_count"]
-            )
+            if out_docs:
+                yield pd.DataFrame(
+                    out_docs, columns=["seq_id", "doc_id", "words_count"]
+                )
 
     return (
-        sized.repartitionByRange(PREFIX_PARTS, "doc_id")
-        .sortWithinPartitions("doc_id")
+        sized.repartition(PREFIX_PARTS, "pid")
+        .sortWithinPartitions("pid", "doc_id")
         .mapInPandas(
             pack, "seq_id long, doc_id long, words_count long"
         )
     )
 
 
-@register("q94_sequence_packing")  # rows-only: greedy bin state is
-# order-dependent imperative logic — no SQL oracle exists; the packing
-# invariants (every doc exactly once, no sequence over budget,
-# utilization floor, determinism) are pinned in tests/test_packing.py
+def _packing_oracle() -> str:
+    """DuckDB replay of :func:`pack_sequences`: same pid formula, same
+    next-fit recurrence advanced one row per pid per recursion step."""
+    return f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             least(CAST(len(string_split(text, ' ')) AS BIGINT),
+                   {SEQ_LEN}) AS words_count
+      FROM documents
+    ),
+    b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM sized),
+    numbered AS (
+      SELECT s.doc_id, s.words_count,
+             (s.doc_id - b.lo) * {PREFIX_PARTS} // (b.hi - b.lo + 1) AS pid,
+             row_number() OVER (
+               PARTITION BY (s.doc_id - b.lo) * {PREFIX_PARTS}
+                            // (b.hi - b.lo + 1)
+               ORDER BY s.doc_id) AS rn
+      FROM sized s, b
+    ),
+    packed AS (
+      SELECT pid, rn, doc_id, words_count,
+             CAST(0 AS BIGINT) AS seq_no, words_count AS fill
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.pid, n.rn, n.doc_id, n.words_count,
+             CASE WHEN p.fill + n.words_count > {SEQ_LEN}
+                  THEN p.seq_no + 1 ELSE p.seq_no END,
+             CASE WHEN p.fill + n.words_count > {SEQ_LEN}
+                  THEN n.words_count ELSE p.fill + n.words_count END
+      FROM packed p JOIN numbered n ON n.pid = p.pid AND n.rn = p.rn + 1
+    )
+    SELECT (pid << 33) | seq_no AS seq_id, doc_id, words_count FROM packed
+    """
+
+
+@register("q94_sequence_packing", oracle=_packing_oracle())
 def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into {SEQ_LEN}-word training sequences — see
     :func:`pack_sequences`."""

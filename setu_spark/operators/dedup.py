@@ -612,13 +612,59 @@ def connected_components(
     return labels
 
 
-@register("q56_dedup_components")  # rows-only: iterative fixpoint algorithm
+def _components_sql() -> str:
+    """DuckDB oracle for q56: the same LSH candidate edges as
+    :func:`_pairs_sql` (un-thresholded), then components by recursive
+    transitive closure — component label = min reachable doc_id, exactly
+    the fixpoint the iterative min-label propagation converges to.
+    Closure cost is per-cluster quadratic, and near-dup clusters are
+    small, so the oracle stays cheap at oracle scale."""
+    sig_cols = ", ".join(_minhash_sql_cols())
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
+        " AS band_hash FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id, {sig_cols} FROM documents
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    )
+    SELECT component,
+           count(*) AS cluster_size,
+           min(doc_id) AS survivor_doc_id
+    FROM comp GROUP BY component
+    """
+
+
+@register("q56_dedup_components", oracle=_components_sql())
 def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy-dedup decision: MinHash signatures → LSH candidate
-    pairs → connected components → per-component survivor stats. Declared
-    rows-only (the driver contract's carve-out for iterative algorithms);
-    the component math is pinned by unit tests on planted duplicate
-    clusters."""
+    pairs → connected components → per-component survivor stats. The
+    iterative min-label propagation's fixpoint is oracle-checked against a
+    DuckDB recursive transitive closure (:func:`_components_sql`); the
+    component math is additionally pinned by unit tests on planted
+    duplicate clusters."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)

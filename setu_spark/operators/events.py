@@ -6,12 +6,11 @@ keyed dedup, share-of-window — expressed so that the exact same aggregation
 logic runs under Structured Streaming (see ``setu_spark/streaming/jobs.py``,
 which reuses these shapes with ``readStream`` + watermarks).
 
-Timestamp determinism: the events parquet stores TIMESTAMP(NANOS), which
-Spark 4 refuses to read as a timestamp and DuckDB silently truncates to
-microseconds. We therefore read it via ``spark.sql.legacy.parquet
-.nanosAsLong`` (a runtime SQL conf) and do ALL event-time arithmetic in
-integer microseconds (``ts_us = ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``)
-— exact, timezone-free, identical in both engines.
+Timestamp determinism: all event-time arithmetic runs in integer
+microseconds (``ts_us``), exact and identical in both engines (DuckDB side
+is ``epoch_us(ts)``). How ``ts_us`` is derived depends on the physical
+parquet type, which has changed across testdata generations — see
+:func:`load_events` for the dtype dispatch.
 """
 
 from __future__ import annotations
@@ -30,19 +29,31 @@ HOUR_US = 3_600_000_000
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with an exact integer-µs event-time column ``ts_us``.
 
-    ``nanosAsLong`` lives in ``session.DEFAULT_CONF`` (sessions we build
-    never mutate conf here); the guarded ensure below exists because the
-    driver's correctness harness hands us a session built elsewhere, and
-    without the conf the TIMESTAMP(NANOS) read throws. There is no per-read
-    parquet option for it (verified against ParquetOptions in 4.1.2), so a
-    conditional session-level set is the narrowest possible scope."""
+    The physical type of ``ts`` has varied across testdata generations:
+    TIMESTAMP(NANOS) (readable only as int64 via the ``nanosAsLong`` conf)
+    and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ / TIMESTAMP). Dispatch on
+    the *loaded* dtype rather than assuming either:
+
+    - ``bigint``  → the nanos conf kicked in; ``ts div 1000`` truncates to
+      µs exactly like DuckDB's ns→µs coercion (floor for post-epoch data).
+    - timestamp / timestamp_ntz → ``unix_micros(cast(ts as timestamp))``;
+      the session TZ is UTC (session.DEFAULT_CONF), so an NTZ wall-clock
+      converts to the same epoch-µs integer DuckDB's ``epoch_us`` yields.
+
+    ``nanosAsLong`` lives in ``session.DEFAULT_CONF``; the guarded ensure
+    below exists because the driver's correctness harness hands us a session
+    built elsewhere, and a NANOS-typed file would throw at read without it.
+    It is a no-op on µs-typed files."""
     from setu_spark.session import ensure_sql_conf
 
     ensure_sql_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_sql_conf(spark, "spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    # ts is now int64 nanoseconds; truncate to µs exactly like DuckDB's
-    # ns→µs coercion (floor for post-epoch data).
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
 
 
 # ---------------------------------------------------------------- q70

@@ -619,9 +619,14 @@ def kmeans_clusters(
             sums[r["cluster"]] += np.asarray(r["vsum"])
             cnts[r["cluster"]] += r["cnt"]
         nonempty = cnts > 0
+        # New means are rounded to 6 digits (half-away, the cross-engine
+        # discipline): centroid updates become a deterministic function of
+        # the data instead of of float-summation order, so the DuckDB
+        # oracle's avg() replays them exactly. Kept (empty-cluster)
+        # centroids stay untouched.
         cents = np.where(
             nonempty[:, None],
-            sums / np.maximum(cnts, 1)[:, None],
+            round6_away(sums / np.maximum(cnts, 1)[:, None]),
             cents,
         )
 
@@ -648,9 +653,83 @@ def kmeans_clusters(
     return src.mapInPandas(label_pass, KM_SCHEMA)
 
 
-@register("q85_kmeans_clusters")  # rows-only: iterative fixpoint (the
-# same contract carve-out as q56) — no closed-form SQL oracle exists;
-# planted-cluster recovery + determinism are pinned in tests.
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """DuckDB replay of :func:`kmeans_clusters` with the iterations
+    UNROLLED as chained CTEs (fixed small iteration count makes the
+    'iterative fixpoint' carve-out unnecessary here): identical init (the
+    k lowest vec_ids), identical assignment rule (max cosine, ties to the
+    lowest cluster index — numpy argmax picks the first maximum), and
+    identical centroid update (member mean rounded to 6 digits, empty
+    clusters keeping the previous centroid), so both engines walk the same
+    centroid trajectory exactly."""
+    cos = "dotp / (greatest(na, 1e-12) * greatest(nc, 1e-12))"
+    parts = [
+        """e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )""",
+        """ev AS (
+      SELECT vec_id, i, v[i] AS x
+      FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    )""",
+        f"""init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})
+    )""",
+        """c0 AS (
+      SELECT init.c, ev.i, ev.x AS cx FROM init JOIN ev USING (vec_id)
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+      SELECT ev.vec_id, cv.c,
+             sum(ev.x * cv.cx) AS dotp,
+             sqrt(sum(ev.x * ev.x)) AS na,
+             sqrt(sum(cv.cx * cv.cx)) AS nc
+      FROM ev JOIN c{t - 1} cv USING (i)
+      GROUP BY ev.vec_id, cv.c
+    )""")
+        parts.append(f"""a{t} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {cos} DESC, c) AS rn
+        FROM s{t}) WHERE rn = 1
+    )""")
+        parts.append(f"""m{t} AS (
+      SELECT a.c, ev.i, round(avg(ev.x), 6) AS cx
+      FROM a{t} a JOIN ev USING (vec_id)
+      GROUP BY a.c, ev.i
+    )""")
+        parts.append(f"""c{t} AS (
+      SELECT p.c, p.i, coalesce(m.cx, p.cx) AS cx
+      FROM c{t - 1} p LEFT JOIN m{t} m ON m.c = p.c AND m.i = p.i
+    )""")
+    parts.append(f"""sfin AS (
+      SELECT ev.vec_id, cv.c,
+             sum(ev.x * cv.cx) AS dotp,
+             sqrt(sum(ev.x * ev.x)) AS na,
+             sqrt(sum(cv.cx * cv.cx)) AS nc
+      FROM ev JOIN c{iters} cv USING (i)
+      GROUP BY ev.vec_id, cv.c
+    )""")
+    parts.append(f"""afin AS (
+      SELECT vec_id, c, {cos} AS cosv,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cos} DESC, c) AS rn
+      FROM sfin
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT e.vec_id, e.label, CAST(afin.c AS INTEGER) AS cluster,
+           round(afin.cosv, 6) AS cosine_to_centroid
+    FROM afin JOIN e USING (vec_id) WHERE afin.rn = 1
+    """
+    )
+
+
+@register("q85_kmeans_clusters", oracle=_kmeans_oracle())
 def q85_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embeddings table ({KM_K} clusters,
     {KM_ITERS} Lloyd's iterations) — the corpus-organization operator

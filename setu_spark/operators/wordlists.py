@@ -511,7 +511,7 @@ def _q68_oracle() -> str:
     SELECT m.script,
            count(*) AS n_docs,
            count(DISTINCT m.language) AS n_langs,
-           sum(d.n_chars) AS total_chars
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
     FROM documents d
     JOIN lm m ON d.lang = m.iso
     GROUP BY m.script
