@@ -80,6 +80,10 @@ _FRONT = (
     "q103_snapshot_diff",
     "q104_compression_ratio",
     "q105_source_overlap",
+    # (new in round 4) edit-distance verify, percentile gate, mixture
+    "q108_editdist_verify",
+    "q109_quality_percentile_gate",
+    "q110_source_mixture_weights",
     # (d) r02-green refresh (rotated out of round 3's window)
     "q01_pricing_summary",
     "q02_top_parts_by_revenue",

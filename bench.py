@@ -57,6 +57,9 @@ HEADLINE = [
     "q71_user_sessions",
     "q75_user_totals",
     "q80_clean_pipeline",
+    "q108_editdist_verify",
+    "q109_quality_percentile_gate",
+    "q110_source_mixture_weights",
 ]
 
 

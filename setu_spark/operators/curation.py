@@ -681,6 +681,85 @@ def q94_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------- q110
+#: Upsampling ceiling for under-represented sources (repeating any
+#: source more than this many times degrades models faster than the
+#: mixture balance helps).
+MAX_UPSAMPLE = 3.0
+
+
+@register(
+    "q110_source_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             count(*) AS n_sources
+      FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(p.n_tokens / CAST(t.total AS DOUBLE), 6) AS raw_share,
+           round(least(t.total / (t.n_sources * CAST(p.n_tokens AS DOUBLE)),
+                       {MAX_UPSAMPLE}), 6) AS weight,
+           CAST(round(p.n_tokens
+                      * least(t.total
+                              / (t.n_sources * CAST(p.n_tokens AS DOUBLE)),
+                              {MAX_UPSAMPLE}), 0) AS BIGINT)
+             AS expected_tokens
+    FROM per_source p, tot t
+    """,
+)
+def q110_source_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-mixture calibration: per-source sampling weights that
+    move the corpus toward a UNIFORM token share across sources, capped
+    at {MAX_UPSAMPLE}x upsampling — the static form of domain-mixture
+    reweighting (the knob DoReMi et al. tune dynamically). Emits the
+    audit columns a mixture config review needs: raw share, assigned
+    weight, expected post-sampling token count.
+
+    Scale shape: one map-side-combined aggregate to |sources| rows, a
+    broadcast of the 1-row totals, arithmetic — no second scan, no
+    shuffle beyond the group-by. The weight math divides exact integer
+    token counts once per source, so both engines emit the identical
+    IEEE double before the display rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ", -1))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count("*").alias("n_sources"),
+    )
+    weight = F.least(
+        F.col("total")
+        / (F.col("n_sources") * F.col("n_tokens").cast("double")),
+        F.lit(MAX_UPSAMPLE),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("total").cast("double"), 6
+        ).alias("raw_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(F.col("n_tokens") * weight, 0)
+        .cast("long")
+        .alias("expected_tokens"),
+    )
+
+
 # ---------------------------------------------------------------- q89
 #: Bloom sizing: bits per eval gram and hash-probe count. 20 bits/key at
 #: k=4 gives ~0.1% false-positive rate — false positives only cost a

@@ -385,6 +385,72 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q108
+#: Minimum normalized edit similarity (1 - lev/max_len) for a verified
+#: LSH pair to count as a confirmed near-duplicate.
+EDIT_SIM_THRESHOLD = 0.6
+
+
+def _editdist_sql() -> str:
+    return f"""
+    WITH pairs AS ({_pairs_sql()}),
+    lev AS (
+      SELECT p.id_a, p.id_b, p.est_jaccard,
+             levenshtein(da.text, db.text) AS edit_dist,
+             greatest(length(da.text), length(db.text)) AS max_len
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard, edit_dist,
+           round(1 - edit_dist / CAST(max_len AS DOUBLE), 6) AS edit_sim
+    FROM lev
+    WHERE 1 - edit_dist / CAST(max_len AS DOUBLE) >= {EDIT_SIM_THRESHOLD}
+    """
+
+
+@register("q108_editdist_verify", oracle=_editdist_sql())
+def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third stage of the fuzzy-dedup funnel: LSH candidates →
+    MinHash estimate (q52) → EXACT edit-distance confirmation. Character
+    Levenshtein is quadratic in document length, so it must never touch
+    the corpus cross product — here it runs only on the q52-verified
+    pair set (candidate volume ∝ true-duplicate density), with each
+    side's text fetched by an id join. ``F.levenshtein`` is JVM codegen;
+    both engines define it as unit-cost codepoint edits, so the distance
+    — and the normalized similarity gate — replay exactly in the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q52_minhash_lsh_pairs(spark, sf_dir)
+    da = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    lev = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+            F.greatest(
+                F.length("text_a"), F.length("text_b")
+            ).alias("max_len"),
+        )
+    )
+    sim = 1 - F.col("edit_dist") / F.col("max_len").cast("double")
+    return lev.filter(sim >= EDIT_SIM_THRESHOLD).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "edit_dist",
+        F.round(sim, 6).alias("edit_sim"),
+    )
+
+
 # ---------------------------------------------------------------- q53
 TOK_MAX_DF = 10    # drop tokens present in > this many docs (hot-key guard)
 TOK_JACCARD_THRESHOLD = 0.75

@@ -132,6 +132,77 @@ def q99_gopher_quality_rules(
     return gopher_signals(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------- q109
+#: Per-language percentile floor: docs below this quality percentile
+#: WITHIN their language are dropped (language-adaptive thresholding —
+#: a fixed global cutoff would gut low-resource languages whose score
+#: distributions sit lower).
+PCTL_FLOOR = 0.10
+
+
+@register(
+    "q109_quality_percentile_gate",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> w IN ({_STOP_SQL})))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                   6) AS stopword_frac
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, stopword_frac,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY stopword_frac, doc_id) AS pr
+      FROM sig
+    )
+    SELECT doc_id, lang, stopword_frac, round(pr, 6) AS pct_rank
+    FROM r WHERE pr >= {PCTL_FLOOR}
+    """,
+)
+def q109_quality_percentile_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language-adaptive quality gate: rank every document by a quality
+    proxy (stopword fraction) WITHIN its language and keep those at or
+    above the {PCTL_FLOOR:.0%} percentile — per-group relative
+    thresholding, the calibration step quality classifiers actually
+    deploy with (absolute cutoffs don't transfer across languages).
+
+    percent_rank is the exact rational (rank-1)/(n-1) with a doc_id
+    tiebreak, so both engines produce bit-identical doubles. Scale note:
+    the per-lang sort window is exact-twin semantics for oracle scale; at
+    100 TB the same gate runs off approx-quantile thresholds (the q84
+    sketch family) joined back broadcast — one scan, no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+            / F.size(t).cast("double"),
+            6,
+        ).alias("stopword_frac"),
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("stopword_frac", "doc_id")
+    )
+    return (
+        sig.withColumn("pr", pr)
+        .filter(F.col("pr") >= PCTL_FLOOR)
+        .select(
+            "doc_id",
+            "lang",
+            "stopword_frac",
+            F.round("pr", 6).alias("pct_rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- q100
 @register(
     "q100_dataset_card",

@@ -47,10 +47,12 @@ def test_kmeans_deterministic(spark):
     assert a == b
 
 
-def test_q85_registered_rows_only(spark):
+def test_q85_registered_with_oracle(spark):
+    # upgraded from the rows-only carve-out: the fixed iteration count is
+    # unrolled in the DuckDB oracle, so q85 is hash-checked like any other
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert "q85_kmeans_clusters" in qs
-    assert "q85_kmeans_clusters" not in oracles  # iterative carve-out
+    assert "q85_kmeans_clusters" in oracles
     out = qs["q85_kmeans_clusters"](spark, SF_ORACLE)
     rows = out.collect()
     from setu_spark.sources.io import load_table
