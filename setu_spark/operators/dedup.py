@@ -418,10 +418,20 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set (candidate volume ∝ true-duplicate density), with each
     side's text fetched by an id join. ``F.levenshtein`` is JVM codegen;
     both engines define it as unit-cost codepoint edits, so the distance
-    — and the normalized similarity gate — replay exactly in the
-    oracle."""
+    — and the normalized similarity gate — replay exactly in the oracle.
+
+    The Spark side uses the BOUNDED 3-arg ``levenshtein`` with threshold
+    K = floor((1 - T) · global_max_len) (one bounded max aggregate):
+    any pair passing the similarity gate has an integer distance
+    ≤ floor((1-T) · its own max_len) ≤ K, so the bounded form returns
+    the exact distance for every surviving pair and -1 (filtered, as the
+    unbounded gate also would) otherwise — identical output, but cost
+    per pair drops from O(len²) to O(len·K), which is what makes the
+    verify stage affordable on book-length documents."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = q52_minhash_lsh_pairs(spark, sf_dir)
+    max_len = docs.agg(F.max(F.length("text"))).first()[0] or 0
+    k = int((1 - EDIT_SIM_THRESHOLD) * max_len)
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
     )
@@ -435,14 +445,16 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             "est_jaccard",
-            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+            F.levenshtein("text_a", "text_b", k).alias("edit_dist"),
             F.greatest(
                 F.length("text_a"), F.length("text_b")
             ).alias("max_len"),
         )
     )
     sim = 1 - F.col("edit_dist") / F.col("max_len").cast("double")
-    return lev.filter(sim >= EDIT_SIM_THRESHOLD).select(
+    return lev.filter(
+        (F.col("edit_dist") >= 0) & (sim >= EDIT_SIM_THRESHOLD)
+    ).select(
         "id_a",
         "id_b",
         "est_jaccard",

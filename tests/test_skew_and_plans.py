@@ -271,3 +271,27 @@ def test_q105_overlap_distinct_before_selfjoin(spark):
     # a distinct aggregate keyed (source, g) must exist (the gram-set
     # collapse both join inputs read)
     assert re.search(r"Keys \[2\]: \[source#\d+, g#\d+", plan), plan[:1500]
+
+
+def test_q110_totals_broadcast_single_groupby_shuffle(spark):
+    # the 1-row totals side must arrive broadcast (never a shuffle join);
+    # the only exchanges are the per-source aggregate's
+    df = _q(spark, "q110_source_mixture_weights")
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:1500]
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_q108_levenshtein_bounded(spark):
+    # the verify stage must use the bounded 3-arg levenshtein (cost
+    # O(len*K), not O(len^2)) — the unbounded form would silently
+    # reappear as levenshtein(a, b) with no threshold argument
+    df = _q(spark, "q108_editdist_verify")
+    plan = plan_string(df, mode="extended")
+    import re
+
+    calls = re.findall(r"levenshtein\([^)]*\)", plan)
+    assert calls, plan[:1500]
+    assert all(c.count(",") == 2 for c in calls), calls
