@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Build the N×-replicated stress corpus used for the PERF.md scaling
+sweeps: documents / embeddings / events from a source SF dir, each
+replicated with id offsets so every copy is id-distinct (duplicate TEXT
+density rises with N by design — that's the point of the sweep: banded
+near-dup cost follows true-duplicate density; see PERF.md's 20× table).
+
+Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [N]
+Defaults: /root/testdata/sf0.1 /tmp/stress100k 20
+
+Only the three big tables are materialized; TPC-H dims aren't needed by
+the doc/embedding/event queries the sweep runs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def replicate(src: str, dst: str, n: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name, id_cols in TABLES.items():
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        offsets = {
+            c: pc.max(t[c]).as_py() + 1 for c in id_cols
+        }
+        copies = []
+        for i in range(n):
+            cols = {}
+            for c in t.column_names:
+                if c in id_cols and i > 0:
+                    cols[c] = pc.add(t[c], i * offsets[c])
+                else:
+                    cols[c] = t[c]
+            copies.append(pa.table(cols))
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {len(t)} -> {len(out)} rows")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress100k"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    replicate(src, dst, n)
