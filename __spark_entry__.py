@@ -84,6 +84,7 @@ _FRONT = (
     "q108_editdist_verify",
     "q109_quality_percentile_gate",
     "q110_source_mixture_weights",
+    "q111_shared_span_removal",
     # (d) r02-green refresh (rotated out of round 3's window)
     "q01_pricing_summary",
     "q02_top_parts_by_revenue",

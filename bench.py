@@ -60,6 +60,7 @@ HEADLINE = [
     "q108_editdist_verify",
     "q109_quality_percentile_gate",
     "q110_source_mixture_weights",
+    "q111_shared_span_removal",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -631,6 +632,169 @@ def q36_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", _fp_udf("text").alias("r")).select(
         "doc_id", "r.*"
+    )
+
+
+# ---------------------------------------------------------------- q111
+_FPPOS_SCHEMA = ArrayType(
+    StructType(
+        [StructField("fp", LongType()), StructField("pos", IntegerType())]
+    )
+)
+
+
+@F.pandas_udf(_FPPOS_SCHEMA)
+def _fp_pos_udf(texts: pd.Series) -> pd.Series:
+    """Winnowed fingerprint windows WITH their 1-based codepoint start
+    positions (the positional form of `_fp_udf`'s set — positions are what
+    span removal needs). Same polynomial, same 0-mod-p sampling."""
+    import numpy as np
+
+    bpow = np.array(FP_BPOW, dtype=np.int64)
+    rows = []
+    for text in texts.fillna(""):
+        if len(text) < FP_K:
+            rows.append([])
+            continue
+        cps = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        windows = np.lib.stride_tricks.sliding_window_view(cps, FP_K)
+        hashes = (windows * bpow).sum(axis=1) % FP_MOD
+        sel = np.nonzero(hashes % FP_P == 0)[0]
+        rows.append(
+            [(int(hashes[i]), int(i) + 1) for i in sel]
+        )
+    return pd.Series(rows)
+
+
+@F.pandas_udf(StringType())
+def _splice_spans_udf(texts: pd.Series, starts: pd.Series) -> pd.Series:
+    """Remove every character covered by a window starting at any of
+    `starts` (1-based, width FP_K) — vectorized interval mask per doc."""
+    import numpy as np
+
+    out = []
+    for text, ss in zip(texts, starts):
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        delta = np.zeros(len(cps) + 1, dtype=np.int64)
+        s = np.asarray(ss, dtype=np.int64) - 1
+        np.add.at(delta, s, 1)
+        np.add.at(delta, s + FP_K, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        out.append(cps[~covered].tobytes().decode("utf-32-le"))
+    return pd.Series(out)
+
+
+def _span_removal_sql(k: int = FP_K, p: int = FP_P) -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {FP_BPOW[j]}"
+        for j in range(k)
+    )
+    h = f"(({terms}) % {FP_MOD})"
+    return f"""
+    WITH lists AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) >= {k}
+                  THEN list_filter(range(1, length(text) - {k - 2}),
+                                   i -> {h} % {p} = 0)
+                  ELSE [] END AS poss
+      FROM documents
+    ),
+    fpos AS (
+      SELECT doc_id, unnest(poss) AS pos,
+             unnest(list_transform(poss, i -> {h})) AS fp
+      FROM lists
+    ),
+    owners AS (
+      SELECT fp, min(doc_id) AS owner
+      FROM fpos GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    ),
+    spans AS (
+      SELECT f.doc_id, f.pos
+      FROM fpos f JOIN owners o ON f.fp = o.fp
+      WHERE f.doc_id <> o.owner
+    ),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + r.j AS i
+      FROM spans s, unnest(range(0, {k})) AS r(j)
+    ),
+    chars AS (
+      SELECT l.doc_id, r.i, substr(l.text, CAST(r.i AS INT), 1) AS ch
+      FROM lists l, unnest(range(1, length(l.text) + 1)) AS r(i)
+      WHERE l.doc_id IN (SELECT DISTINCT doc_id FROM spans)
+    ),
+    clean AS (
+      SELECT c.doc_id,
+             coalesce(string_agg(CASE WHEN v.i IS NULL THEN c.ch END,
+                                 '' ORDER BY c.i), '') AS ctext
+      FROM chars c
+      LEFT JOIN cov v ON c.doc_id = v.doc_id AND c.i = v.i
+      GROUP BY c.doc_id
+    )
+    SELECT c.doc_id,
+           w.n_windows,
+           length(l.text) - length(c.ctext) AS chars_removed,
+           length(c.ctext) AS clean_len,
+           md5(c.ctext) AS clean_md5
+    FROM clean c
+    JOIN lists l USING (doc_id)
+    JOIN (SELECT doc_id, count(*) AS n_windows
+          FROM spans GROUP BY doc_id) w USING (doc_id)
+    """
+
+
+@register("q111_shared_span_removal", oracle=_span_removal_sql())
+def q111_shared_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the content-defined-sampled
+    form of exact-substring dedup ("dedup the substring, not the doc":
+    boilerplate, license headers, templated passages). Every winnowed
+    char {FP_K}-gram window (q36's 0-mod-{FP_P} sampling) that appears in
+    ≥2 distinct documents keeps its text only in the lowest-doc_id owner;
+    every other holder has the covered characters spliced out (overlaps
+    merged by interval mask). Emits the removal audit per affected doc:
+    window count, chars removed, cleaned length + md5.
+
+    Scale shape: the fingerprint table is ~1/{FP_P}th of corpus k-grams;
+    one fp-keyed shuffle finds multi-doc fingerprints (countDistinct +
+    min, partial-agg'd), one join back tags removable windows, one
+    doc-keyed group collects each doc's window starts (bounded: winnowed
+    spans, not raw grams), and the splice is a single Arrow-batched mask
+    pass per document. Linear end to end; no pairwise anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    fpos = (
+        docs.select("doc_id", F.explode(_fp_pos_udf("text")).alias("w"))
+        .select("doc_id", F.col("w.fp").alias("fp"), F.col("w.pos").alias("pos"))
+    )
+    owners = (
+        fpos.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    spans = (
+        fpos.join(owners, "fp")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts"),
+        F.count("*").alias("n_windows"),
+    )
+    joined = docs.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_windows",
+        F.length("text").alias("orig_len"),
+        _splice_spans_udf("text", "starts").alias("ctext"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_windows",
+        (F.col("orig_len") - F.length("ctext")).alias("chars_removed"),
+        F.length("ctext").alias("clean_len"),
+        F.md5("ctext").alias("clean_md5"),
     )
 
 
