@@ -234,3 +234,39 @@ def test_dedup_removed_docs_on_planted_dupes(spark):
     finally:
         dd.load_table = orig
     assert removed == {4, 9}
+
+
+def test_shared_span_removal_planted_boilerplate(spark):
+    """q111 on planted boilerplate: a shared license header is spliced
+    out of every doc except the lowest-id owner; unique text survives."""
+    import setu_spark.operators.textstats as ts
+    from setu_spark.operators.textstats import FP_K
+
+    # header long enough to contain winnowed windows (hash % 16 == 0 is
+    # content-dependent, so use a long repeated block to guarantee hits)
+    header = "standard license header boilerplate " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, header + "alpha unique tail one"),
+            (2, header + "beta unique tail two"),
+            (3, "wholly original text with no repeats at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    orig = ts.load_table
+    ts.load_table = lambda sp, d, n: docs
+    try:
+        rows = {r.doc_id: r for r in
+                ts.q111_shared_span_removal(spark, "x").collect()}
+    finally:
+        ts.load_table = orig
+    # doc 1 is the owner of the shared windows -> untouched (absent);
+    # doc 3 shares nothing -> absent; doc 2 loses header chars
+    assert 3 not in rows
+    assert 2 in rows
+    r2 = rows[2]
+    assert r2.chars_removed >= FP_K
+    assert r2.clean_len < len(header + "beta unique tail two")
+    # the unique tail must survive somewhere in the cleaned text: its
+    # md5 changes, but length accounting must be consistent
+    assert r2.clean_len + r2.chars_removed == len(header + "beta unique tail two")
