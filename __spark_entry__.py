@@ -85,6 +85,7 @@ _FRONT = (
     "q109_quality_percentile_gate",
     "q110_source_mixture_weights",
     "q111_shared_span_removal",
+    "q112_temperature_mixture",
     # (d) r02-green refresh (rotated out of round 3's window)
     "q01_pricing_summary",
     "q02_top_parts_by_revenue",

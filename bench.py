@@ -61,6 +61,7 @@ HEADLINE = [
     "q109_quality_percentile_gate",
     "q110_source_mixture_weights",
     "q111_shared_span_removal",
+    "q112_temperature_mixture",
 ]
 
 

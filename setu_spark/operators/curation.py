@@ -760,6 +760,100 @@ def q110_source_mixture_weights(
     )
 
 
+# ---------------------------------------------------------------- q112
+#: Sampling temperature: target language share ∝ (raw share)^ALPHA —
+#: α=1 keeps the natural distribution, α→0 approaches uniform. 0.3 is
+#: the mT5/XLM-R operating point.
+MIX_ALPHA = 0.3
+
+
+@register(
+    "q112_temperature_mixture",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per_lang),
+    q AS (
+      SELECT p.lang, p.n_docs, p.n_tokens, t.total,
+             p.n_tokens / CAST(t.total AS DOUBLE) AS raw_p,
+             round(pow(p.n_tokens / CAST(t.total AS DOUBLE),
+                       {MIX_ALPHA}), 9) AS qr
+      FROM per_lang p, tot t
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(qr AS DECIMAL(18,9))) AS DOUBLE) AS sum_qr
+      FROM q
+    )
+    SELECT q.lang, q.n_docs, q.n_tokens,
+           round(q.raw_p, 6) AS raw_share,
+           round(q.qr / s.sum_qr, 6) AS target_share,
+           round((q.qr / s.sum_qr) / q.raw_p, 6) AS sample_weight,
+           CAST(round(q.total * (q.qr / s.sum_qr), 0) AS BIGINT)
+             AS expected_tokens
+    FROM q, s
+    """,
+)
+def q112_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based multilingual sampling weights: target language
+    share ∝ (natural share)^{MIX_ALPHA} — the standard recipe for
+    upweighting low-resource languages without drowning high-resource
+    ones (α=0.3 is the mT5/XLM-R point; q110 is the α→0 per-source
+    uniform limit with a hard cap).
+
+    Float discipline: the only order-sensitive step (summing the per-
+    language q-values to normalize) runs through DECIMAL(18,9) on
+    9-digit-rounded terms in both engines, so the normalizer is exact;
+    everything else is a single-division double on identical integer
+    inputs. Scale shape: one map-combined aggregate to |langs| rows,
+    two broadcast scalar attaches — nothing else moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ", -1))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("long").alias("total"))
+    q = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "total",
+        (F.col("n_tokens") / F.col("total").cast("double")).alias("raw_p"),
+        F.round(
+            F.pow(
+                F.col("n_tokens") / F.col("total").cast("double"),
+                F.lit(MIX_ALPHA),
+            ),
+            9,
+        ).alias("qr"),
+    )
+    s = q.agg(
+        F.sum(F.col("qr").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sum_qr")
+    )
+    return q.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("raw_p", 6).alias("raw_share"),
+        F.round(F.col("qr") / F.col("sum_qr"), 6).alias("target_share"),
+        F.round(
+            (F.col("qr") / F.col("sum_qr")) / F.col("raw_p"), 6
+        ).alias("sample_weight"),
+        F.round(F.col("total") * (F.col("qr") / F.col("sum_qr")), 0)
+        .cast("long")
+        .alias("expected_tokens"),
+    )
+
+
 # ---------------------------------------------------------------- q89
 #: Bloom sizing: bits per eval gram and hash-probe count. 20 bits/key at
 #: k=4 gives ~0.1% false-positive rate — false positives only cost a
