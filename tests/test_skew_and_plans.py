@@ -295,3 +295,20 @@ def test_q108_levenshtein_bounded(spark):
     calls = re.findall(r"levenshtein\([^)]*\)", plan)
     assert calls, plan[:1500]
     assert all(c.count(",") == 2 for c in calls), calls
+
+
+def test_q111_span_removal_no_cartesian(spark):
+    # every join in the span-removal pipeline is equi-keyed (fp, doc_id);
+    # a cartesian/nested-loop shape would mean the dedup went pairwise
+    df = _q(spark, "q111_shared_span_removal")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q112_mixture_broadcast_only(spark):
+    # both scalar attaches (total tokens, q-normalizer) must broadcast
+    df = _q(spark, "q112_temperature_mixture")
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
