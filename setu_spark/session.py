@@ -39,10 +39,11 @@ DEFAULT_CONF = {
     # it lives here in the factory and not in per-query code.)
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
-    # The events parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to
-    # read as a timestamp; read it as int64 nanoseconds instead (event-time
-    # math is then exact integer µs — see operators/events.py). Session-wide
-    # here so no query builder needs to mutate conf at plan-build time.
+    # Events testdata has shipped as both TIMESTAMP(NANOS) and
+    # TIMESTAMP(MICROS) across generations. Spark 4 refuses to read the
+    # NANOS form as a timestamp; with this conf it loads as int64 ns (a
+    # no-op on µs-typed files), and load_events dispatches on the loaded
+    # dtype either way — see operators/events.py.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
