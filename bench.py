@@ -62,6 +62,7 @@ HEADLINE = [
     "q110_source_mixture_weights",
     "q111_shared_span_removal",
     "q112_temperature_mixture",
+    "q113_length_histogram",
 ]
 
 

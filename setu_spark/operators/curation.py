@@ -760,6 +760,78 @@ def q110_source_mixture_weights(
     )
 
 
+# ---------------------------------------------------------------- q113
+#: Histogram bucket width in words — chosen so the packing budget
+#: (SEQ_LEN) spans a few buckets; production uses the tokenizer's
+#: context-length planning grid.
+LEN_BUCKET = 64
+
+
+@register(
+    "q113_length_histogram",
+    oracle=f"""
+    WITH sized AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    b AS (
+      SELECT (n_words // {LEN_BUCKET}) * {LEN_BUCKET} AS bucket_start,
+             count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_tokens
+      FROM sized GROUP BY bucket_start
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM b)
+    SELECT b.bucket_start, b.n_docs, b.n_tokens,
+           round(b.n_tokens / CAST(t.total AS DOUBLE), 6) AS token_share,
+           round(CAST(sum(b.n_tokens) OVER (ORDER BY b.bucket_start)
+                      AS BIGINT) / CAST(t.total AS DOUBLE), 6)
+             AS cum_token_share
+    FROM b, t
+    """,
+)
+def q113_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length histogram in {LEN_BUCKET}-word buckets with token
+    shares and the cumulative token CDF — the planning readout behind
+    context-length and packing-budget choices ("what fraction of tokens
+    lives in docs shorter than X"). Bucketing is pure integer division,
+    so both engines bucket identically; the CDF window runs over the
+    |buckets|-row aggregate, not the corpus.
+
+    Scale shape: one map-combined aggregate to ~dozens of rows, one
+    broadcast total, one tiny window. The corpus is touched once."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_words")
+    )
+    b = sized.groupBy(
+        (F.expr(f"n_words div {LEN_BUCKET}") * LEN_BUCKET).alias(
+            "bucket_start"
+        )
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )
+    t = b.agg(F.sum("n_tokens").cast("long").alias("total"))
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket_start",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("total").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            F.sum("n_tokens").over(w).cast("long")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_token_share"),
+    )
+
+
 # ---------------------------------------------------------------- q112
 #: Sampling temperature: target language share ∝ (raw share)^ALPHA —
 #: α=1 keeps the natural distribution, α→0 approaches uniform. 0.3 is
