@@ -87,6 +87,7 @@ _FRONT = (
     "q111_shared_span_removal",
     "q112_temperature_mixture",
     "q113_length_histogram",
+    "q114_bigram_logprob",
     # (d) r02-green refresh (rotated out of round 3's window)
     "q01_pricing_summary",
     "q02_top_parts_by_revenue",

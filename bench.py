@@ -63,6 +63,7 @@ HEADLINE = [
     "q111_shared_span_removal",
     "q112_temperature_mixture",
     "q113_length_histogram",
+    "q114_bigram_logprob",
 ]
 
 

@@ -479,6 +479,101 @@ def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q114
+@register(
+    "q114_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2, count(*) AS tf
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY doc_id, w1, w2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS big_cnt
+      FROM big GROUP BY w1, w2
+    ),
+    uc AS (
+      SELECT w1, CAST(sum(tf) AS BIGINT) AS ctx_cnt
+      FROM big GROUP BY w1
+    ),
+    v AS (
+      SELECT count(DISTINCT word) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    )
+    SELECT b.doc_id,
+           CAST(sum(b.tf) AS BIGINT) AS n_bigrams,
+           round(
+             CAST(sum(CAST(b.tf * -ln((c.big_cnt + 1)
+                            / CAST(u.ctx_cnt + v.vocab AS DOUBLE))
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(b.tf) AS DOUBLE), 6) AS avg_neg_logprob
+    FROM big b
+    JOIN bc c USING (w1, w2)
+    JOIN uc u USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q114_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own add-1-smoothed BIGRAM model — the conditional upgrade of q88's
+    unigram proxy (catches word-salad that unigram statistics cannot:
+    plausible words in implausible orders score high here).
+    score(doc) = Σ tf·(−ln ((c(w1 w2)+1) / (c(w1·)+V))) / Σ tf.
+
+    Scale shape (q88's window lesson, twice): per-doc bigram tf is one
+    shuffle; the corpus bigram count and the context count are SUM
+    WINDOWS over those same tf rows (partitioned by (w1,w2) and by w1)
+    instead of groupBy-join diamonds; V is a one-row broadcast. Per-term
+    products are DECIMAL(18,6)-quantized before the per-doc sum so both
+    engines add identical exact decimals in any order."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    pairs = docs.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' ', -1), 1,"
+                " size(split(text, ' ', -1)) - 1),"
+                " slice(split(text, ' ', -1), 2,"
+                " size(split(text, ' ', -1)) - 1),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("tf")
+    )
+    vocab = docs.select(
+        F.explode(t).alias("word")
+    ).agg(F.countDistinct("word").alias("vocab"))
+    term = F.col("tf") * -F.log(
+        (F.col("big_cnt") + 1)
+        / (F.col("ctx_cnt") + F.col("vocab")).cast("double")
+    )
+    return (
+        tf.withColumn(
+            "big_cnt", F.sum("tf").over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("ctx_cnt", F.sum("tf").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- q83
 @register(
     "q83_curation_pipeline",
