@@ -395,16 +395,24 @@ def q103_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_ZLIB_RATIO = 0.35
 
 
-@register("q104_compression_ratio")  # rows-only: no SQL engine exposes
-# zlib; semantics pinned by planted-fixture tests (repetitive text must
-# flag, high-entropy text must not)
-def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: zlib's worst-case expansion on incompressible input: the 2-byte
+#: header + 4-byte adler trailer + 5 bytes of stored-block framing per
+#: 64 KiB block. 64 + n/1000 dominates that comfortably (the per-block
+#: term is ~0.008%), yet a broken UDF (garbage sizes, dropped None
+#: handling) still lands far outside it. On a 47-byte doc the measured
+#: overhead is 6 bytes — a pure-ratio ceiling like 1.1 would flag tiny
+#: honest docs, so the bound is absolute, not relative.
+ZLIB_SLACK_BYTES = 64
+
+
+def compression_signals(docs: DataFrame) -> DataFrame:
     """Per-document zlib compression ratio (compressed/original bytes) —
     the cheap entropy proxy quality pipelines threshold on: boilerplate,
     templated spam, and runaway repetition compress far below natural
     text. stdlib zlib inside an Arrow-batched pandas UDF (C-speed per
     row, one JVM<->Python crossing per batch); zero shuffle, rides the
-    corpus scan like every other per-row signal."""
+    corpus scan like every other per-row signal. Planted-fixture tests
+    pin the semantics (repetitive text flags, high-entropy doesn't)."""
     import zlib
 
     @F.pandas_udf("long")
@@ -415,8 +423,7 @@ def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             else 0
         )
 
-    docs = load_table(spark, sf_dir, "documents")
-    orig = F.octet_length("text")
+    orig = F.octet_length("text").cast("long")
     return docs.select(
         "doc_id",
         orig.alias("orig_bytes"),
@@ -431,6 +438,44 @@ def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "*",
         (F.col("zlib_ratio") < MIN_ZLIB_RATIO).alias("flag_low_entropy"),
+    )
+
+
+@register(
+    "q104_compression_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS orig_bytes,
+           TRUE AS ratio_ok
+    FROM documents
+    """,
+)
+def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-witness form of :func:`compression_signals` (no SQL engine
+    exposes zlib, so the raw compressed size can't be oracle'd — the
+    round-4 `no_oracle` hole). The hashed output carries the columns both
+    engines CAN agree on exactly — doc_id and the utf-8 byte length the
+    ratio denominates over — plus ``ratio_ok``, the Spark-computed
+    invariant that the compressed size landed in
+    (0, orig + {ZLIB_SLACK_BYTES} + orig/1000] — zlib always emits >0
+    bytes, and its worst-case expansion (header + stored-block framing)
+    stays under that absolute slack. The oracle answers literal TRUE: a
+    broken UDF (None handling, size sign, denominator) flips the bool
+    and fails the hash. Distribution-level semantics stay pinned by the
+    planted fixtures in tests/test_quality.py."""
+    sig = compression_signals(load_table(spark, sf_dir, "documents"))
+    ceiling = (
+        F.col("orig_bytes")
+        + F.lit(ZLIB_SLACK_BYTES)
+        + (F.col("orig_bytes") / F.lit(1000)).cast("long")
+    )
+    return sig.select(
+        "doc_id",
+        "orig_bytes",
+        (
+            (F.col("compressed_bytes") > 0)
+            & (F.col("compressed_bytes") <= ceiling)
+        ).alias("ratio_ok"),
     )
 
 

@@ -18,7 +18,11 @@ def test_compression_ratio_flags_low_entropy(spark, tmp_path):
     import os
     import random
 
-    from setu_spark.operators.quality import q104_compression_ratio
+    from setu_spark.operators.quality import (
+        compression_signals,
+        q104_compression_ratio,
+    )
+    from setu_spark.sources.io import load_table
 
     random.seed(11)
     rows = [
@@ -34,11 +38,18 @@ def test_compression_ratio_flags_low_entropy(spark, tmp_path):
     ).withColumn("source", F.lit("t")).withColumn(
         "n_chars", F.length("text").cast("long")
     ).write.parquet(os.path.join(d, "documents.parquet"))
-    out = {r["doc_id"]: r for r in q104_compression_ratio(spark, d).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in compression_signals(load_table(spark, d, "documents")).collect()
+    }
     assert out[1]["flag_low_entropy"] and out[1]["zlib_ratio"] < 0.05
     assert not out[2]["flag_low_entropy"]
     # ratio is compressed/original on utf-8 bytes
     assert out[2]["orig_bytes"] == len(rows[1][1].encode())
+    # the registered witness form: every fixture doc satisfies the bound
+    wit = {r["doc_id"]: r for r in q104_compression_ratio(spark, d).collect()}
+    assert all(r["ratio_ok"] for r in wit.values())
+    assert wit[2]["orig_bytes"] == out[2]["orig_bytes"]
 
 
 def test_gopher_battery_hand_computed(spark, tmp_path):
