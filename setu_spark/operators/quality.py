@@ -173,8 +173,9 @@ def q109_quality_percentile_gate(
     percent_rank is the exact rational (rank-1)/(n-1) with a doc_id
     tiebreak, so both engines produce bit-identical doubles. Scale note:
     the per-lang sort window is exact-twin semantics for oracle scale; at
-    100 TB the same gate runs off approx-quantile thresholds (the q84
-    sketch family) joined back broadcast — one scan, no global sort."""
+    100 TB the same gate is q115_quality_sketch_gate — approx-quantile
+    thresholds (the q84 sketch family) joined back broadcast, one scan,
+    no global sort."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -199,6 +200,78 @@ def q109_quality_percentile_gate(
             "lang",
             "stopword_frac",
             F.round("pr", 6).alias("pct_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q115
+@register(
+    "q115_quality_sketch_gate",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> w IN ({_STOP_SQL})))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                   6) AS stopword_frac
+      FROM documents
+    ),
+    t AS (
+      SELECT lang, quantile_disc(stopword_frac, {PCTL_FLOOR}) AS thresh
+      FROM sig GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.stopword_frac,
+           round(t.thresh, 6) AS lang_threshold
+    FROM sig s JOIN t USING (lang)
+    WHERE s.stopword_frac >= t.thresh
+    """,
+)
+def q115_quality_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q109's language-adaptive quality gate — the
+    variant q109's docstring promises: per-language thresholds from the
+    MERGEABLE quantile sketch (approx_percentile, the q84 operator), not
+    a per-language sort window. Two scans of the signal projection, ZERO
+    sorts: the threshold aggregate map-side combines to |langs| rows,
+    broadcasts back, and the gate is a filter riding the corpus scan.
+    q109's exact percent_rank window is a full per-language sort — with
+    few, huge languages that's a skewed global sort at scale (its 20×
+    sweep reads 5.0×, the worst in PERF.md); this plan replaces it with
+    an O(accuracy)-state sketch and a broadcast hash join, the shape
+    that holds at 1000 executors. Plan-pinned in test_skew_and_plans.py
+    (BroadcastHashJoin present; no Sort, no Window, no SortMergeJoin).
+
+    Hash-green oracle: at driver scale n per language ≪ accuracy, so
+    the GK summary is rank-exact and returns precisely DuckDB's
+    ``quantile_disc`` element (same ceil(p·n) rank convention — the q84
+    verification); the kept set and the threshold column then agree
+    exactly. Ties at the threshold are safe: the gate compares VALUES,
+    so which duplicate the engines pick is immaterial."""
+    from setu_spark.operators.sketches import PCT_ACCURACY
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+            / F.size(t).cast("double"),
+            6,
+        ).alias("stopword_frac"),
+    )
+    thresholds = sig.groupBy("lang").agg(
+        F.expr(
+            f"approx_percentile(stopword_frac, {PCTL_FLOOR}, {PCT_ACCURACY})"
+        ).alias("thresh")
+    )
+    return (
+        sig.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("stopword_frac") >= F.col("thresh"))
+        .select(
+            "doc_id",
+            "lang",
+            "stopword_frac",
+            F.round("thresh", 6).alias("lang_threshold"),
         )
     )
 

@@ -77,3 +77,53 @@ def test_gopher_battery_hand_computed(spark, tmp_path):
     r2 = out[2]
     assert r2["n_words"] == 2 and r2["flag_word_count"]
     assert not r2["passes"]
+
+
+def test_q115_sketch_gate_agrees_with_exact_on_separated_scores(spark, tmp_path):
+    """Planted fixture where the approx (sketch-threshold) and exact
+    (percent_rank) gates provably agree: per-lang scores are
+    well-separated around the 10% floor, so both conventions cut at the
+    same document boundary."""
+    import os
+
+    from setu_spark.operators.quality import (
+        q109_quality_percentile_gate,
+        q115_quality_sketch_gate,
+    )
+
+    # 20 docs per lang; stopword_frac is monotone in doc index because
+    # doc i has i stopwords out of 20 words -> fracs 0/20..19/20, far
+    # apart relative to any sketch error at this size.
+    rows = []
+    did = 0
+    for lang in ("en", "hi"):
+        for i in range(20):
+            words = ["the"] * i + [f"w{j}x" for j in range(20 - i)]
+            rows.append((did, " ".join(words), lang))
+            did += 1
+    d = str(tmp_path / "docs115.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    exact = {
+        (r.doc_id, r.lang)
+        for r in q109_quality_percentile_gate(spark, d).collect()
+    }
+    approx = {
+        (r.doc_id, r.lang) for r in q115_quality_sketch_gate(spark, d).collect()
+    }
+    # q109 keeps percent_rank >= 0.10 -> drops the bottom 2 of 20 per
+    # lang ((rank-1)/19 < 0.10 for ranks 1-2); q115 keeps frac >=
+    # disc-quantile element at rank ceil(0.10*20)=2 -> drops only rank 1.
+    # The conventions differ by exactly the rank-2 doc; both must be
+    # supersets of ranks 3.. and subsets of ranks 2..
+    assert len(approx) in (len(exact), len(exact) + 2), (
+        len(exact),
+        len(approx),
+    )
+    assert exact <= approx
+    for lang in ("en", "hi"):
+        kept = sorted(i for i, lg in approx if lg == lang)
+        assert len(kept) in (18, 19)

@@ -312,3 +312,16 @@ def test_q112_mixture_broadcast_only(spark):
     plan = plan_string(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q115_sketch_gate_no_sort_broadcast_thresholds(spark):
+    # the 100 TB quality gate: per-lang sketch thresholds broadcast back,
+    # the gate rides the corpus scan — NO sort anywhere in the plan
+    # (q109's exact twin pays a per-language sort window; this must not),
+    # no sort-merge join, no window
+    df = _q(spark, "q115_quality_sketch_gate")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "Sort " not in plan and "Sort\n" not in plan, plan[:1500]
