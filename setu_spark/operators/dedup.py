@@ -416,9 +416,14 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein is quadratic in document length, so it must never touch
     the corpus cross product — here it runs only on the q52-verified
     pair set (candidate volume ∝ true-duplicate density), with each
-    side's text fetched by an id join. ``F.levenshtein`` is JVM codegen;
-    both engines define it as unit-cost codepoint edits, so the distance
-    — and the normalized similarity gate — replay exactly in the oracle.
+    side's text fetched by an id join. ``F.levenshtein`` is JVM codegen
+    over unit-cost CODEPOINT edits — the linguistically right unit for a
+    multilingual corpus. DuckDB's ``levenshtein`` is BYTE-based (verified
+    empirically: 'café'→'cafe' costs 2 there, 1 in Spark), so oracle
+    parity is exact only on ASCII text — which the driver testdata is
+    (checked: 0 non-ASCII docs at every SF); the engine semantics are
+    pinned independently in tests/test_dedup.py (ASCII parity vs DuckDB
+    + codepoint behavior on Devanagari/CJK where the engines diverge).
 
     The Spark side uses the BOUNDED 3-arg ``levenshtein`` with threshold
     K = floor((1 - T) · global_max_len) (one bounded max aggregate):
@@ -428,10 +433,15 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded gate also would) otherwise — identical output, but cost
     per pair drops from O(len²) to O(len·K), which is what makes the
     verify stage affordable on book-length documents."""
+    from fractions import Fraction
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = q52_minhash_lsh_pairs(spark, sf_dir)
     max_len = docs.agg(F.max(F.length("text"))).first()[0] or 0
-    k = int((1 - EDIT_SIM_THRESHOLD) * max_len)
+    # exact-rational floor: int((1-T)*max_len) on floats happens to be
+    # right for T=0.6 but can under-bound K for other thresholds when
+    # the float product rounds down across an integer (round-4 ADVICE)
+    k = int((1 - Fraction(str(EDIT_SIM_THRESHOLD))) * max_len)
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
     )
@@ -687,6 +697,19 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # Exiting by exhaustion means non-converged labels — which would
+        # silently mismatch the exact transitive-closure oracle (round-4
+        # ADVICE). A duplicate chain longer than max_iterations hops is
+        # a sign the candidate graph is pathological (e.g. LSH banding
+        # misconfigured into one giant component); fail loudly instead
+        # of returning partial components.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations — labels still changing; "
+            "raise max_iterations or inspect the pair graph for "
+            "degenerate chains"
+        )
     return labels
 
 

@@ -36,23 +36,47 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``bigint``  → the nanos conf kicked in; ``ts div 1000`` truncates to
       µs exactly like DuckDB's ns→µs coercion (floor for post-epoch data).
-    - timestamp / timestamp_ntz → ``unix_micros(cast(ts as timestamp))``;
-      the session TZ is UTC (session.DEFAULT_CONF), so an NTZ wall-clock
-      converts to the same epoch-µs integer DuckDB's ``epoch_us`` yields.
+    - ``timestamp_ntz`` → pure wall-clock µs since the epoch via
+      ``timestampdiff(MICROSECOND, ...)`` on NTZ values — arithmetic with
+      NO session-timezone dependence (DuckDB's ``epoch_us`` on the same
+      naive parquet values is the identical integer). Earlier rounds
+      instead forced the session TZ to UTC and cast; that permanently
+      mutated a harness-provided session's ``spark.sql.session.timeZone``
+      for every later query — the round-4 ADVICE side-effect, now gone.
+    - ``timestamp`` (tz-aware instant) → ``unix_micros(ts)``, which is
+      timezone-independent by definition.
 
     ``nanosAsLong`` lives in ``session.DEFAULT_CONF``; the guarded ensure
     below exists because the driver's correctness harness hands us a session
     built elsewhere, and a NANOS-typed file would throw at read without it.
-    It is a no-op on µs-typed files."""
+    It is a no-op on µs-typed files (and, unlike a TZ flip, cannot change
+    the semantics of any already-working query).
+
+    The ``value`` column must still be the double the oracles assume — a
+    future testdata generation flipping it (e.g. to decimal) fails loudly
+    HERE instead of as an opaque hash mismatch 50 queries later (the
+    round-3 ts lesson, applied to the remaining numeric column)."""
     from setu_spark.session import ensure_sql_conf
 
     ensure_sql_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    ensure_sql_conf(spark, "spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    dtypes = dict(ev.dtypes)
+    if dtypes.get("value") != "double":
+        raise TypeError(
+            f"events.value expected double, got {dtypes.get('value')!r} — "
+            "testdata schema drift; extend the load_events dispatch "
+            "(operators/events.py) the way the ts dtypes are handled"
+        )
+    ts_dtype = dtypes["ts"]
+    if ts_dtype == "bigint":
         ts_us = F.expr("ts div 1000")
+    elif ts_dtype == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     else:
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ts_us = F.unix_micros(F.col("ts"))
     return ev.withColumn("ts_us", ts_us)
 
 

@@ -601,7 +601,11 @@ def kmeans_clusters(
                 if len(pdf) == 0:
                     continue
                 mat = np.stack(pdf["embedding"].values).astype(np.float64)
-                assign = np.argmax(_cos(mat), axis=1)
+                # argmax over ROUND-6 cosines (q63's discipline): raw
+                # doubles differ between numpy's matmul and the oracle's
+                # per-dimension sums by ulps, and a near-tie flip here
+                # cascades through every later centroid update
+                assign = np.argmax(round6_away(_cos(mat)), axis=1)
                 out = []
                 for c in np.unique(assign):
                     sel = mat[assign == c]
@@ -637,16 +641,17 @@ def kmeans_clusters(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["embedding"].values).astype(np.float64)
-            sims = _cos(mat)
+            # same round-before-argmax discipline as the iteration pass
+            sims = round6_away(_cos(mat))
             assign = np.argmax(sims, axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].values,
                     "label": pdf["label"].values,
                     "cluster": assign.astype("int32"),
-                    "cosine_to_centroid": round6_away(
-                        sims[np.arange(len(assign)), assign]
-                    ),
+                    "cosine_to_centroid": sims[
+                        np.arange(len(assign)), assign
+                    ],
                 }
             )
 
@@ -661,8 +666,11 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
     lowest cluster index — numpy argmax picks the first maximum), and
     identical centroid update (member mean rounded to 6 digits, empty
     clusters keeping the previous centroid), so both engines walk the same
-    centroid trajectory exactly."""
-    cos = "dotp / (greatest(na, 1e-12) * greatest(nc, 1e-12))"
+    centroid trajectory exactly. The assignment argmax orders by ROUND-6
+    cosines on both sides — numpy's matmul and these per-dimension sums
+    accumulate in different orders, so raw doubles can differ by ulps and
+    flip a near-tie assignment (round-4 ADVICE)."""
+    cos = "round(dotp / (greatest(na, 1e-12) * greatest(nc, 1e-12)), 6)"
     parts = [
         """e AS (
       SELECT vec_id, label,

@@ -270,3 +270,57 @@ def test_shared_span_removal_planted_boilerplate(spark):
     # the unique tail must survive somewhere in the cleaned text: its
     # md5 changes, but length accounting must be consistent
     assert r2.clean_len + r2.chars_removed == len(header + "beta unique tail two")
+
+
+def test_levenshtein_engine_parity_and_codepoint_semantics(spark, duck):
+    """q108's oracle validity: Spark levenshtein is codepoint-based and
+    must EQUAL DuckDB's on ASCII (all driver testdata is ASCII —
+    verified); on multi-byte text DuckDB counts BYTE edits and the
+    engines legitimately diverge — pin both facts so a testdata
+    generation that goes non-ASCII fails here with a readable message,
+    not as an opaque q108 hash mismatch."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("kitten", "sitting"),       # classic ASCII: 3
+        ("abc def", "abc deg"),      # 1
+        ("café", "cafe"),            # Spark 1 (codepoint), Duck 2 (bytes)
+        ("नमस्ते", "नमस्कार"),          # Devanagari
+        ("日本語テスト", "日本語てすと"),  # CJK
+    ]
+    df = spark.createDataFrame(cases, "a string, b string").select(
+        "a", "b", F.levenshtein("a", "b").alias("d"),
+        F.length("a").alias("la"),
+    )
+    got = {(r.a, r.b): (r.d, r.la) for r in df.collect()}
+    for a, b in cases:
+        duck_d, duck_len, duck_bytes = duck.execute(
+            "SELECT levenshtein(?, ?), length(?), strlen(?)", [a, b, a, a]
+        ).fetchone()
+        spark_d, spark_len = got[(a, b)]
+        assert spark_len == duck_len  # both lengths are codepoints
+        if a.isascii() and b.isascii():
+            assert spark_d == duck_d, (a, b, spark_d, duck_d)
+        else:
+            # documented divergence: DuckDB edits bytes
+            assert duck_bytes > duck_len
+    # Spark is codepoint-based: café -> cafe is ONE substitution
+    assert got[("café", "cafe")][0] == 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iterations hops must raise (round-4
+    ADVICE), not return partial labels that mismatch the exact
+    transitive-closure oracle."""
+    import pytest as _pytest
+
+    from setu_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    # and with room to converge, the whole chain is one component
+    labels = connected_components(chain, max_iterations=15).collect()
+    assert {r.component for r in labels} == {0}

@@ -32,15 +32,16 @@ _EXPECT_US = [
 ]
 
 
-def _write_events(unit: str) -> str:
+def _write_events(unit: str, value_type: pa.DataType | None = None) -> str:
     d = tempfile.mkdtemp(prefix=f"setu-events-{unit}-")
+    vt = value_type or pa.float64()
     table = pa.table(
         {
             "event_id": pa.array([1, 2, 3], pa.int64()),
             "ts": pa.array(_TS, pa.timestamp(unit)),
             "user_id": pa.array([10, 11, 12], pa.int64()),
             "event_type": pa.array(["click", "view", "click"]),
-            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "value": pa.array([1.0, 2.0, 3.0]).cast(vt),
             "props": pa.array(["{}", "{}", "{}"]),
         }
     )
@@ -57,6 +58,41 @@ def test_ts_us_exact_for_both_physical_types(spark, unit):
             for r in load_events(spark, d).select("event_id", "ts_us").collect()
         }
         assert got == {i + 1: us for i, us in enumerate(_EXPECT_US)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hostile_session_tz_not_mutated(spark):
+    """ts_us must be correct under a non-UTC session TZ, and load_events
+    must NOT touch spark.sql.session.timeZone (round-4 ADVICE: the old
+    save-nothing UTC override permanently changed a harness-provided
+    session's behavior)."""
+    d = _write_events("us")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {
+            r.event_id: r.ts_us
+            for r in load_events(spark, d).select("event_id", "ts_us").collect()
+        }
+        assert got == {i + 1: us for i, us in enumerate(_EXPECT_US)}
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_value_dtype_drift_fails_loudly(spark):
+    """A decimal-typed value column (a plausible future testdata flip,
+    like round 3's ts ns->us) must raise at load with a pointed message,
+    not surface as a hash mismatch downstream."""
+    d = _write_events("us", value_type=pa.decimal128(10, 2))
+    try:
+        with pytest.raises(TypeError, match="events.value expected double"):
+            load_events(spark, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
