@@ -45,83 +45,82 @@ from setu_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
-#: Round-4 window: the driver's correctness harness checks roughly the
+#: Round-5 window: the driver's correctness harness checks roughly the
 #: FIRST 50 entries of the returned maps, so this list pins the window
-#: explicitly (everything else follows in registration order). Priority
-#: order: (a) the 12 queries broken by round 3's load_events dtype bug —
-#: all fixed, must re-earn green rows; (b) the three queries upgraded
-#: from rows-only to exact oracles this round (q94/q56/q85); (c) the 7
-#: queries that have never been inside any round's window (q28, q84,
-#: q103–q107); (d) refresh slots for r02-green queries rotated out of
-#: round 3's window, favoring the bench headline set.
+#: explicitly (everything else follows in registration order). Exactly
+#: 50 names — round 4's 57-entry list overflowed and its last 7 fell
+#: out of the window (they are the r2-stale block below). Priority:
+#: (a) queries whose code or oracle changed this round (sketch-family
+#: witnesses, the new q115 gate, the kmeans rounding fix) plus two
+#: events representatives for the load_events TZ-independence rewrite;
+#: (b) every query whose last green driver row is ROUND 2 (3 rounds
+#: stale); (c) per-family representatives from the round-3-only set
+#: (dedup, similarity, curation, wordlists, stages, multimodal,
+#: privacy, quality, range join) so no family's staleness exceeds 2
+#: rounds.
 _FRONT = (
-    # (a) fixed this round — events family + as-of join + q68 oracle cast
-    "q70_hourly_event_stats",
-    "q71_user_sessions",
-    "q72_first_event_per_user_type",
-    "q73_event_type_hourly_share",
-    "q74_event_props_extract",
-    "q75_user_totals",
-    "q76_sliding_event_counts",
-    "q77_event_funnel",
-    "q95_cohort_retention",
-    "q96_event_anomaly",
-    "q19_asof_last_signup",
-    "q68_language_script_profile",
-    # (b) newly exact-oracle'd
-    "q94_sequence_packing",
-    "q56_dedup_components",
-    "q85_kmeans_clusters",
-    # (c) never driver-checked in any round
-    "q106_event_type_pivot",
-    "q107_grouping_sets_revenue",
+    # (a) new or changed this round
     "q28_approx_distinct_parts",
     "q84_approx_quantiles",
-    "q103_snapshot_diff",
     "q104_compression_ratio",
-    "q105_source_overlap",
-    # (new in round 4) edit-distance verify, percentile gate, mixture
-    "q108_editdist_verify",
-    "q109_quality_percentile_gate",
-    "q110_source_mixture_weights",
-    "q111_shared_span_removal",
-    "q112_temperature_mixture",
-    "q113_length_histogram",
-    "q114_bigram_logprob",
-    # (d) r02-green refresh (rotated out of round 3's window)
-    "q01_pricing_summary",
-    "q02_top_parts_by_revenue",
-    "q03_shipping_priority",
-    "q05_region_nation_revenue",
-    "q07_customer_running_spend",
-    "q08_supplier_rank_in_nation",
-    "q09_sales_rollup",
-    "q10_late_shipment_priority",
-    "q11_customers_without_orders",
-    "q12_supplier_part_breadth",
-    "q13_segment_acctbal",
-    "q14_order_gap_days",
-    "q15_status_priority_cube",
-    "q16_top3_orders_per_customer",
-    "q17_rich_customers_minus_buyers",
-    "q20_repeat_buyers_intersection",
-    "q27_unified_activity_ledger",
-    "q30_doc_word_stats",
-    "q31_word_freq_topk",
-    "q32_lang_profile",
-    "q33_quality_flags",
+    "q115_quality_sketch_gate",
+    "q85_kmeans_clusters",
+    "q70_hourly_event_stats",
+    "q74_event_props_extract",
+    # (b) last green in round 2 — the whole block
+    "q06_forecast_revenue",
+    "q21_price_percentiles",
+    "q22_part_name_drift",
+    "q23_monthly_seasonality",
+    "q24_price_math_profile",
+    "q25_name_normalization",
+    "q26_conditional_aggregates",
+    "q34_doc_fingerprint",
     "q35_token_counts",
     "q36_rolling_fingerprints",
     "q37_fingerprint_containment",
+    "q38_representative_doc_per_group",
     "q40_reassembly_roundtrip",
     "q41_char_ngram_repetition",
+    "q42_word_ngram_repetition",
+    "q43_script_detection",
+    "q44_flagged_word_counts",
     "q45_lid_heuristic",
+    "q46_code_removal",
     "q47_multi_n_repetition",
+    "q48_repetition_flag_filter",
+    "q50_exact_dedup_survivors",
+    "q51_minhash_signatures",
+    "q52_minhash_lsh_pairs",
+    "q58_lsh_then_exact_jaccard",
+    # (c) round-3-only family representatives
+    "q18_order_price_bands",
+    "q29_token_budget_sample",
+    "q53_token_jaccard_pairs",
+    "q55_embedding_neardup",
+    "q57_simhash_neardup_pairs",
+    "q59_dedup_removed_docs",
+    "q62_ann_lsh_buckets",
+    "q63_ann_ivf_topk",
+    "q64_decontamination",
+    "q66_flashtext_keyword_dist",
+    "q67_normalize_indic",
+    "q80_clean_pipeline",
+    "q83_curation_pipeline",
+    "q89_bloom_decontamination",
+    "q92_media_bytes_by_kind",
+    "q93_cross_corpus_neardup",
+    "q97_pii_redaction",
+    "q99_gopher_quality_rules",
 )
 
 
 def _window_ordered(m: dict) -> dict:
-    out = {k: m[k] for k in _FRONT if k in m}
+    # fail fast on a typo'd name: a silent drop would quietly rotate a
+    # query out of the checked window (round-4 ADVICE)
+    missing = set(_FRONT) - set(m)
+    assert not missing, f"_FRONT names not in registry: {sorted(missing)}"
+    out = {k: m[k] for k in _FRONT}
     out.update({k: v for k, v in m.items() if k not in out})
     return out
 

@@ -59,6 +59,7 @@ HEADLINE = [
     "q80_clean_pipeline",
     "q108_editdist_verify",
     "q109_quality_percentile_gate",
+    "q115_quality_sketch_gate",
     "q110_source_mixture_weights",
     "q111_shared_span_removal",
     "q112_temperature_mixture",
@@ -108,6 +109,13 @@ def main() -> None:
     # leaves numbers on disk.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Host load around each query (1-min loadavg): this machine is
+    # co-tenant and single-shot numbers swing ±40% under bursts —
+    # BENCH_r04 read 1.10x vs r01 while the same-day idle run read
+    # 0.97x, and nothing in the JSON showed why. Recording load makes
+    # noisy runs machine-distinguishable from regressions.
+    loads: dict[str, float] = {}
+    load_start = os.getloadavg()[0]
 
     def _checkpoint() -> None:
         payload = {
@@ -116,6 +124,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_dir,
+            "loadavg": {
+                "start": round(load_start, 2),
+                "end": round(os.getloadavg()[0], 2),
+                "per_query": loads,
+            },
         }
         if errors:
             payload["errors"] = errors
@@ -127,6 +140,7 @@ def main() -> None:
         return payload
 
     for name in HEADLINE:
+        loads[name] = round(os.getloadavg()[0], 2)
         try:
             runs: list[float] = []
             for _ in range(2):

@@ -66,6 +66,19 @@ def _fallback_extract(html: str | None) -> str | None:
     return re.sub(r"\n{2,}", "\n", text).strip() or None
 
 
+def _extract_impl():
+    """The html-extra plug point: the real trafilatura when importable
+    (runs on each Python WORKER — installing the extra on the cluster is
+    enough, no code change), else the deterministic stand-in. Smoke-tested
+    both ways in tests/test_plug_extras.py."""
+    try:  # pragma: no cover - not in this container
+        import trafilatura
+
+        return lambda h: trafilatura.extract(h) if h else None
+    except ImportError:
+        return _fallback_extract
+
+
 def read_crawl_json(
     spark: SparkSession, path_glob: str, multiline: bool = False
 ) -> DataFrame:
@@ -84,14 +97,7 @@ def extract_text(crawl: DataFrame) -> DataFrame:
     """HTML → text via Arrow-batched mapInPandas (R2 rebuilt)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - not in this container
-            import trafilatura
-
-            def ex(h):
-                return trafilatura.extract(h) if h else None
-
-        except ImportError:
-            ex = _fallback_extract
+        ex = _extract_impl()
         for pdf in batches:
             text = pdf["html"].map(ex)
             yield pd.DataFrame(

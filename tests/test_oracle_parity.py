@@ -21,6 +21,19 @@ def test_every_oracle_has_query():
     assert not missing, f"oracle without query: {missing}"
 
 
+def test_front_window_well_formed():
+    """The driver checks roughly the first 50 registrations; _FRONT pins
+    that window. Every name must be registered (the assert in
+    _window_ordered), the list must be exactly window-sized with no
+    duplicates (round 4's 57-entry list silently dropped its tail), and
+    the returned ordering must actually lead with it."""
+    front = entrymod._FRONT
+    assert len(front) == 50
+    assert len(set(front)) == len(front)
+    assert set(front) <= set(QUERIES)
+    assert list(QUERIES)[: len(front)] == list(front)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     register_views(duck, SF_ORACLE)

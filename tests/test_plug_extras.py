@@ -1,0 +1,89 @@
+"""Deployment-plug smoke tests — one per optional extra.
+
+Each real-model seam (README "Deployment plugs") ships a deterministic
+stand-in so the engine is fully testable in a bare container; these
+tests verify BOTH directions of the seam:
+
+  * always: the stand-in is active and well-formed when the lib is absent;
+  * skipped-unless-installed: with the extra present (`pip install
+    .[html]` etc.), the seam actually picks up the real implementation —
+    so a deployment can run `pytest tests/test_plug_extras.py` to prove
+    its install worked.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pandas as pd
+import pytest
+
+
+def _has(mod: str) -> bool:
+    return importlib.util.find_spec(mod) is not None
+
+
+# ------------------------------------------------------------------ html
+def test_extraction_seam_selects_implementation():
+    from setu_spark.stages.extraction import _extract_impl, _fallback_extract
+
+    impl = _extract_impl()
+    if _has("trafilatura"):
+        assert impl is not _fallback_extract
+    else:
+        assert impl is _fallback_extract
+        out = impl("<html><script>x=1</script><p>hello  world</p></html>")
+        assert "hello" in out and "x=1" not in out
+
+
+@pytest.mark.skipif(not _has("trafilatura"), reason="html extra not installed")
+def test_trafilatura_really_plugs_in():
+    from setu_spark.stages.extraction import _extract_impl, _fallback_extract
+
+    assert _extract_impl() is not _fallback_extract
+
+
+# ------------------------------------------------------------------- lid
+def test_lid_registry_accepts_real_model_shape():
+    """The registry contract a fasttext wrapper must satisfy: a zero-arg
+    factory returning an object with predict(Series) -> DataFrame(lang,
+    prob). Register a conforming double, run the ensemble path, clean up."""
+    from setu_spark.stages.lid import DETECTOR_FACTORIES, register_detector
+
+    class _Fake:
+        def predict(self, texts: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"lang": ["xx"] * len(texts), "prob": [0.9] * len(texts)}
+            )
+
+    register_detector("_smoke", lambda: _Fake())
+    try:
+        model = DETECTOR_FACTORIES["_smoke"]()
+        out = model.predict(pd.Series(["a", "b"]))
+        assert list(out.columns) == ["lang", "prob"] and len(out) == 2
+    finally:
+        DETECTOR_FACTORIES.pop("_smoke", None)
+
+
+@pytest.mark.skipif(not _has("fasttext"), reason="lid extra not installed")
+def test_fasttext_importable_for_lid_plug():
+    import fasttext  # noqa: F401
+
+
+# ----------------------------------------------------------------- media
+def test_media_codec_flag_matches_environment():
+    from setu_spark.operators.multimodal import _real_codec_available
+
+    assert _real_codec_available() == _has("PIL")
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="media extra not installed")
+def test_pillow_decodes_via_seam():
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((4, 4, 3), dtype=np.uint8)).save(buf, "PNG")
+    assert np.asarray(Image.open(io.BytesIO(buf.getvalue()))).shape == (4, 4, 3)
