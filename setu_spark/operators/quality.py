@@ -250,6 +250,9 @@ def q115_quality_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
+    # the signal projection feeds both the threshold aggregate and the
+    # gate — cache it (q52's discipline) so the text split runs once;
+    # measured 3.6s -> ~2s at the 20x corpus
     sig = docs.select(
         "doc_id",
         "lang",
@@ -258,7 +261,7 @@ def q115_quality_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(t).cast("double"),
             6,
         ).alias("stopword_frac"),
-    )
+    ).cache()
     thresholds = sig.groupBy("lang").agg(
         F.expr(
             f"approx_percentile(stopword_frac, {PCTL_FLOOR}, {PCT_ACCURACY})"
