@@ -40,6 +40,7 @@ import setu_spark.operators.dedup  # noqa: F401, E402
 import setu_spark.operators.wordlists  # noqa: F401, E402
 import setu_spark.operators.textstats  # noqa: F401, E402
 import setu_spark.analytics.queries  # noqa: F401, E402
+import setu_spark.sources.roundtrips  # noqa: F401, E402
 
 from setu_spark.registry import ORACLES, QUERIES  # noqa: E402
 
@@ -59,11 +60,17 @@ SF0001 = "/root/testdata/sf0.001"
 #: privacy, quality, range join) so no family's staleness exceeds 2
 #: rounds.
 _FRONT = (
-    # (a) new or changed this round
+    # (a) new or changed this round (q116-q119: the §2 components that
+    # previously had only unit tests — sentence explode + quirk flags,
+    # partitioned/ORC/JSONL sink-scan roundtrips)
     "q28_approx_distinct_parts",
     "q84_approx_quantiles",
     "q104_compression_ratio",
     "q115_quality_sketch_gate",
+    "q116_sentence_explode",
+    "q117_partitioned_sink_roundtrip",
+    "q118_orc_sink_roundtrip",
+    "q119_jsonl_scan_roundtrip",
     "q85_kmeans_clusters",
     "q70_hourly_event_stats",
     "q74_event_props_extract",
@@ -94,21 +101,19 @@ _FRONT = (
     "q52_minhash_lsh_pairs",
     "q58_lsh_then_exact_jaccard",
     # (c) round-3-only family representatives
+    # (q53/q62/q64/q92 ceded their slots to q116-q119: their families
+    # keep q55/q57/q59, q63, q89, and q101's r3 green respectively)
     "q18_order_price_bands",
     "q29_token_budget_sample",
-    "q53_token_jaccard_pairs",
     "q55_embedding_neardup",
     "q57_simhash_neardup_pairs",
     "q59_dedup_removed_docs",
-    "q62_ann_lsh_buckets",
     "q63_ann_ivf_topk",
-    "q64_decontamination",
     "q66_flashtext_keyword_dist",
     "q67_normalize_indic",
     "q80_clean_pipeline",
     "q83_curation_pipeline",
     "q89_bloom_decontamination",
-    "q92_media_bytes_by_kind",
     "q93_cross_corpus_neardup",
     "q97_pii_redaction",
     "q99_gopher_quality_rules",

@@ -1135,3 +1135,72 @@ def q38_representative_doc_per_group(
         .filter(F.col("rn") == 1)
         .select("source", "lang", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------- q116
+def _sentence_sql() -> str:
+    # DuckDB (RE2) has no lookbehind, so the U1 split is replayed as its
+    # equivalent chunk DECOMPOSITION: every chunk is the maximal run up
+    # to and including the next terminator ([^T]*T, leftmost-first), the
+    # tail may lack a terminator ([^T]+), and the newlines Spark's
+    # `(?<=T)\n+` separator CONSUMES appear here as the follower chunk's
+    # leading newlines — stripped for i > 1 (chunks 2.. always follow a
+    # terminator-ending chunk by construction). Empty chunks (trailing
+    # split artifacts) are filtered on both sides AFTER indexing, so
+    # surviving sent_idx values agree.
+    tclass = "[.?!।॥|؟۔]"
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+               '[^.?!।॥|؟۔]*{tclass}|[^.?!।॥|؟۔]+'
+             ) AS chunks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    raw AS (
+      SELECT doc_id, i AS sent_idx,
+             CASE WHEN i > 1
+                  THEN regexp_replace(chunks[i], '^\n+', '')
+                  ELSE chunks[i] END AS sentence
+      FROM ex, unnest(range(1, len(chunks) + 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+           (regexp_matches(sentence, '[.!?:,;)"'']$')
+            AND NOT (sentence LIKE '%...' OR sentence LIKE '%####'))
+             AS terminal_ok,
+           regexp_matches(sentence, '^[0-9]+$') AS is_digits
+    FROM raw WHERE sentence <> ''
+    """
+
+
+@register("q116_sentence_explode", oracle=_sentence_sql())
+def q116_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 sentence explode with the U1 delimiter-retention quirk, per-
+    sentence U17 terminal-validity and U5 isdigit flags, and a P7
+    null-drop on the way in — the four §2 scalar/explode components that
+    had only unit tests now earn a driver hash check in one query
+    (reference analysis.py:145-163, filters.py:237-330, 773-775).
+
+    Spark side is the NATIVE lookbehind split (functions/text.py
+    ``split_keep_delimiter`` — no UDF, the explode is codegen over the
+    split array); the oracle replays it lookbehind-free via the chunk
+    decomposition documented in ``_sentence_sql``. Zero shuffles: scan →
+    split → posexplode → per-row flags, one codegen stage at any scale."""
+    from setu_spark.functions.text import (
+        is_number,
+        split_keep_delimiter,
+        terminal_valid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(split_keep_delimiter("text")).alias("i0", "sentence"),
+    ).filter(F.col("sentence") != "")
+    return sents.select(
+        "doc_id",
+        (F.col("i0") + 1).cast("int").alias("sent_idx"),
+        "sentence",
+        terminal_valid("sentence").alias("terminal_ok"),
+        is_number("sentence").alias("is_digits"),
+    )
