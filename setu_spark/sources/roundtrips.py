@@ -24,15 +24,18 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from setu_spark.registry import DSUM, dsum, register
 from setu_spark.sources.io import (
     load_table,
+    read_csv_corpus,
     read_json_corpus,
     read_orc,
     write_jsonl,
@@ -139,4 +142,52 @@ def q119_jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_len"),
         F.countDistinct("doc_id").alias("n_ids"),
+    )
+
+
+# ---------------------------------------------------------------- q120
+_CSV_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampNTZType()),
+    ]
+)
+
+
+@register(
+    "q120_csv_scan_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_orderkey) AS n_keys,
+           {DSUM('o_totalprice', 'total_price')},
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q120_csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+ CSV sink + schema'd scan driver-checked: a newline-free orders
+    projection → headered CSV → ``read_csv_corpus`` with an explicit
+    schema (no inference — a 100 TB inference pass is a full extra read)
+    → per-status aggregate. The cycle exercises the lossy-prone CSV
+    edges: doubles round-trip via shortest-repr Double.toString, NTZ
+    timestamps via ISO strings, and the DSUM/min/max aggregate catches drift
+    against the parquet-direct oracle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out = tempfile.mkdtemp(prefix="setu-rt-csv-")
+    orders.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_csv_corpus(spark, os.path.join(out, "*.csv"), _CSV_SCHEMA)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        dsum(F.col("o_totalprice"), "total_price"),
+        # repo date convention (q03/q14): format to yyyy-MM-dd strings —
+        # raw timestamp/date columns hit pandas dtype splits in the compare
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
     )
