@@ -1,0 +1,50 @@
+"""Shuffle-width invariance — the distributed-correctness property.
+
+On a 1000-executor cluster the only thing that changes vs local[32] is
+HOW MANY partitions every exchange produces and which rows co-reside.
+Any operator whose result depends on partition count or intra-partition
+order (a prefix sum that forgot its global offset pass, a packing
+recurrence leaking partition boundaries, an iterative fixpoint reading
+unordered state) is wrong at scale even if its oracle row matches on
+one fixed layout. This suite re-runs the order/partition-sensitive
+queries under a deliberately hostile shuffle width (3 — uneven, far
+from the default 8/32) and requires value-identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import canonicalize
+
+#: The queries whose implementations carry explicit cross-partition
+#: machinery (global prefix offsets, partition-local packing, iterative
+#: label propagation, winnowed-span reassembly, k-means batch partials)
+#: — exactly the ones a partition-layout bug would corrupt silently.
+SENSITIVE = [
+    "q29_token_budget_sample",
+    "q36_rolling_fingerprints",
+    "q56_dedup_components",
+    "q85_kmeans_clusters",
+    "q94_sequence_packing",
+    "q111_shared_span_removal",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_shuffle_width_invariance(name, spark):
+    qs = entrymod.queries()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        base = canonicalize(qs[name](spark, SF_ORACLE).toPandas())
+        spark.conf.set(key, "3")
+        narrow = canonicalize(qs[name](spark, SF_ORACLE).toPandas())
+    finally:
+        spark.conf.set(key, prev)
+    assert base.equals(narrow), (
+        f"{name}: result depends on shuffle partition count "
+        f"(rows {len(base)} vs {len(narrow)})"
+    )
