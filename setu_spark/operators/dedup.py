@@ -354,22 +354,26 @@ def _pairs_sql() -> str:
     FROM cand c
     JOIN sig sa ON c.id_a = sa.doc_id
     JOIN sig sb ON c.id_b = sb.doc_id
-    WHERE ({eq_terms}) / {NUM_PERM}.0 >= 0.5
+    WHERE ({eq_terms}) / {NUM_PERM}.0 >= {MINHASH_EST_THRESHOLD}
     """
 
 
-@register("q52_minhash_lsh_pairs", oracle=_pairs_sql())
-def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard
-    (fraction of agreeing minhashes), threshold 0.5. The full scale-path
-    pipeline: signature (narrow) → band bucketing (shuffle on band hash) →
-    in-bucket pair generation → signature verify (broadcast-friendly
-    joins)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # the signature table feeds four plan branches (two band sides, two
-    # verify joins) — cache it so signatures are computed once
-    sig = minhash_signatures(docs).cache()
-    pairs = lsh_candidate_pairs(sig)
+#: Minimum fraction of agreeing minhashes for an LSH candidate pair to
+#: count as estimate-verified (shared by q52, the funnel sweep, and the
+#: oracle SQL — one constant, no drift).
+MINHASH_EST_THRESHOLD = 0.5
+
+
+def pair_est_jaccard(
+    sig: DataFrame,
+    pairs: DataFrame,
+    threshold: float = MINHASH_EST_THRESHOLD,
+) -> DataFrame:
+    """Signature-agreement verify: attach the estimated Jaccard (fraction
+    of agreeing minhashes) to candidate ``(id_a, id_b)`` pairs and keep
+    those at/above ``threshold``. DataFrame-in helper shared by q52 and
+    tools/funnel_sweep.py so the production query and the measured
+    funnel cannot desynchronize (round-5 review)."""
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     eq_terms = [
@@ -380,9 +384,23 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, pairs.id_a == F.col("sa.doc_id"))
         .join(sb, pairs.id_b == F.col("sb.doc_id"))
-        .filter(est >= 0.5)
+        .filter(est >= threshold)
         .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
     )
+
+
+@register("q52_minhash_lsh_pairs", oracle=_pairs_sql())
+def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard
+    (fraction of agreeing minhashes), threshold {MINHASH_EST_THRESHOLD}.
+    The full scale-path pipeline: signature (narrow) → band bucketing
+    (shuffle on band hash) → in-bucket pair generation → signature
+    verify (broadcast-friendly joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the signature table feeds four plan branches (two band sides, two
+    # verify joins) — cache it so signatures are computed once
+    sig = minhash_signatures(docs).cache()
+    return pair_est_jaccard(sig, lsh_candidate_pairs(sig))
 
 
 # ---------------------------------------------------------------- q108
@@ -433,15 +451,29 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded gate also would) otherwise — identical output, but cost
     per pair drops from O(len²) to O(len·K), which is what makes the
     verify stage affordable on book-length documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_verify(docs, q52_minhash_lsh_pairs(spark, sf_dir))
+
+
+def edit_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
+    """Bounded edit-distance confirmation of ``(id_a, id_b, ...)`` pairs
+    against a ``(doc_id, text)`` corpus — the q108 stage as a
+    DataFrame-in helper shared with tools/funnel_sweep.py so the
+    production query and the measured funnel cannot desynchronize
+    (round-5 review). Extra pair columns (e.g. ``est_jaccard``) pass
+    through untouched."""
     from fractions import Fraction
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = q52_minhash_lsh_pairs(spark, sf_dir)
     max_len = docs.agg(F.max(F.length("text"))).first()[0] or 0
     # exact-rational floor: int((1-T)*max_len) on floats happens to be
     # right for T=0.6 but can under-bound K for other thresholds when
     # the float product rounds down across an integer (round-4 ADVICE)
-    k = int((1 - Fraction(str(EDIT_SIM_THRESHOLD))) * max_len)
+    k = int((1 - Fraction(str(threshold))) * max_len)
+    keep = list(pairs.columns)
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
     )
@@ -452,9 +484,7 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(da, "id_a")
         .join(db, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            "est_jaccard",
+            *keep,
             F.levenshtein("text_a", "text_b", k).alias("edit_dist"),
             F.greatest(
                 F.length("text_a"), F.length("text_b")
@@ -463,11 +493,9 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = 1 - F.col("edit_dist") / F.col("max_len").cast("double")
     return lev.filter(
-        (F.col("edit_dist") >= 0) & (sim >= EDIT_SIM_THRESHOLD)
+        (F.col("edit_dist") >= 0) & (sim >= threshold)
     ).select(
-        "id_a",
-        "id_b",
-        "est_jaccard",
+        *keep,
         "edit_dist",
         F.round(sim, 6).alias("edit_sim"),
     )
@@ -1054,7 +1082,7 @@ def _cross_corpus_sql() -> str:
       FROM cand c
       JOIN sig sa ON c.new_id = sa.doc_id
       JOIN sig sb ON c.exist_id = sb.doc_id
-      WHERE ({eq_terms}) / {NUM_PERM}.0 >= 0.5
+      WHERE ({eq_terms}) / {NUM_PERM}.0 >= {MINHASH_EST_THRESHOLD}
     )
     SELECT new_id AS new_doc_id, count(*) AS n_matches,
            round(max(est), 6) AS best_est_jaccard
@@ -1104,7 +1132,7 @@ def q93_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, cand.new_id == F.col("sa.doc_id"))
         .join(sb, cand.exist_id == F.col("sb.doc_id"))
-        .filter(est >= 0.5)
+        .filter(est >= MINHASH_EST_THRESHOLD)
         .select("new_id", est.alias("est"))
         .groupBy("new_id")
         .agg(

@@ -150,10 +150,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
     The relational part (offset generation from typed metadata) is pure
     Spark — only the (stubbed) frame decode would touch the payload."""
-    if _real_codec_available():  # pragma: no cover
-        raise NotImplementedError(
-            "real ffmpeg-backed sampling not wired; container lacks codecs"
-        )
+    # NB: offsets come from typed METADATA only — no payload decode, so
+    # this path is fully real with or without codecs installed. (Earlier
+    # rounds raised here when a codec lib was importable; that made
+    # `pip install .[media]` break a query whose semantics never needed
+    # the codec — round-5 review finding.)
     frames = media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(
@@ -261,12 +262,11 @@ def resize_images(
     filtered relationally, payload crosses to Python once per Arrow batch,
     output is a new binary column sized for the model; the pixel kernel is
     a deterministic fake (payload truncation/tiling to the target byte
-    count) because PIL/opencv are not in this container. A real codec
-    replaces only the marked lines."""
-    if _real_codec_available():  # pragma: no cover
-        raise NotImplementedError(
-            "real PIL-backed resize not wired; container lacks codecs"
-        )
+    count). Installing Pillow does NOT auto-swap the kernel: the corpus
+    payloads may not be decodable images at all, so a codec swap is a
+    deliberate deployment change — replace only the marked lines
+    (``_real_codec_available`` exists for the extras smoke test, not as
+    a behavior switch)."""
     target = width * height  # fake: 1 byte per pixel
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

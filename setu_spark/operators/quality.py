@@ -523,7 +523,7 @@ def compression_signals(docs: DataFrame) -> DataFrame:
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS orig_bytes,
            TRUE AS ratio_ok
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,9 +537,15 @@ def q104_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, and its worst-case expansion (header + stored-block framing)
     stays under that absolute slack. The oracle answers literal TRUE: a
     broken UDF (None handling, size sign, denominator) flips the bool
-    and fails the hash. Distribution-level semantics stay pinned by the
-    planted fixtures in tests/test_quality.py."""
-    sig = compression_signals(load_table(spark, sf_dir, "documents"))
+    and fails the hash. NULL-text rows are dropped on BOTH sides (q116's
+    convention) — without the symmetric filter a future null-bearing
+    testdata generation would flip ratio_ok to False against the
+    oracle's unconditional TRUE, an opaque mismatch instead of a scoped
+    one (round-5 review). Distribution-level semantics stay pinned by
+    the planted fixtures in tests/test_quality.py."""
+    sig = compression_signals(
+        load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
+    )
     ceiling = (
         F.col("orig_bytes")
         + F.lit(ZLIB_SLACK_BYTES)

@@ -1168,7 +1168,7 @@ def _sentence_sql() -> str:
            (regexp_matches(sentence, '[.!?:,;)"'']$')
             AND NOT (sentence LIKE '%...' OR sentence LIKE '%####'))
              AS terminal_ok,
-           regexp_matches(sentence, '^[0-9]+$') AS is_digits
+           regexp_matches(sentence, '^\\p{{Nd}}+$') AS is_digits
     FROM raw WHERE sentence <> ''
     """
 

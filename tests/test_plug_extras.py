@@ -72,9 +72,32 @@ def test_fasttext_importable_for_lid_plug():
 
 # ----------------------------------------------------------------- media
 def test_media_codec_flag_matches_environment():
+    """_real_codec_available reports the environment for this smoke test;
+    it is NOT a behavior switch — the deterministic fake kernels stay
+    active until a deployment replaces the marked lines (multimodal.py
+    resize_images docstring)."""
     from setu_spark.operators.multimodal import _real_codec_available
 
     assert _real_codec_available() == _has("PIL")
+
+
+def test_media_operators_run_regardless_of_codec_presence(spark):
+    """Installing the media extra must never BREAK the media operators
+    (round-5 review: the old guard raised NotImplementedError when PIL
+    was importable): the metadata-only frame sampler and the fake-kernel
+    resize both run whatever the environment has."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.operators.multimodal import frame_sample, resize_images
+
+    media = spark.createDataFrame(
+        [(1, "video", 2500, bytearray(b"abc")), (2, "image", 0, bytearray(b"xyz"))],
+        "media_id long, kind string, duration_ms long, payload binary",
+    )
+    offs = frame_sample(media, every_ms=1000).collect()
+    assert [r.frame_offset_ms for r in offs] == [0, 1000, 2000]
+    out = resize_images(media, 4, 2).collect()
+    assert len(out) == 1 and len(out[0].payload) == 8  # image row only
 
 
 @pytest.mark.skipif(not _has("PIL"), reason="media extra not installed")

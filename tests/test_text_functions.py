@@ -204,6 +204,7 @@ def test_q116_oracle_decomposition_equals_spark_split_on_edges(spark, duck, tmp_
         (11, "a.b.c.d."),
         (12, "newline\ninside. chunk\nhere."),
         (13, "42"),
+        (14, "१२३"),  # Devanagari digits: is_digits is \p{Nd} BOTH sides
     ]
     d = str(tmp_path / "docs116")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
@@ -235,3 +236,4 @@ def test_q116_oracle_decomposition_equals_spark_split_on_edges(spark, duck, tmp_
     assert sents[(10, 2)].sentence == "."
     assert not sents[(6, 1)].terminal_ok  # no terminator at all
     assert sents[(13, 1)].is_digits and not sents[(13, 1)].terminal_ok
+    assert sents[(14, 1)].is_digits  # Unicode digit parity, not ASCII-only
