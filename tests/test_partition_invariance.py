@@ -48,3 +48,29 @@ def test_shuffle_width_invariance(name, spark):
         f"{name}: result depends on shuffle partition count "
         f"(rows {len(base)} vs {len(narrow)})"
     )
+
+
+#: AQE rewrites physical plans at runtime (coalesce, skew split, join
+#: strategy switch) — none of which may change RESULTS. Representative
+#: set: broadcast-join analytics, window, iterative, sampler, LSH join.
+AQE_SET = [
+    "q05_region_nation_revenue",
+    "q16_top3_orders_per_customer",
+    "q29_token_budget_sample",
+    "q52_minhash_lsh_pairs",
+    "q94_sequence_packing",
+]
+
+
+@pytest.mark.parametrize("name", AQE_SET)
+def test_aqe_off_invariance(name, spark):
+    qs = entrymod.queries()
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    try:
+        on = canonicalize(qs[name](spark, SF_ORACLE).toPandas())
+        spark.conf.set(key, "false")
+        off = canonicalize(qs[name](spark, SF_ORACLE).toPandas())
+    finally:
+        spark.conf.set(key, prev)
+    assert on.equals(off), f"{name}: result changed when AQE disabled"

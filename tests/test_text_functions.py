@@ -237,3 +237,35 @@ def test_q116_oracle_decomposition_equals_spark_split_on_edges(spark, duck, tmp_
     assert not sents[(6, 1)].terminal_ok  # no terminator at all
     assert sents[(13, 1)].is_digits and not sents[(13, 1)].terminal_ok
     assert sents[(14, 1)].is_digits  # Unicode digit parity, not ASCII-only
+
+
+def test_q116_decomposition_on_random_corpus(spark, duck, tmp_path):
+    """Seeded random fuzz over the terminator/newline alphabet: 300 docs
+    of adversarial shape (terminator runs, newline runs, empties) must
+    decompose identically in both engines — the fixed edge fixtures
+    can't enumerate every interleaving; this sweeps the space."""
+    import os
+    import random
+
+    from setu_spark.operators.textstats import _sentence_sql, q116_sentence_explode
+    from tests.oracle_utils import compare_frames
+
+    random.seed(116)
+    alphabet = ["a", "b", ".", "!", "?", "\n", " ", "|", "।"]
+    rows = [
+        (i, "".join(random.choices(alphabet, k=random.randint(0, 40))))
+        for i in range(300)
+    ]
+    d = str(tmp_path / "fuzz116")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    spark_pdf = q116_sentence_explode(spark, d).toPandas()
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{}')".format(
+            os.path.join(d, "documents.parquet", "*.parquet")
+        )
+    )
+    oracle_pdf = duck.execute(_sentence_sql()).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, problems
