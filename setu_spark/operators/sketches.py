@@ -4,11 +4,14 @@ profile job uses where the exact aggregate would shuffle unboundedly.
   q28  approx_count_distinct (HyperLogLog++) vs exact countDistinct
   q84  approx_percentile (Greenwald-Khanna quantile summary) vs exact
        percentile
+  q121 heavy-hitters (space-saving local heaps, lossy-counting
+       guarantee) vs exact top-K
 
-Both sketches are MERGEABLE: partial states combine associatively, so
-they map-side combine into a few KB per group regardless of group
-cardinality — the property the exact forms lack (exact distinct ships
-every distinct value; exact percentile ships every value).
+All three sketches are MERGEABLE: partial states combine associatively,
+so they map-side combine into bounded bytes per group/partition
+regardless of cardinality — the property the exact forms lack (exact
+distinct ships every distinct value; exact percentile every value;
+exact top-K one row per distinct key).
 
 Verification contract (the bounded-witness pattern): sketch INTERNALS
 are engine-specific, so the driver can't diff raw sketch state — but
@@ -153,4 +156,96 @@ def q84_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact_q, 6).alias("exact_q"),
         F.round(approx_q, 6).alias("approx_q"),
         (rel_err <= QUANTILE_REL_BOUND).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------- q121
+#: Heavy-hitters: exact top-K tokens reported; the approximate path
+#: keeps a bounded per-partition candidate heap of LOCAL_M tokens.
+TOPK = 20
+LOCAL_M = 200
+
+
+def _q121_oracle() -> str:
+    return f"""
+    WITH tc AS (
+      SELECT t AS tok, count(*) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> '' AND text IS NOT NULL
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, tok) AS rank,
+             tok, c AS exact_count
+      FROM tc
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, tok, exact_count,
+           TRUE AS approx_found
+    FROM ranked WHERE rank <= {TOPK}
+    """
+
+
+@register("q121_heavy_hitters", oracle=_q121_oracle())
+def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters — the third classic mergeable sketch next to q28's
+    HLL distinct and q84's quantile summary: frequent-token estimation
+    with BOUNDED per-partition state (a {LOCAL_M}-entry local counter
+    heap per partition, merged by a tiny shuffle of |partitions|·M rows)
+    instead of the full one-row-per-distinct-token shuffle the exact
+    aggregate pays. The space-saving/lossy-counting guarantee: any token
+    with global share ≥ 1/M survives every local heap, so the merged
+    candidate set contains every true heavy hitter at any scale.
+
+    Witness contract (the q28/q84 pattern): the hashed output is the
+    EXACT top-{TOPK} (rank, token, count) — deterministic, replayed by
+    the oracle — plus ``approx_found``, the Spark-side boolean that the
+    token also surfaced in the bounded-state candidate set; the oracle
+    answers literal TRUE, so a sketch regression (undersized heap,
+    broken merge) flips the hash. The exact twin's global sort runs on
+    the |distinct tokens| aggregate, oracle-scale semantics only."""
+    import collections
+
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
+    toks = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def local_top(batches):
+        counts: collections.Counter = collections.Counter()
+        for pdf in batches:
+            counts.update(pdf["tok"].value_counts().to_dict())
+        top = counts.most_common(LOCAL_M)
+        yield pd.DataFrame(top, columns=["tok", "cnt"])
+
+    cand = (
+        toks.mapInPandas(local_top, "tok string, cnt long")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("approx_count"))
+        .orderBy(F.desc("approx_count"), F.asc("tok"))
+        .limit(2 * TOPK)
+        .select("tok")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_count"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rank") <= TOPK)
+    )
+    return (
+        exact.join(F.broadcast(cand.withColumn("found", F.lit(True))), "tok", "left")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            "exact_count",
+            F.coalesce("found", F.lit(False)).alias("approx_found"),
+        )
     )
