@@ -55,3 +55,37 @@ def test_sketch_queries_are_hash_checked():
     oracles = entrymod.oracle_sql()
     assert "q28_approx_distinct_parts" in oracles
     assert "q84_approx_quantiles" in oracles
+
+
+def test_q121_witness_and_planted_skew(spark, tmp_path):
+    """All witness booleans true on the corpus, and the space-saving
+    guarantee holds on a planted adversarial shape: a long tail of
+    distinct tokens (heap pressure) must not evict the true heavy
+    hitters from the bounded local counters."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from setu_spark.operators.sketches import TOPK, q121_heavy_hitters
+
+    rows = entrymod.queries()["q121_heavy_hitters"](
+        spark, SF_ORACLE
+    ).collect()
+    assert len(rows) == TOPK
+    assert all(r.approx_found for r in rows), rows
+    assert [r.rank for r in rows] == list(range(1, TOPK + 1))
+
+    # planted skew: 5 tokens with 1000 hits each + 20k singletons
+    heavy = " ".join(f"hh{i}" for i in range(5)) + " "
+    docs = [(i, heavy * 200) for i in range(5)] + [
+        (100 + i, " ".join(f"tail{i}_{j}" for j in range(100)))
+        for i in range(200)
+    ]
+    d = str(tmp_path / "skew121")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = q121_heavy_hitters(spark, d).collect()
+    top5 = {r.tok for r in out if r.rank <= 5}
+    assert top5 == {f"hh{i}" for i in range(5)}
+    assert all(r.approx_found for r in out if r.rank <= 5)
