@@ -325,3 +325,19 @@ def test_q115_sketch_gate_no_sort_broadcast_thresholds(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "Sort " not in plan and "Sort\n" not in plan, plan[:1500]
+
+
+def test_q116_sentence_explode_no_shuffle(spark):
+    # scan -> split -> posexplode -> per-row flags: one codegen stage,
+    # zero exchanges at any corpus size
+    assert shuffle_count(_q(spark, "q116_sentence_explode")) == 0
+
+
+def test_q121_candidate_set_broadcasts(spark):
+    # the bounded candidate set joins back broadcast (2K rows); the only
+    # sort-merge anywhere would mean the exact side's global sort leaked
+    # into the join path
+    df = _q(spark, "q121_heavy_hitters")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
