@@ -65,6 +65,9 @@ HEADLINE = [
     "q112_temperature_mixture",
     "q113_length_histogram",
     "q114_bigram_logprob",
+    # sketch family (round 5): quantile summary + heavy hitters
+    "q84_approx_quantiles",
+    "q121_heavy_hitters",
 ]
 
 
