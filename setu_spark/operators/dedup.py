@@ -1141,3 +1141,75 @@ def q93_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("new_id", "new_doc_id")
     )
+
+
+# ---------------------------------------------------------------- q122
+def _admission_sql() -> str:
+    side = "substr(md5(CAST({id} AS VARCHAR)), 1, 1)"
+    return f"""
+    WITH inc AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE {side.format(id="doc_id")} > '{CROSS_EXIST_MAX_HEX}'
+    ),
+    ex AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE {side.format(id="doc_id")} <= '{CROSS_EXIST_MAX_HEX}'
+    ),
+    near AS (
+      SELECT new_doc_id FROM ({_cross_corpus_sql()}) q
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.h IS NOT NULL THEN 'exact_dup'
+                WHEN n.new_doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status
+    FROM inc i
+    LEFT JOIN ex e ON i.h = e.h
+    LEFT JOIN near n ON i.doc_id = n.new_doc_id
+    """
+
+
+@register("q122_incremental_admission", oracle=_admission_sql())
+def q122_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest gate: every INCOMING document (q93's
+    deterministic md5-hex corpus split) gets an admission decision
+    against the EXISTING corpus — ``exact_dup`` (byte-identical content
+    already ingested), ``near_dup`` (banded MinHash match, q93's
+    machinery), else ``novel``. This is the composition an incremental
+    crawl actually runs before anything else touches the data; the
+    reference has no incremental story at all (its pipeline re-processes
+    whole corpora).
+
+    Scale shape: the exact stage is a left-semi hash join on 128-bit
+    content hashes (~48 bytes/doc moves, never the text); the near stage
+    is q93's banded join, whose existing-side band table is precomputed
+    and bucketed in production so each crawl admission is co-partitioned
+    work proportional to the NEW data only. Exact-dup wins ties (an
+    identical copy is also a near-dup of itself — CASE order mirrors
+    the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    incoming = docs.filter(side > CROSS_EXIST_MAX_HEX).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    existing_h = (
+        docs.filter(side <= CROSS_EXIST_MAX_HEX)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    near = (
+        q93_cross_corpus_neardup(spark, sf_dir)
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        incoming.join(existing_h, "h", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
