@@ -267,3 +267,31 @@ def clicks_followed_by_views(
             <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
         ),
     ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+
+
+# --- streaming ingest admission -------------------------------------------
+
+def admission_decisions(
+    new_docs: DataFrame, existing_hashes: DataFrame
+) -> DataFrame:
+    """Stream-static ingest admission — q122's exact-dup stage as a
+    STREAM: each micro-batch of incoming documents joins the static
+    existing-corpus content-hash table and emits (doc_id, status) with
+    status ∈ {'exact_dup', 'novel'}. The hash table is the classic
+    broadcastable dimension (~48 bytes per existing doc, no text), so
+    the stream side never shuffles; at 100 TB the static side is the
+    precomputed hash index the batch gate (operators/dedup.py q122)
+    also reads, and the banded near-dup stage runs per micro-batch in
+    ``foreachBatch`` over the same machinery (its two-sided distinct
+    makes it a batch-only shape by Structured Streaming's rules).
+    Stream ≡ batch is pinned in tests/test_streaming.py."""
+    inc = new_docs.select("doc_id", F.md5("text").alias("h"))
+    ex = existing_hashes.select("h").distinct().withColumn(
+        "is_exact", F.lit(True)
+    )
+    return inc.join(ex, "h", "left").select(
+        "doc_id",
+        F.when(F.col("is_exact"), "exact_dup")
+        .otherwise("novel")
+        .alias("status"),
+    )

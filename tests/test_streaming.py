@@ -327,3 +327,57 @@ def test_streaming_pii_and_quality_gate_matches_batch(spark):
         assert got[1]["pii_hits"] == 2 and "<EMAIL>" in got[1]["clean_text"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_admission_matches_batch_exact_stage(spark, tmp_path):
+    """The streaming ingest gate's exact-dup decisions must equal the
+    batch q122 gate's on the same split (q122's near_dup refinement is
+    batch-only foreachBatch work, so its near_dup rows appear as
+    'novel' here — assert exact-set equality and that refinement is the
+    ONLY difference)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from setu_spark.operators.dedup import CROSS_EXIST_MAX_HEX
+    from setu_spark.sources.io import load_table
+    from setu_spark.streaming.jobs import admission_decisions, run_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    side = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    incoming_dir = str(tmp_path / "incoming")
+    docs.filter(side > CROSS_EXIST_MAX_HEX).select(
+        "doc_id", "text"
+    ).write.parquet(incoming_dir)
+    existing_hashes = docs.filter(side <= CROSS_EXIST_MAX_HEX).select(
+        F.md5("text").alias("h")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(incoming_dir)
+    )
+    run_to_memory(
+        admission_decisions(stream, existing_hashes),
+        "admission_stream",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in spark.sql("SELECT * FROM admission_stream").collect()
+    }
+    want = {
+        r.doc_id: r.status
+        for r in entrymod.queries()["q122_incremental_admission"](
+            spark, sf
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, status in want.items():
+        if status == "exact_dup":
+            assert got[doc_id] == "exact_dup"
+        else:  # batch 'near_dup' refines a stream 'novel'
+            assert got[doc_id] == "novel"
