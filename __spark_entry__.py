@@ -71,6 +71,9 @@ _FRONT = (
     "q117_partitioned_sink_roundtrip",
     "q118_orc_sink_roundtrip",
     "q119_jsonl_scan_roundtrip",
+    "q120_csv_scan_roundtrip",
+    "q121_heavy_hitters",
+    "q122_incremental_admission",
     "q85_kmeans_clusters",
     "q70_hourly_event_stats",
     "q74_event_props_extract",
@@ -101,16 +104,15 @@ _FRONT = (
     "q52_minhash_lsh_pairs",
     "q58_lsh_then_exact_jaccard",
     # (c) round-3-only family representatives
-    # (q53/q62/q64/q92 ceded their slots to q116-q119: their families
-    # keep q55/q57/q59, q63, q89, and q101's r3 green respectively)
-    "q18_order_price_bands",
-    "q29_token_budget_sample",
+    # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
+    # q120-q122 — their families keep q55/q57/q59, q63, q89, q101's r3
+    # green, the r2 analytics block, q83, and q66 respectively, so every
+    # never-driver-checked query sits inside the window this round)
     "q55_embedding_neardup",
     "q57_simhash_neardup_pairs",
     "q59_dedup_removed_docs",
     "q63_ann_ivf_topk",
     "q66_flashtext_keyword_dist",
-    "q67_normalize_indic",
     "q80_clean_pipeline",
     "q83_curation_pipeline",
     "q89_bloom_decontamination",
