@@ -1168,6 +1168,30 @@ def _admission_sql() -> str:
     """
 
 
+def exact_admission(
+    incoming: DataFrame, existing_hashes: DataFrame
+) -> DataFrame:
+    """The exact-dup admission stage shared VERBATIM by the batch gate
+    (q122 below) and the streaming ingest gate
+    (streaming/jobs.py ``admission_decisions``), so the two paths
+    cannot drift: incoming ``(doc_id, text)`` rows join the static
+    existing-corpus content-hash table (column ``h``, md5 hex) and come
+    back as ``(doc_id, status)`` with status ∈ {'exact_dup', 'novel'}.
+    Stream-static legal by construction: the only distinct is on the
+    static side, and the stream side is a plain projection + left join
+    against the broadcastable ~48-bytes/doc hash dimension."""
+    inc = incoming.select("doc_id", F.md5("text").alias("h"))
+    ex = existing_hashes.select("h").distinct().withColumn(
+        "is_exact", F.lit(True)
+    )
+    return inc.join(ex, "h", "left").select(
+        "doc_id",
+        F.when(F.col("is_exact"), "exact_dup")
+        .otherwise("novel")
+        .alias("status"),
+    )
+
+
 @register("q122_incremental_admission", oracle=_admission_sql())
 def q122_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ingest gate: every INCOMING document (q93's
@@ -1189,13 +1213,10 @@ def q122_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     side = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     incoming = docs.filter(side > CROSS_EXIST_MAX_HEX).select(
-        "doc_id", F.md5("text").alias("h")
+        "doc_id", "text"
     )
-    existing_h = (
-        docs.filter(side <= CROSS_EXIST_MAX_HEX)
-        .select(F.md5("text").alias("h"))
-        .distinct()
-        .withColumn("is_exact", F.lit(True))
+    existing_h = docs.filter(side <= CROSS_EXIST_MAX_HEX).select(
+        F.md5("text").alias("h")
     )
     near = (
         q93_cross_corpus_neardup(spark, sf_dir)
@@ -1203,11 +1224,11 @@ def q122_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_near", F.lit(True))
     )
     return (
-        incoming.join(existing_h, "h", "left")
+        exact_admission(incoming, existing_h)
         .join(near, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("is_exact"), "exact_dup")
+            F.when(F.col("status") == "exact_dup", "exact_dup")
             .when(F.col("is_near"), "near_dup")
             .otherwise("novel")
             .alias("status"),

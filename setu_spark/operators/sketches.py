@@ -189,22 +189,26 @@ def _q121_oracle() -> str:
 def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters — the third classic mergeable sketch next to q28's
     HLL distinct and q84's quantile summary: frequent-token estimation
-    with BOUNDED per-partition state (a {LOCAL_M}-entry local counter
-    heap per partition, merged by a tiny shuffle of |partitions|·M rows)
-    instead of the full one-row-per-distinct-token shuffle the exact
-    aggregate pays. The space-saving/lossy-counting guarantee: any token
-    with global share ≥ 1/M survives every local heap, so the merged
-    candidate set contains every true heavy hitter at any scale.
+    with BOUNDED per-partition state (a Misra–Gries summary capped at
+    {LOCAL_M} counters per partition, merged by a tiny shuffle of
+    |partitions|·M rows) instead of the full one-row-per-distinct-token
+    shuffle the exact aggregate pays. The Misra–Gries guarantee (the
+    mergeable-summaries form, Agarwal et al. 2012): each summary
+    undercounts any token by at most N_partition/(M+1), never drops a
+    token whose partition share exceeds 1/(M+1), and summing summaries
+    preserves the bound at N_total/(M+1) — so every true heavy hitter
+    survives into the merged candidate set at any scale. State is a
+    hard cap: after every Arrow batch the (M+1)-th largest count is
+    subtracted from all counters and non-positive entries dropped,
+    leaving ≤ M entries (the classic batched decrement step).
 
     Witness contract (the q28/q84 pattern): the hashed output is the
     EXACT top-{TOPK} (rank, token, count) — deterministic, replayed by
     the oracle — plus ``approx_found``, the Spark-side boolean that the
     token also surfaced in the bounded-state candidate set; the oracle
-    answers literal TRUE, so a sketch regression (undersized heap,
+    answers literal TRUE, so a sketch regression (undersized summary,
     broken merge) flips the hash. The exact twin's global sort runs on
     the |distinct tokens| aggregate, oracle-scale semantics only."""
-    import collections
-
     import pandas as pd
 
     from pyspark.sql.window import Window
@@ -215,18 +219,25 @@ def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
 
     def local_top(batches):
-        counts: collections.Counter = collections.Counter()
+        acc = pd.Series(dtype="int64")
         for pdf in batches:
-            counts.update(pdf["tok"].value_counts().to_dict())
-        top = counts.most_common(LOCAL_M)
-        yield pd.DataFrame(top, columns=["tok", "cnt"])
+            acc = acc.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(acc) > LOCAL_M:
+                # Misra-Gries decrement: at most M counts exceed the
+                # (M+1)-th largest, so subtracting it and dropping
+                # non-positive entries re-bounds the state at M.
+                pivot = acc.nlargest(LOCAL_M + 1).iloc[-1]
+                acc = acc[acc > pivot] - pivot
+        yield pd.DataFrame(
+            {"tok": acc.index.astype(str), "cnt": acc.to_numpy("int64")}
+        )
 
     cand = (
         toks.mapInPandas(local_top, "tok string, cnt long")
         .groupBy("tok")
         .agg(F.sum("cnt").alias("approx_count"))
         .orderBy(F.desc("approx_count"), F.asc("tok"))
-        .limit(2 * TOPK)
+        .limit(LOCAL_M)
         .select("tok")
     )
     exact = (

@@ -284,14 +284,10 @@ def admission_decisions(
     also reads, and the banded near-dup stage runs per micro-batch in
     ``foreachBatch`` over the same machinery (its two-sided distinct
     makes it a batch-only shape by Structured Streaming's rules).
-    Stream ≡ batch is pinned in tests/test_streaming.py."""
-    inc = new_docs.select("doc_id", F.md5("text").alias("h"))
-    ex = existing_hashes.select("h").distinct().withColumn(
-        "is_exact", F.lit(True)
-    )
-    return inc.join(ex, "h", "left").select(
-        "doc_id",
-        F.when(F.col("is_exact"), "exact_dup")
-        .otherwise("novel")
-        .alias("status"),
-    )
+    Stream ≡ batch is pinned in tests/test_streaming.py, and the
+    decision logic itself is the SAME function the batch gate runs
+    (operators/dedup.py ``exact_admission``), so the two paths cannot
+    drift."""
+    from setu_spark.operators.dedup import exact_admission
+
+    return exact_admission(new_docs, existing_hashes)

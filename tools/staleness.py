@@ -35,19 +35,23 @@ def main() -> None:
             )
             if green:
                 last[name] = max(last.get(name, 0), rnd)
-    # registry via a subprocess so this tool never holds a SparkSession
-    names = subprocess.run(
+    # registry via ONE subprocess so this tool never holds a
+    # SparkSession; a failed import must abort loudly — an empty name
+    # list would silently hide the 'never' bucket, the one output the
+    # rotation decision depends on.
+    proc = subprocess.run(
         [sys.executable, "-c",
-         "import __spark_entry__ as e; [print(n) for n in e.queries()]"],
+         "import __spark_entry__ as e;"
+         "[print('Q', n) for n in e.queries()];"
+         "[print('F', n) for n in e._FRONT]"],
         capture_output=True, text=True,
         env={**os.environ, "PYTHONPATH": "."},
-    ).stdout.split()
-    front = subprocess.run(
-        [sys.executable, "-c",
-         "import __spark_entry__ as e; [print(n) for n in e._FRONT]"],
-        capture_output=True, text=True,
-        env={**os.environ, "PYTHONPATH": "."},
-    ).stdout.split()
+    )
+    if proc.returncode != 0 or not proc.stdout.strip():
+        sys.exit(f"registry import failed (run from the repo root):\n"
+                 f"{proc.stderr}")
+    names = [l[2:] for l in proc.stdout.splitlines() if l.startswith("Q ")]
+    front = {l[2:] for l in proc.stdout.splitlines() if l.startswith("F ")}
     by_round: dict[int, list[str]] = {}
     for n in names:
         by_round.setdefault(last.get(n, 0), []).append(n)
