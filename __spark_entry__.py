@@ -52,8 +52,10 @@ SF0001 = "/root/testdata/sf0.001"
 #: 50 names — round 4's 57-entry list overflowed and its last 7 fell
 #: out of the window (they are the r2-stale block below). Priority:
 #: (a) queries whose code or oracle changed this round (sketch-family
-#: witnesses, the new q115 gate, the kmeans rounding fix) plus two
-#: events representatives for the load_events TZ-independence rewrite;
+#: witnesses, the new q115 gate, the kmeans rounding fix, the new q123
+#: SemDeDup) plus an events representative for the load_events
+#: TZ-independence rewrite (q74, the second rep, ceded its slot to
+#: q123 — never-checked beats one-round-stale);
 #: (b) every query whose last green driver row is ROUND 2 (3 rounds
 #: stale); (c) per-family representatives from the round-3-only set
 #: (dedup, similarity, curation, wordlists, stages, multimodal,
@@ -74,9 +76,9 @@ _FRONT = (
     "q120_csv_scan_roundtrip",
     "q121_heavy_hitters",
     "q122_incremental_admission",
+    "q123_semantic_dedup",
     "q85_kmeans_clusters",
     "q70_hourly_event_stats",
-    "q74_event_props_extract",
     # (b) last green in round 2 — the whole block
     "q06_forecast_revenue",
     "q21_price_percentiles",

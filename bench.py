@@ -68,6 +68,8 @@ HEADLINE = [
     # sketch family (round 5): quantile summary + heavy hitters
     "q84_approx_quantiles",
     "q121_heavy_hitters",
+    # semantic tier of the dedup funnel (round 5)
+    "q123_semantic_dedup",
 ]
 
 

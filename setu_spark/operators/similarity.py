@@ -658,7 +658,7 @@ def kmeans_clusters(
     return src.mapInPandas(label_pass, KM_SCHEMA)
 
 
-def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
+def _kmeans_cte(k: int = KM_K, iters: int = KM_ITERS) -> str:
     """DuckDB replay of :func:`kmeans_clusters` with the iterations
     UNROLLED as chained CTEs (fixed small iteration count makes the
     'iterative fixpoint' carve-out unnecessary here): identical init (the
@@ -669,7 +669,12 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
     centroid trajectory exactly. The assignment argmax orders by ROUND-6
     cosines on both sides — numpy's matmul and these per-dimension sums
     accumulate in different orders, so raw doubles can differ by ulps and
-    flip a near-tie assignment (round-4 ADVICE)."""
+    flip a near-tie assignment (round-4 ADVICE).
+
+    Returns the CTE block (no WITH keyword, no final SELECT) ending in
+    ``assign(vec_id, label, cluster, cosv)`` — shared by the q85 oracle
+    and q123's SemDeDup oracle, which joins pairwise cosines onto the
+    same assignment trajectory."""
     cos = "round(dotp / (greatest(na, 1e-12) * greatest(nc, 1e-12)), 6)"
     parts = [
         """e AS (
@@ -728,11 +733,19 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
                                 ORDER BY {cos} DESC, c) AS rn
       FROM sfin
     )""")
+    parts.append("""assign AS (
+      SELECT e.vec_id, e.label, CAST(afin.c AS INTEGER) AS cluster,
+             round(afin.cosv, 6) AS cosv
+      FROM afin JOIN e USING (vec_id) WHERE afin.rn = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
     return (
-        "WITH " + ",\n    ".join(parts) + """
-    SELECT e.vec_id, e.label, CAST(afin.c AS INTEGER) AS cluster,
-           round(afin.cosv, 6) AS cosine_to_centroid
-    FROM afin JOIN e USING (vec_id) WHERE afin.rn = 1
+        "WITH " + _kmeans_cte(k, iters) + """
+    SELECT vec_id, label, cluster, cosv AS cosine_to_centroid
+    FROM assign
     """
     )
 
@@ -746,3 +759,103 @@ def q85_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`kmeans_clusters` for the scale design."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_clusters(emb, KM_K, KM_ITERS)
+
+
+# ------------------------------------------------------------- q123
+#: Within-cluster cosine threshold for semantic dedup. On real
+#: embeddings this sits near 0.95+; the synthetic testdata vectors are
+#: near-orthogonal (max pairwise cosine 0.51), so the test constant is
+#: scaled down to exercise the same decision logic.
+SEM_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """q123's DuckDB replay: the q85 assignment trajectory (shared CTE
+    block, so the two oracles cannot drift) + q55's pairwise-cosine
+    spelling restricted to same-cluster pairs."""
+    return f"""
+    WITH {_kmeans_cte()},
+    vc AS (
+      SELECT a.vec_id, a.cluster, e.v
+      FROM assign a JOIN e USING (vec_id)
+    ),
+    pairs AS (
+      SELECT p.id_b AS vec_id,
+             round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+               AS cs
+      FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               unnest(a.v) AS x, unnest(b.v) AS y
+        FROM vc a JOIN vc b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      ) p
+      GROUP BY p.id_a, p.id_b
+    ),
+    removed AS (
+      SELECT vec_id, max(cs) AS max_sim
+      FROM pairs WHERE cs >= {SEM_TAU}
+      GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cluster,
+           coalesce(r.max_sim, -1.0) AS max_sim_to_keeper,
+           r.vec_id IS NOT NULL AS sem_removed
+    FROM assign a LEFT JOIN removed r USING (vec_id)
+    """
+
+
+def semantic_dedup(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
+    tau: float = SEM_TAU,
+) -> DataFrame:
+    """Cluster-bounded semantic dedup over a (vec_id, label, embedding)
+    DataFrame — see :func:`q123_semantic_dedup` for semantics and the
+    scale argument. Exposed separately so planted-fixture tests can
+    drive it on synthetic cluster shapes (tests/test_kmeans.py)."""
+    labeled = kmeans_clusters(emb, k, iters).select("vec_id", "cluster")
+    vecs = emb.select("vec_id", "embedding").join(labeled, "vec_id")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    sim = F.round(
+        cosine_pairs_udf()(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), sim.alias("cs"))
+        .filter(F.col("cs") >= tau)
+        .groupBy("vec_id")
+        .agg(F.max("cs").alias("max_sim"))
+    )
+    return labeled.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim_to_keeper"),
+        F.col("max_sim").isNotNull().alias("sem_removed"),
+    )
+
+
+@register("q123_semantic_dedup", oracle=_semdedup_oracle())
+def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with the pairwise stage BOUNDED by k-means clusters —
+    cluster the embeddings (q85's deterministic Lloyd's trajectory),
+    compare only within-cluster pairs, and greedily drop every vector
+    whose cosine to a LOWER-id vector in its cluster reaches {SEM_TAU}
+    (keep-first, the same deterministic survivor rule as q50/q38).
+    Completes the dedup funnel's semantic tier above q55's LSH near-dup:
+    q55 catches near-identical vectors, this catches *semantically
+    redundant* ones at a much looser threshold, where LSH banding no
+    longer concentrates candidates.
+
+    Scale shape: clustering is q85's per-iteration single pass; the
+    pairwise join shuffles on ``cluster`` only, so candidate volume is
+    Σ|cluster|² — bounded by choosing k ∝ corpus size (SemDeDup's own
+    prescription; the paper runs k=11k on LAION-440M, ~40k vectors per
+    cluster) instead of the corpus-quadratic all-pairs. Skewed (huge)
+    clusters are the known failure mode; AQE skew-join handles moderate
+    skew and the k choice handles the rest. Output is one row per
+    vector with the admission decision — the shape the packing/mixture
+    stages consume."""
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))

@@ -67,3 +67,37 @@ def test_kmeans_k_edge(spark, k):
     rows = out.collect()
     assert len(rows) == 12
     assert {r.cluster for r in rows} <= set(range(k))
+
+
+def test_semantic_dedup_planted(spark):
+    """q123 semantics on planted clusters: within each tight direction
+    cluster every vector's cosine to the others is ~1 (>= tau), so the
+    greedy keep-first rule must keep exactly the lowest vec_id per
+    cluster — and cross-cluster near-orthogonal vectors must never be
+    compared, so survivors are never removed by a vector in another
+    cluster."""
+    from setu_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _planted_df(spark), k=3, iters=2, tau=0.9
+    ).collect()
+    assert len(out) == 60
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster) == 3
+    for rows in by_cluster.values():
+        survivors = [r.vec_id for r in rows if not r.sem_removed]
+        # keep-first: the single survivor is the cluster's lowest id
+        assert survivors == [min(r.vec_id for r in rows)]
+        for r in rows:
+            if r.sem_removed:
+                assert r.max_sim_to_keeper >= 0.9
+            else:
+                assert r.max_sim_to_keeper == -1.0
+
+
+def test_q123_registered_with_oracle(spark):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert "q123_semantic_dedup" in qs
+    assert "q123_semantic_dedup" in os_
