@@ -105,16 +105,21 @@ _FRONT = (
     "q51_minhash_signatures",
     "q52_minhash_lsh_pairs",
     "q58_lsh_then_exact_jaccard",
+    # (a2) new this session: DSIR importance weights, the dedup impact
+    # audit (q56's funnel + rollup), margin-based pair mining. Their
+    # slots come from q55/q59/q66 — the dedup/similarity families keep
+    # q50-q52/q57/q58/q63/q93/q122/q123 plus the new q125/q126 in-window,
+    # and wordlists keeps q44.
+    "q124_dsir_importance",
+    "q125_dedup_impact_audit",
+    "q126_margin_pair_mining",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
-    # q120-q122 — their families keep q55/q57/q59, q63, q89, q101's r3
-    # green, the r2 analytics block, q83, and q66 respectively, so every
+    # q120-q122 — their families keep q57, q63, q89, q101's r3
+    # green, the r2 analytics block, q83, and q44 respectively, so every
     # never-driver-checked query sits inside the window this round)
-    "q55_embedding_neardup",
     "q57_simhash_neardup_pairs",
-    "q59_dedup_removed_docs",
     "q63_ann_ivf_topk",
-    "q66_flashtext_keyword_dist",
     "q80_clean_pipeline",
     "q83_curation_pipeline",
     "q89_bloom_decontamination",

@@ -70,6 +70,10 @@ HEADLINE = [
     "q121_heavy_hitters",
     # semantic tier of the dedup funnel (round 5)
     "q123_semantic_dedup",
+    # round-5 session 2: DSIR weights, dedup audit, margin mining
+    "q124_dsir_importance",
+    "q125_dedup_impact_audit",
+    "q126_margin_pair_mining",
 ]
 
 

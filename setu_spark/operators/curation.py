@@ -1313,3 +1313,154 @@ def q102_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_neg_logprob"), 6).alias("best_score"),
         F.round(F.max("avg_neg_logprob"), 6).alias("worst_score"),
     )
+
+
+# ---------------------------------------------------------------- q124
+#: DSIR hashed-feature buckets (the paper uses 10k; the plan shape is
+#: identical at any B — the distribution tables stay B rows).
+DSIR_B = 1024
+#: Pseudo target domain: English documents (any doc predicate works —
+#: a real run points this at a high-quality reference corpus slice).
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q124_dsir_importance",
+    oracle=f"""
+    WITH uni AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS feat
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS feat
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2),
+           unnest(range(1, len(t))) AS u(i)
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             {hash64_sql("feat", salt="dsir")} % {DSIR_B} AS b,
+             count(*) AS c
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+      GROUP BY doc_id, lang, b
+    ),
+    dist AS (
+      SELECT b,
+             CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c
+                           ELSE 0 END) AS BIGINT) AS tc,
+             CAST(sum(c) AS BIGINT) AS rc
+      FROM fb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(tc) AS BIGINT) AS tt,
+             CAST(sum(rc) AS BIGINT) AS tr
+      FROM dist
+    ),
+    ratio AS (
+      SELECT b,
+             ln((tc + 1) / CAST(tt + {DSIR_B} AS DOUBLE))
+               - ln((rc + 1) / CAST(tr + {DSIR_B} AS DOUBLE)) AS lr
+      FROM dist CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT fb.doc_id,
+             CAST(sum(c) AS BIGINT) AS n_feats,
+             CAST(sum(CAST(c * lr AS DECIMAL(18,6))) AS DOUBLE) AS w
+      FROM fb JOIN ratio USING (b)
+      GROUP BY fb.doc_id
+    )
+    SELECT doc_id, n_feats, round(w, 6) AS dsir_logw,
+           round(w - ln(-ln(
+             ({hash64_sql("CAST(doc_id AS VARCHAR)", salt="dsirg")}
+              % {U_MOD} + 1) / CAST({U_MOD + 1} AS DOUBLE))), 6)
+             AS sample_key
+    FROM per_doc
+    """,
+)
+def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): every document gets a
+    log importance weight under hashed unigram+bigram bag-of-words
+    models of a TARGET domain vs the RAW pool, plus the Gumbel-top-k
+    sampling key that turns the weights into a resample. Features hash
+    into {DSIR_B} buckets (md5-derived so both engines agree);
+    log w(doc) = Σ_b c_doc[b]·(ln p_target[b] − ln q_raw[b]) with add-1
+    smoothing; sample_key = log w + Gumbel(md5(doc_id)) — the top-K
+    keys ARE a draw from the importance-weighted distribution (take
+    them with q86's TakeOrdered heap shape). The reference has no
+    importance-scoring operator at all (its selection surface is
+    threshold filters, flagging_and_removal.py) — this is the
+    "beyond-reference" selection step a pretraining pipeline runs
+    between dedup and sampling.
+
+    Scale shape: one feature shuffle builds per-doc bucket counts
+    (map-side combined; state per doc ≤ {DSIR_B} rows by construction
+    — the hashing trick caps the width regardless of vocabulary); the
+    target/raw distributions aggregate those rows to ≤{DSIR_B} rows,
+    broadcast back with the one-row totals (no second pass over the
+    corpus, no window over token rows); the per-doc reduce is the only
+    other shuffle. Per-term products are DECIMAL(18,6)-quantized so
+    both engines sum identical exact decimals in any order."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    uni = docs.select("doc_id", "lang", F.explode(t).alias("feat"))
+    big = docs.filter(F.size(t) >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' ', -1), 1,"
+                " size(split(text, ' ', -1)) - 1),"
+                " slice(split(text, ' ', -1), 2,"
+                " size(split(text, ' ', -1)) - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("feat"),
+    )
+    fb = (
+        uni.unionByName(big)
+        .groupBy(
+            "doc_id",
+            "lang",
+            (hash64(F.col("feat"), salt="dsir") % DSIR_B).alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    dist = fb.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tc"),
+        F.sum("c").alias("rc"),
+    )
+    tot = dist.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("tr")
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1) / (F.col("tt") + DSIR_B).cast("double"))
+            - F.log((F.col("rc") + 1) / (F.col("tr") + DSIR_B).cast("double"))
+        ).alias("lr"),
+    )
+    per_doc = (
+        fb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum((F.col("c") * F.col("lr")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("w"),
+        )
+    )
+    u = (
+        hash64(F.col("doc_id").cast("string"), salt="dsirg") % U_MOD + 1
+    ) / float(U_MOD + 1)
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        F.round("w", 6).alias("dsir_logw"),
+        F.round(F.col("w") - F.log(-F.log(u)), 6).alias("sample_key"),
+    )

@@ -741,9 +741,9 @@ def connected_components(
     return labels
 
 
-def _components_sql() -> str:
-    """DuckDB oracle for q56: the same LSH candidate edges as
-    :func:`_pairs_sql` (un-thresholded), then components by recursive
+def _components_cte() -> str:
+    """Shared DuckDB CTE chain (q56/q125): the same LSH candidate edges
+    as :func:`_pairs_sql` (un-thresholded), then components by recursive
     transitive closure — component label = min reachable doc_id, exactly
     the fixpoint the iterative min-label propagation converges to.
     Closure cost is per-cluster quadratic, and near-dup clusters are
@@ -778,7 +778,13 @@ def _components_sql() -> str:
     comp AS (
       SELECT u AS doc_id, least(u, min(v)) AS component
       FROM reach GROUP BY u
-    )
+    )"""
+
+
+def _components_sql() -> str:
+    """DuckDB oracle for q56: per-component survivor stats over the
+    transitive-closure components."""
+    return f"""{_components_cte()}
     SELECT component,
            count(*) AS cluster_size,
            min(doc_id) AS survivor_doc_id
@@ -801,6 +807,79 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.min("doc_id").alias("survivor_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------- q125
+def _impact_sql() -> str:
+    """DuckDB oracle for q125: q56's closure components, completed with
+    the singleton docs, rolled up into the removal-impact histogram."""
+    return f"""{_components_cte()},
+    comp_full AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    per AS (
+      SELECT component,
+             count(*) AS cluster_size,
+             CAST(sum(n_chars) AS BIGINT)
+               - CAST(arg_min(n_chars, doc_id) AS BIGINT) AS removed_chars
+      FROM comp_full GROUP BY component
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS removed_docs,
+           CAST(sum(removed_chars) AS BIGINT) AS removed_chars
+    FROM per GROUP BY cluster_size
+    """
+
+
+@register("q125_dedup_impact_audit", oracle=_impact_sql())
+def q125_dedup_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact audit — the corpus-health readout a production run
+    publishes BEFORE committing a dedup pass: the duplicate-cluster size
+    histogram and, per size, how many documents and characters min-id
+    survivor selection would remove. Every doc is accounted for
+    (singletons enter as cluster_size 1 with zero removal), so
+    ``sum(n_docs)`` equals the corpus count and ``sum(removed_chars)``
+    is the exact byte savings of the q56 decision. The reference dedups
+    blind (no audit artifact anywhere in its pipeline); cluster-size
+    distributions are the standard sanity check that LSH banding is not
+    degenerating into one giant component before a multi-day 100 TB job
+    commits to it.
+
+    Scale shape: q56's funnel (signatures → banded LSH → iterative CC)
+    unchanged, then one broadcast-sized rollup: per-component stats are
+    one shuffle over the (doc, component) rows (``min_by`` keeps the
+    survivor's chars without a self-join), and the histogram groups the
+    ≤|components| rows — negligible next to the funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    comps = connected_components(pairs)
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(comps, "doc_id", "left")
+        .select(
+            F.coalesce("component", "doc_id").alias("component"),
+            "doc_id",
+            "n_chars",
+        )
+    )
+    per = full.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        (F.sum("n_chars") - F.min_by("n_chars", "doc_id")).alias(
+            "removed_chars"
+        ),
+    )
+    return per.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("removed_docs"),
+        F.sum("removed_chars").alias("removed_chars"),
     )
 
 

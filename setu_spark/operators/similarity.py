@@ -859,3 +859,196 @@ def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector with the admission decision — the shape the packing/mixture
     stages consume."""
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------- q126
+#: Margin-mining kNN depth (Artetxe & Schwenk use k=4).
+MINE_K = 4
+#: The bounded "incoming" side: vec_id % 10 == 1 (~10% of the table) —
+#: the stand-in for the smaller corpus of a bitext-mining run (the side
+#: a production job can afford to broadcast; the big side streams).
+MINE_MOD, MINE_REM = 10, 1
+
+
+@register(
+    "q126_margin_pair_mining",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id AS x_id, embedding AS xe FROM embeddings
+      WHERE vec_id % {MINE_MOD} <> {MINE_REM}
+    ),
+    y AS (
+      SELECT vec_id AS y_id, embedding AS ye FROM embeddings
+      WHERE vec_id % {MINE_MOD} = {MINE_REM}
+    ),
+    pr AS (
+      SELECT x_id, y_id,
+             round(sum(xv * yv)
+                   / (sqrt(sum(xv * xv)) * sqrt(sum(yv * yv))), 6) AS rcos
+      FROM (SELECT x_id, y_id,
+                   CAST(unnest(xe) AS DOUBLE) AS xv,
+                   CAST(unnest(ye) AS DOUBLE) AS yv
+            FROM x CROSS JOIN y)
+      GROUP BY x_id, y_id
+    ),
+    cand AS (
+      SELECT x_id, y_id, rcos FROM (
+        SELECT *, row_number() OVER (PARTITION BY x_id
+                    ORDER BY rcos DESC, y_id) AS rx
+        FROM pr) WHERE rx <= {MINE_K}
+    ),
+    ax AS (
+      SELECT x_id, CAST(sum(CAST(rcos AS DECIMAL(18,6))) AS DOUBLE)
+                     / {MINE_K} AS axv
+      FROM cand GROUP BY x_id
+    ),
+    ay AS (
+      SELECT y_id, CAST(sum(CAST(rcos AS DECIMAL(18,6))) AS DOUBLE)
+                     / {MINE_K} AS ayv
+      FROM (SELECT *, row_number() OVER (PARTITION BY y_id
+                        ORDER BY rcos DESC, x_id) AS ry
+            FROM pr) WHERE ry <= {MINE_K}
+      GROUP BY y_id
+    ),
+    m AS (
+      SELECT c.x_id, c.y_id, c.rcos AS cosine_sim,
+             round(c.rcos / ((ax.axv + ay.ayv) / 2), 6) AS margin
+      FROM cand c JOIN ax USING (x_id) JOIN ay USING (y_id)
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY x_id
+               ORDER BY margin DESC, y_id) AS bx,
+             row_number() OVER (PARTITION BY y_id
+               ORDER BY margin DESC, x_id) AS byy
+      FROM m
+    )
+    SELECT x_id, y_id, cosine_sim, margin
+    FROM rk WHERE bx = 1 AND byy = 1
+    """,
+)
+def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-nearest-neighbor pair mining (Artetxe &
+    Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
+    Sentence Embeddings" — the LASER/CCMatrix bitext-mining score):
+    between a big corpus side X and a bounded incoming side Y, score
+    every candidate pair by ratio margin
+    ``cos(x,y) / ((avg kNN_Y(x) + avg kNN_X(y)) / 2)`` — raw cosine
+    normalized by both endpoints' neighborhood density, which kills the
+    hub vectors that plain cosine thresholds mis-mine — and keep the
+    pairs that are each other's best match. The reference has no
+    embedding operators at all; this is the standard corpus-alignment
+    step (bitext mining, cross-corpus doc linking) a multilingual
+    pretraining pipeline runs between embedding and sampling.
+
+    Scale shape: Y is the bounded side — its matrix rides in the
+    ``mapInPandas`` closure (broadcast-variable form, q63's codebook
+    shape) and X streams through in Arrow batches, ONE narrow pass, no
+    pair shuffle and no corpus-sized collect: each X batch emits only
+    its per-x top-{MINE_K} candidates plus batch-local per-y
+    top-{MINE_K} partials (exact global per-y kNN after the reduce —
+    max-of-maxes, O(batches·|Y|·k) rows total). Downstream joins are
+    all on the ≤|X|·k candidate rows with |Y|-row broadcasts. kNN
+    averages sum DECIMAL(18,6)-quantized round-6 cosines, so both
+    engines average identical exact decimals; the hash-gated scores use
+    elementwise-multiply + np.sum (q63's ULP stance), and every
+    selection orders by (round-6 value, id) in both engines."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    y_rows = sorted(
+        emb.filter(F.col("vec_id") % MINE_MOD == MINE_REM)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    y_ids = np.array([r[0] for r in y_rows], dtype=np.int64)
+    ym = np.array([r[1] for r in y_rows], dtype=np.float64)  # [m × d]
+    ynorm = np.sqrt((ym * ym).sum(axis=1))
+    k = MINE_K
+
+    def mine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].values).astype(np.float64)
+            xn = np.sqrt((mat * mat).sum(axis=1))
+            # elementwise + np.sum keeps the fold the oracle's round-6
+            # gate already absorbs (see q63's qc note); b×m×d stays small
+            # because |Y| is the bounded side
+            num = (mat[:, None, :] * ym[None, :, :]).sum(axis=2)
+            rcos = round6_away(num / (xn[:, None] * ynorm[None, :]))
+            xids = pdf["vec_id"].values.astype(np.int64)
+            out_side, out_x, out_y, out_c = [], [], [], []
+            # per-x top-k candidates: (rcos desc, y_id asc)
+            for i in range(len(xids)):
+                order = np.lexsort((y_ids, -rcos[i]))[:k]
+                n = len(order)
+                out_side.extend("x" * n)
+                out_x.extend([int(xids[i])] * n)
+                out_y.extend(y_ids[order].tolist())
+                out_c.extend(rcos[i][order].tolist())
+            # batch-local per-y top-k partials (exact global top-k per y
+            # after the window reduce: top-k of unioned batch top-ks)
+            for j in range(len(y_ids)):
+                order = np.lexsort((xids, -rcos[:, j]))[:k]
+                n = len(order)
+                out_side.extend("y" * n)
+                out_x.extend(xids[order].tolist())
+                out_y.extend([int(y_ids[j])] * n)
+                out_c.extend(rcos[order, j].tolist())
+            yield pd.DataFrame(
+                {
+                    "side": out_side,
+                    "x_id": out_x,
+                    "y_id": out_y,
+                    "rcos": out_c,
+                }
+            )
+
+    rows = (
+        emb.filter(F.col("vec_id") % MINE_MOD != MINE_REM)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            mine, "side string, x_id bigint, y_id bigint, rcos double"
+        )
+        .cache()
+    )
+    cand = rows.filter(F.col("side") == "x").drop("side")
+    ax = (
+        F.sum(F.col("rcos").cast("decimal(18,6)"))
+        .over(Window.partitionBy("x_id"))
+        .cast("double")
+        / k
+    )
+    wy = Window.partitionBy("y_id").orderBy(F.desc("rcos"), F.asc("x_id"))
+    ay = (
+        rows.filter(F.col("side") == "y")
+        .withColumn("ry", F.row_number().over(wy))
+        .filter(F.col("ry") <= k)
+        .groupBy("y_id")
+        .agg(
+            (
+                F.sum(F.col("rcos").cast("decimal(18,6)")).cast("double") / k
+            ).alias("ayv")
+        )
+    )
+    scored = (
+        cand.withColumn("axv", ax)
+        .join(F.broadcast(ay), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            F.col("rcos").alias("cosine_sim"),
+            F.round(
+                F.col("rcos") / ((F.col("axv") + F.col("ayv")) / 2), 6
+            ).alias("margin"),
+        )
+    )
+    bx = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.asc("y_id"))
+    byy = Window.partitionBy("y_id").orderBy(F.desc("margin"), F.asc("x_id"))
+    return (
+        scored.withColumn("bx", F.row_number().over(bx))
+        .withColumn("byy", F.row_number().over(byy))
+        .filter((F.col("bx") == 1) & (F.col("byy") == 1))
+        .drop("bx", "byy")
+    )

@@ -324,3 +324,39 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with room to converge, the whole chain is one component
     labels = connected_components(chain, max_iterations=15).collect()
     assert {r.component for r in labels} == {0}
+
+
+def test_dedup_impact_audit_planted_clusters(spark):
+    """q125's histogram on planted exact duplicates: a 3-cluster, a
+    2-cluster, and a singleton roll up with exact removed-char sums
+    (survivor = min doc_id)."""
+    import setu_spark.operators.dedup as dd
+
+    rows = [
+        (1, "alpha beta gamma delta words", "s"),
+        (5, "alpha beta gamma delta words", "s"),
+        (9, "alpha beta gamma delta words", "s"),
+        (2, "zig zag zoom entirely other", "s"),
+        (7, "zig zag zoom entirely other", "s"),
+        (3, "unique standalone document text", "s"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        out = {
+            r["cluster_size"]: r
+            for r in dd.q125_dedup_impact_audit(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+    assert out[3]["n_clusters"] == 1 and out[3]["removed_docs"] == 2
+    assert out[3]["removed_chars"] == 2 * len(rows[0][1])
+    assert out[2]["n_clusters"] == 1 and out[2]["removed_chars"] == len(
+        rows[3][1]
+    )
+    assert out[1]["n_clusters"] == 1 and out[1]["removed_chars"] == 0
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)

@@ -101,3 +101,37 @@ def test_q123_registered_with_oracle(spark):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert "q123_semantic_dedup" in qs
     assert "q123_semantic_dedup" in os_
+
+
+def test_margin_pair_mining_planted_match(spark):
+    """q126 on planted vectors: an exact clone across the X/Y split must
+    be mined as a mutual-best pair, and the mutual-best filter yields at
+    most one pair per endpoint."""
+    import setu_spark.operators.similarity as sim
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        # y side: vec_id % 10 == 1
+        (1, v, 0),
+        (11, w, 1),
+        # x side: 2 is a clone of y=1; the rest are off-axis noise
+        (2, v, 0),
+        (3, [0.6, 0.8, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    sim.load_table = lambda sp, d, n: emb
+    try:
+        out = sim.q126_margin_pair_mining(spark, "x").collect()
+    finally:
+        sim.load_table = orig
+    pairs = {(r["x_id"], r["y_id"]): r for r in out}
+    assert (2, 1) in pairs
+    assert pairs[(2, 1)]["cosine_sim"] == 1.0
+    xs = [r["x_id"] for r in out]
+    ys = [r["y_id"] for r in out]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
