@@ -1397,29 +1397,31 @@ def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one feature shuffle builds per-doc bucket counts
     (map-side combined; state per doc ≤ {DSIR_B} rows by construction
     — the hashing trick caps the width regardless of vocabulary); the
-    target/raw distributions aggregate those rows to ≤{DSIR_B} rows,
-    broadcast back with the one-row totals (no second pass over the
-    corpus, no window over token rows); the per-doc reduce is the only
-    other shuffle. Per-term products are DECIMAL(18,6)-quantized so
-    both engines sum identical exact decimals in any order."""
+    target/raw bucket totals are SUM WINDOWS over those same rows
+    partitioned by bucket (the q88 lesson — a groupBy-join diamond
+    here re-executed the explode subplan six times, measured), and the
+    corpus feature totals come off a separate NARROW scan (no explode:
+    #feats per doc is 2·words−1 in closed form) as a one-row
+    broadcast; the per-doc reduce is the third and last shuffle.
+    Per-term products are DECIMAL(18,6)-quantized so both engines sum
+    identical exact decimals in any order."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
-    uni = docs.select("doc_id", "lang", F.explode(t).alias("feat"))
-    big = docs.filter(F.size(t) >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "zip_with(slice(split(text, ' ', -1), 1,"
-                " size(split(text, ' ', -1)) - 1),"
-                " slice(split(text, ' ', -1), 2,"
-                " size(split(text, ' ', -1)) - 1),"
-                " (x, y) -> concat(x, ' ', y))"
-            )
-        ).alias("feat"),
+    # unigrams ++ bigrams in ONE array → one explode → one corpus scan
+    # (a two-branch union reads the corpus twice); the bigram zip_with
+    # yields an empty array for single-word docs, so no filter needed
+    feats = F.concat(
+        t,
+        F.expr(
+            "zip_with(slice(split(text, ' ', -1), 1,"
+            " size(split(text, ' ', -1)) - 1),"
+            " slice(split(text, ' ', -1), 2,"
+            " size(split(text, ' ', -1)) - 1),"
+            " (x, y) -> concat(x, ' ', y))"
+        ),
     )
     fb = (
-        uni.unionByName(big)
+        docs.select("doc_id", "lang", F.explode(feats).alias("feat"))
         .groupBy(
             "doc_id",
             "lang",
@@ -1427,26 +1429,37 @@ def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    dist = fb.groupBy("b").agg(
+    # per-doc feature count in closed form: words + max(words-1, 0)
+    # bigrams — a narrow scan, so the one-row totals never touch the
+    # exploded subplan (which a groupBy-join diamond would re-execute)
+    fpd = F.size(t) + F.greatest(F.size(t) - 1, F.lit(0))
+    tot = docs.agg(
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, fpd).otherwise(
                 F.lit(0)
             )
-        ).alias("tc"),
-        F.sum("c").alias("rc"),
+        ).alias("tt"),
+        F.sum(fpd).alias("tr"),
     )
-    tot = dist.agg(
-        F.sum("tc").alias("tt"), F.sum("rc").alias("tr")
-    )
-    ratio = dist.crossJoin(F.broadcast(tot)).select(
-        "b",
-        (
-            F.log((F.col("tc") + 1) / (F.col("tt") + DSIR_B).cast("double"))
-            - F.log((F.col("rc") + 1) / (F.col("tr") + DSIR_B).cast("double"))
-        ).alias("lr"),
-    )
+    wb = Window.partitionBy("b")
     per_doc = (
-        fb.join(F.broadcast(ratio), "b")
+        fb.withColumn(
+            "tc",
+            F.sum(
+                F.when(
+                    F.col("lang") == DSIR_TARGET_LANG, F.col("c")
+                ).otherwise(F.lit(0))
+            ).over(wb),
+        )
+        .withColumn("rc", F.sum("c").over(wb))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr",
+            F.log((F.col("tc") + 1) / (F.col("tt") + DSIR_B).cast("double"))
+            - F.log(
+                (F.col("rc") + 1) / (F.col("tr") + DSIR_B).cast("double")
+            ),
+        )
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_feats"),

@@ -950,9 +950,15 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-of-maxes, O(batches·|Y|·k) rows total). Downstream joins are
     all on the ≤|X|·k candidate rows with |Y|-row broadcasts. kNN
     averages sum DECIMAL(18,6)-quantized round-6 cosines, so both
-    engines average identical exact decimals; the hash-gated scores use
-    elementwise-multiply + np.sum (q63's ULP stance), and every
-    selection orders by (round-6 value, id) in both engines."""
+    engines average identical exact decimals; the hash-gated scores are
+    BLAS-matmul cosines rounded to 6 digits (q85's label-pass stance —
+    matmul-vs-sequential ULP divergence is absorbed by round-6, pinned
+    hash-green across rounds), and every selection is tie-exact on
+    (round-6 value, id): round-6 cosines scale to exact integers, so a
+    composite ``cos·2^20 − id_rank`` int64 key makes the vectorized
+    argpartition reproduce lexicographic order with no per-row sorts
+    (the first kernel's per-column lexsorts + b×m×d elementwise temp
+    were 12× slower at 20×)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -965,45 +971,66 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ym = np.array([r[1] for r in y_rows], dtype=np.float64)  # [m × d]
     ynorm = np.sqrt((ym * ym).sum(axis=1))
     k = MINE_K
+    #: id-rank shift for the composite key: |cos·1e6| ≤ 1e6 and 2^20 >
+    #: any chunk length / |Y|, so key = ri·2^20 − rank never collides
+    #: and never overflows int64 (≤ ~2^40).
+    SHIFT = 1 << 20
+    CHUNK = max(1, (1 << 22) // max(1, len(y_ids)))
+    yrank = np.arange(len(y_ids), dtype=np.int64)  # y_ids ascending
 
     def mine(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf["embedding"].values).astype(np.float64)
-            xn = np.sqrt((mat * mat).sum(axis=1))
-            # elementwise + np.sum keeps the fold the oracle's round-6
-            # gate already absorbs (see q63's qc note); b×m×d stays small
-            # because |Y| is the bounded side
-            num = (mat[:, None, :] * ym[None, :, :]).sum(axis=2)
-            rcos = round6_away(num / (xn[:, None] * ynorm[None, :]))
-            xids = pdf["vec_id"].values.astype(np.int64)
-            out_side, out_x, out_y, out_c = [], [], [], []
-            # per-x top-k candidates: (rcos desc, y_id asc)
-            for i in range(len(xids)):
-                order = np.lexsort((y_ids, -rcos[i]))[:k]
-                n = len(order)
-                out_side.extend("x" * n)
-                out_x.extend([int(xids[i])] * n)
-                out_y.extend(y_ids[order].tolist())
-                out_c.extend(rcos[i][order].tolist())
-            # batch-local per-y top-k partials (exact global top-k per y
-            # after the window reduce: top-k of unioned batch top-ks)
-            for j in range(len(y_ids)):
-                order = np.lexsort((xids, -rcos[:, j]))[:k]
-                n = len(order)
-                out_side.extend("y" * n)
-                out_x.extend(xids[order].tolist())
-                out_y.extend([int(y_ids[j])] * n)
-                out_c.extend(rcos[order, j].tolist())
-            yield pd.DataFrame(
-                {
-                    "side": out_side,
-                    "x_id": out_x,
-                    "y_id": out_y,
-                    "rcos": out_c,
-                }
-            )
+            # process in chunks so the b×m cosine block stays bounded
+            # regardless of Arrow batch size
+            allm = np.stack(pdf["embedding"].values).astype(np.float64)
+            allx = pdf["vec_id"].values.astype(np.int64)
+            for lo in range(0, len(allx), CHUNK):
+                mat = allm[lo : lo + CHUNK]
+                xids = allx[lo : lo + CHUNK]
+                xn = np.sqrt((mat * mat).sum(axis=1))
+                rcos = round6_away(
+                    (mat @ ym.T) / (xn[:, None] * ynorm[None, :])
+                )
+                ri = np.rint(rcos * 1e6).astype(np.int64)
+                kx = min(k, rcos.shape[1])
+                ky = min(k, rcos.shape[0])
+                # per-x top-k candidate SET, ties broken by y_id asc:
+                # argpartition on the composite key is tie-exact
+                xkey = ri * SHIFT - yrank[None, :]
+                ci = np.argpartition(-xkey, kx - 1, axis=1)[:, :kx]
+                rows_ix = np.repeat(np.arange(rcos.shape[0]), kx)
+                cols_ix = ci.ravel()
+                # per-y batch-local top-k partials (exact global top-k
+                # per y after the window reduce), ties by x_id asc:
+                # rank rows by ascending x_id within the chunk first
+                xrank = np.empty(len(xids), dtype=np.int64)
+                xrank[np.argsort(xids, kind="stable")] = np.arange(
+                    len(xids)
+                )
+                ykey = ri * SHIFT - xrank[:, None]
+                rj = np.argpartition(-ykey, ky - 1, axis=0)[:ky, :]
+                yrows_ix = rj.ravel()
+                ycols_ix = np.tile(np.arange(rcos.shape[1]), ky)
+                yield pd.DataFrame(
+                    {
+                        "side": ["x"] * len(rows_ix)
+                        + ["y"] * len(yrows_ix),
+                        "x_id": np.concatenate(
+                            [xids[rows_ix], xids[yrows_ix]]
+                        ),
+                        "y_id": np.concatenate(
+                            [y_ids[cols_ix], y_ids[ycols_ix]]
+                        ),
+                        "rcos": np.concatenate(
+                            [
+                                rcos[rows_ix, cols_ix],
+                                rcos[yrows_ix, ycols_ix],
+                            ]
+                        ),
+                    }
+                )
 
     rows = (
         emb.filter(F.col("vec_id") % MINE_MOD != MINE_REM)

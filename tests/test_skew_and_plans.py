@@ -341,3 +341,37 @@ def test_q121_candidate_set_broadcasts(spark):
     plan = plan_string(df)
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan
+
+
+def test_q124_dsir_single_explode_three_shuffles(spark):
+    # one fused unigram+bigram explode (the corpus read twice = a union
+    # diamond; the totals side is a narrow scan), bucket distributions as
+    # windows over the fb rows, one-row totals broadcast — 3 shuffles,
+    # 2 scans, no corpus re-execution
+    df = _q(spark, "q124_dsir_importance")
+    assert shuffle_count(df) <= 3
+    assert len(scan_schemas(df)) <= 2
+    assert "BroadcastNestedLoopJoin" in plan_string(df)  # one-row totals
+
+
+def test_q125_audit_rollup_adds_no_wide_join(spark):
+    # q56's funnel unchanged; the audit rollup joins components to the
+    # narrow (doc_id, n_chars) projection and aggregates — no cartesian,
+    # and the doc scan the audit adds prunes to the two columns it needs
+    df = _q(spark, "q125_dedup_impact_audit")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert any(
+        "n_chars" in s and "text" not in s for s in scan_schemas(df)
+    ), scan_schemas(df)
+
+
+def test_q126_margin_mining_candidate_sized_shuffles(spark):
+    # the corpus-side pass is one mapInPandas (Y rides in the closure);
+    # every shuffle downstream is over candidate rows, the |Y|-row kNN
+    # table attaches broadcast, and nothing is cartesian
+    df = _q(spark, "q126_margin_pair_mining")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert shuffle_count(df) <= 3
