@@ -83,10 +83,7 @@ _FRONT = (
     "q06_forecast_revenue",
     "q21_price_percentiles",
     "q22_part_name_drift",
-    "q23_monthly_seasonality",
-    "q24_price_math_profile",
     "q25_name_normalization",
-    "q26_conditional_aggregates",
     "q34_doc_fingerprint",
     "q35_token_counts",
     "q36_rolling_fingerprints",
@@ -113,6 +110,14 @@ _FRONT = (
     "q124_dsir_importance",
     "q125_dedup_impact_audit",
     "q126_margin_pair_mining",
+    # (a3) new this session: classifier-based quality filter (hashed
+    # linear model + Pareto keep rule), per-source KL mixture
+    # diagnostic, fixed-length sequence chunking. Their slots come
+    # from q23/q24/q26 — the analytics family keeps q06/q21/q22/q25
+    # in-window (never-checked beats three-rounds-stale).
+    "q127_classifier_quality_filter",
+    "q128_source_kl_divergence",
+    "q129_sequence_chunking",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

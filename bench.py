@@ -74,6 +74,11 @@ HEADLINE = [
     "q124_dsir_importance",
     "q125_dedup_impact_audit",
     "q126_margin_pair_mining",
+    # round-5 session 3: classifier filter, KL mixture diagnostic,
+    # sequence chunking
+    "q127_classifier_quality_filter",
+    "q128_source_kl_divergence",
+    "q129_sequence_chunking",
 ]
 
 

@@ -1477,3 +1477,172 @@ def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("dsir_logw"),
         F.round(F.col("w") - F.log(-F.log(u)), 6).alias("sample_key"),
     )
+
+
+# ---------------------------------------------------------------- q128
+#: Hashed-vocabulary width for the per-source unigram distributions.
+#: The hashing trick caps the aggregate state at |sources| x KL_B rows
+#: regardless of true vocabulary size — the same bound that makes q124's
+#: DSIR models scale; at the synthetic corpus's tiny vocab each word
+#: effectively owns its bucket, so the measure is exact here.
+KL_B = 1 << 16
+
+
+@register(
+    "q128_source_kl_divergence",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             {hash64_sql("word", salt="klb")} % {KL_B} AS b
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents) x
+    ),
+    wb AS (SELECT source, b, count(*) AS cnt FROM w GROUP BY source, b),
+    tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                AS corpus_tot
+            FROM documents),
+    e AS (
+      SELECT source, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT)
+                 AS src_tot,
+             CAST(sum(cnt) OVER (PARTITION BY b) AS BIGINT) AS bkt_tot
+      FROM wb
+    )
+    SELECT source,
+           CAST(max(src_tot) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(CAST(sum(CAST((cnt / src_tot)
+                               * ln((cnt / src_tot)
+                                    / (bkt_tot / corpus_tot))
+                               AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS kl_unigram
+    FROM e CROSS JOIN tot
+    GROUP BY source
+    """,
+)
+def q128_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the mixture-design diagnostic (CCNet's domain-distance idea, and the
+    signal data-mixing work like DoReMi thresholds on): sources whose
+    word distribution sits far from the pool are outliers to reweight
+    or inspect. KL(p_source || p_corpus) = sum_w p ln(p/q) over hashed
+    word buckets; support(p) subset-of support(q) by construction so no
+    smoothing is needed.
+
+    Scale shape: one explode -> one map-side-combined (source, bucket)
+    aggregate whose state is capped at |sources| x {KL_B} rows by the
+    hashing trick; per-source and per-bucket totals are SUM WINDOWS over
+    those aggregate rows (the q124 lesson — no groupBy-join diamond, no
+    single-partition window); the corpus token total comes off a
+    separate NARROW scan in closed form (no explode) as a one-row
+    broadcast. Per-bucket KL terms are DECIMAL(18,6)-quantized so both
+    engines sum identical exact decimals in any order."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    wb = (
+        docs.select("source", F.explode(t).alias("word"))
+        .groupBy(
+            "source",
+            (hash64(F.col("word"), salt="klb") % KL_B).alias("b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = docs.agg(F.sum(F.size(t)).cast("long").alias("corpus_tot"))
+    e = (
+        wb.withColumn(
+            "src_tot", F.sum("cnt").over(Window.partitionBy("source"))
+        )
+        .withColumn("bkt_tot", F.sum("cnt").over(Window.partitionBy("b")))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("cnt") / F.col("src_tot")) * F.log(
+        (F.col("cnt") / F.col("src_tot"))
+        / (F.col("bkt_tot") / F.col("corpus_tot"))
+    )
+    return e.groupBy("source").agg(
+        F.max("src_tot").alias("n_tokens"),
+        F.count("*").alias("n_buckets"),
+        F.round(
+            F.sum(term.cast("decimal(18,6)")).cast("double"), 6
+        ).alias("kl_unigram"),
+    )
+
+
+# ---------------------------------------------------------------- q129
+#: Training-sequence length (words per chunk). Production uses the
+#: tokenizer's token count (q35's BPE-ish counter); the chunk geometry
+#: is identical.
+SEQ_LEN = 64
+
+
+@register(
+    "q129_sequence_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, (n + {SEQ_LEN - 1}) // {SEQ_LEN}))
+                 AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {SEQ_LEN} + 1 AS BIGINT) AS start_word,
+           CAST(least({SEQ_LEN}, n - chunk_idx * {SEQ_LEN}) AS BIGINT)
+               AS chunk_words,
+           md5(array_to_string(
+                 list_slice(t, chunk_idx * {SEQ_LEN} + 1,
+                            chunk_idx * {SEQ_LEN}
+                            + least({SEQ_LEN}, n - chunk_idx * {SEQ_LEN})),
+                 ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def q129_sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence chunking: split every document
+    into consecutive {SEQ_LEN}-word chunks (last chunk ragged), emitting
+    the chunk geometry plus an md5 fingerprint of the chunk text — the
+    pre-packing step that turns documents into model-sized sequences
+    (q94 then bin-packs the chunks into batches). The reference splits
+    documents only into LINES (utilities.py:76-96); fixed-token
+    chunking is the training-side twin every pretraining pipeline runs.
+
+    Scale shape: zero shuffles — the chunk count is closed-form from
+    the word count, `sequence()` + explode fans out rows inside the
+    scan stage, and the slice/fingerprint ride the same codegen'd
+    projection. Output volume is input tokens / {SEQ_LEN}, linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+        .withColumn("n", F.size("t").cast("long"))
+        .withColumn(
+            "n_chunks",
+            F.expr(f"(n + {SEQ_LEN - 1}) DIV {SEQ_LEN}"),
+        )
+    )
+    c = d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+    )
+    cw = F.least(F.lit(SEQ_LEN).cast("long"), F.col("n") - F.col("chunk_idx") * SEQ_LEN)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * SEQ_LEN + 1).cast("long").alias("start_word"),
+        cw.cast("long").alias("chunk_words"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    f"slice(t, chunk_idx * {SEQ_LEN} + 1,"
+                    f" least({SEQ_LEN}, n - chunk_idx * {SEQ_LEN}))"
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_fp"),
+    )

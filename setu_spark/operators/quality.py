@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from setu_spark.functions.hashes import hash64_sql
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -656,4 +657,106 @@ def q105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------- q127
+#: Classifier-based quality filter (the GPT-3 / LLaMA "quality
+#: classifier" pipeline step): a linear model over hashed bag-of-words
+#: features scores every document, and a Pareto-noised threshold keeps
+#: high-score docs with probability increasing in the score (Brown et
+#: al. 2020, Appendix A: keep iff pareto(alpha=9) > 1 - score) so the
+#: kept set is score-weighted rather than a hard cutoff that clones the
+#: classifier's biases. The reference has no learned-filter surface at
+#: all (its gates are fixed thresholds, flagging_and_removal.py:154-160).
+#: Weights here are md5-derived so both engines agree; production loads
+#: a trained weight vector instead (a |CQ_BUCKETS|-row broadcast dim
+#: joined on the bucket — same plan shape, broadcast hash join).
+CQ_BUCKETS = 4096
+CQ_GAIN = 8.0
+CQ_PARETO_ALPHA = 9.0
+CQ_UMOD = 1 << 20
+
+
+#: sigmoid(GAIN * s/n) twice in the oracle (score col + keep rule) — a
+#: named CTE column keeps them the identical expression.
+_CQ_W_SQL = (
+    f"(({hash64_sql('CAST(b AS VARCHAR)', salt='cqw')} % 2001) - 1000)"
+    " / 1000.0"
+)
+_CQ_U_SQL = (
+    f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='cqp')}"
+    f" % {CQ_UMOD} + 1) / CAST({CQ_UMOD + 1} AS DOUBLE)"
+)
+
+
+@register(
+    "q127_classifier_quality_filter",
+    oracle=f"""
+    WITH wd AS (
+      SELECT doc_id,
+             {hash64_sql("word", salt="cq")} % {CQ_BUCKETS} AS b
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) x
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CAST({_CQ_W_SQL} AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM wd GROUP BY doc_id
+    ),
+    sc AS (
+      SELECT doc_id, n_words,
+             1 / (1 + exp(-{CQ_GAIN} * (s / n_words))) AS score
+      FROM per
+    )
+    SELECT doc_id, n_words,
+           round(score, 6) AS quality_score,
+           (round(pow(1 - ({_CQ_U_SQL}), {-1.0 / CQ_PARETO_ALPHA}) - 1, 6)
+            > round(1 - score, 6)) AS keep
+    FROM sc
+    """,
+)
+def q127_classifier_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashed-linear-model quality score + Pareto keep rule per doc.
+
+    score = sigmoid(GAIN * mean_w) where mean_w averages per-word
+    weights w[h(word) % B]; keep iff pareto_sample(doc) > 1 - score,
+    with the Pareto draw inverse-CDF'd from an md5-uniform of doc_id
+    (engine-portable randomness, the q86/q124 discipline).
+
+    Scale shape: one explode -> one map-side-combined groupBy(doc_id)
+    (state per doc = two numbers); weights are computed inline from the
+    bucket id (production swaps in a broadcast weight table joined on
+    the bucket — still no extra shuffle); the keep rule is a per-row
+    expression. Per-word weights are DECIMAL(18,6)-quantized before the
+    sum so both engines add identical exact decimals in any order."""
+    from setu_spark.functions.hashes import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    b = hash64(F.col("word"), salt="cq") % CQ_BUCKETS
+    w = ((hash64(b.cast("string"), salt="cqw") % 2001) - 1000) / F.lit(
+        1000.0
+    )
+    per = (
+        docs.select("doc_id", F.explode(t).alias("word"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(w.cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+    )
+    score = 1 / (1 + F.exp(-CQ_GAIN * (F.col("s") / F.col("n_words"))))
+    u = (
+        hash64(F.col("doc_id").cast("string"), salt="cqp") % CQ_UMOD + 1
+    ) / float(CQ_UMOD + 1)
+    pareto = F.pow(1 - u, F.lit(-1.0 / CQ_PARETO_ALPHA)) - 1
+    return per.select(
+        "doc_id",
+        "n_words",
+        F.round(score, 6).alias("quality_score"),
+        (F.round(pareto, 6) > F.round(1 - score, 6)).alias("keep"),
     )

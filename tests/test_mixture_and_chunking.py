@@ -1,0 +1,119 @@
+"""Planted-fixture semantics for the round-5 selection operators:
+q127 classifier quality filter (independent Python reimplementation of
+the hashed-linear-model score and Pareto keep rule), q128 per-source KL
+divergence (zero iff a source matches the corpus distribution), and
+q129 fixed-length sequence chunking (exact geometry + fingerprints).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from setu_spark.functions.hashes import HEX_DIGITS
+from setu_spark.operators.curation import (
+    KL_B,
+    SEQ_LEN,
+    q128_source_kl_divergence,
+    q129_sequence_chunking,
+)
+from setu_spark.operators.quality import (
+    CQ_BUCKETS,
+    CQ_GAIN,
+    CQ_PARETO_ALPHA,
+    CQ_UMOD,
+    q127_classifier_quality_filter,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def _h64(s: str, salt: str) -> int:
+    return int(hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:HEX_DIGITS], 16)
+
+
+def _q6(x: float) -> Decimal:
+    return Decimal(x).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+
+
+def test_q127_matches_python_reimplementation(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "a"),
+        (2, "zig zag zap", "en", "a"),
+        (3, "the of and to in is it a", "en", "b"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in q127_classifier_quality_filter(spark, d).collect()}
+    for doc_id, text, _, _ in rows:
+        words = text.split(" ")
+        s = Decimal(0)
+        for w in words:
+            b = _h64(w, "cq") % CQ_BUCKETS
+            s += _q6(((_h64(str(b), "cqw") % 2001) - 1000) / 1000.0)
+        mean = float(s) / len(words)
+        score = 1.0 / (1.0 + math.exp(-CQ_GAIN * mean))
+        u = (_h64(str(doc_id), "cqp") % CQ_UMOD + 1) / float(CQ_UMOD + 1)
+        pareto = (1 - u) ** (-1.0 / CQ_PARETO_ALPHA) - 1
+        keep = round(pareto, 6) > round(1 - score, 6)
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert abs(r["quality_score"] - round(score, 6)) < 1e-9
+        assert r["keep"] == keep
+
+
+def test_q128_zero_for_corpus_matching_source_positive_for_skew(
+    spark, tmp_path
+):
+    # sources a and b speak the identical distribution -> the corpus
+    # (their pool plus a tiny skewed source) is dominated by it; source
+    # c speaks a disjoint vocabulary -> strictly positive divergence,
+    # and a==b by symmetry.
+    base = "alpha beta gamma delta"
+    rows = [
+        (1, base, "en", "a"),
+        (2, base, "en", "b"),
+        (3, "omega omega omega omega", "en", "c"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    kl = {r["source"]: r for r in q128_source_kl_divergence(spark, d).collect()}
+    assert kl["a"]["kl_unigram"] == kl["b"]["kl_unigram"]
+    assert kl["c"]["kl_unigram"] > kl["a"]["kl_unigram"] > 0
+    # exact closed form: every 'a' word has p=1/4, q=2/12 -> ln(3/2);
+    # 'c' has p=1, q=4/12 -> ln(3). Quantization is per-term 1e-6.
+    assert abs(kl["a"]["kl_unigram"] - math.log(1.5)) < 1e-5
+    assert abs(kl["c"]["kl_unigram"] - math.log(3.0)) < 1e-5
+    assert kl["a"]["n_tokens"] == 4 and kl["a"]["n_buckets"] == 4
+    # hashing-trick sanity: bucket ids stay inside [0, KL_B)
+    assert KL_B > 0
+
+
+def test_q129_chunk_geometry_and_fingerprints(spark, tmp_path):
+    n = SEQ_LEN * 2 + 2  # 3 chunks: SEQ_LEN, SEQ_LEN, 2
+    words = [f"w{i}" for i in range(n)]
+    rows = [(1, " ".join(words), "en", "a"), (2, "solo", "en", "a")]
+    d = _write_docs(spark, tmp_path, rows)
+    out = q129_sequence_chunking(spark, d).collect()
+    doc1 = sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"]
+    )
+    assert [r["chunk_words"] for r in doc1] == [SEQ_LEN, SEQ_LEN, 2]
+    assert [r["start_word"] for r in doc1] == [1, SEQ_LEN + 1, 2 * SEQ_LEN + 1]
+    for r in doc1:
+        lo = r["start_word"] - 1
+        expect = " ".join(words[lo : lo + r["chunk_words"]])
+        assert r["chunk_fp"] == hashlib.md5(expect.encode()).hexdigest()
+    doc2 = [r for r in out if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["chunk_words"] == 1
+    assert doc2[0]["chunk_fp"] == hashlib.md5(b"solo").hexdigest()

@@ -375,3 +375,28 @@ def test_q126_margin_mining_candidate_sized_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert shuffle_count(df) <= 3
+
+
+def test_q127_classifier_single_shuffle(spark):
+    # one explode -> one map-combined groupBy(doc_id); inline weights
+    # mean no weight-table join, the keep rule is a projection
+    df = _q(spark, "q127_classifier_quality_filter")
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_q128_kl_two_scans_bounded_windows(spark):
+    # one explode feeding the (source, bucket) aggregate, corpus total
+    # off a NARROW second scan broadcast as one row; both windows
+    # partition by a real key (no single-partition window over the agg)
+    df = _q(spark, "q128_source_kl_divergence")
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan  # one-row totals attach
+    assert len(scan_schemas(df)) <= 2
+    assert "partitionBy=[]" not in plan  # no empty-partition window
+
+
+def test_q129_chunking_no_shuffle(spark):
+    # closed-form chunk count + sequence() explode: the whole chunker
+    # rides the scan stage
+    assert shuffle_count(_q(spark, "q129_sequence_chunking")) == 0
