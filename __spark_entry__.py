@@ -84,7 +84,6 @@ _FRONT = (
     "q21_price_percentiles",
     "q22_part_name_drift",
     "q25_name_normalization",
-    "q34_doc_fingerprint",
     "q35_token_counts",
     "q36_rolling_fingerprints",
     "q37_fingerprint_containment",
@@ -118,6 +117,9 @@ _FRONT = (
     "q127_classifier_quality_filter",
     "q128_source_kl_divergence",
     "q129_sequence_chunking",
+    # q130 BPE merge mining takes q34's slot (the fingerprint family
+    # keeps q36/q37 in-window)
+    "q130_bpe_merge_candidates",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

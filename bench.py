@@ -79,6 +79,7 @@ HEADLINE = [
     "q127_classifier_quality_filter",
     "q128_source_kl_divergence",
     "q129_sequence_chunking",
+    "q130_bpe_merge_candidates",
 ]
 
 

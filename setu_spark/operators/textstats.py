@@ -1204,3 +1204,86 @@ def q116_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         terminal_valid("sentence").alias("terminal_ok"),
         is_number("sentence").alias("is_digits"),
     )
+
+
+# ---------------------------------------------------------------- q130
+#: Top-K adjacent-pair merge candidates to report (the first BPE merge
+#: iteration's ranking; production iterates, re-segmenting after each
+#: merge — every iteration is this same query shape over the current
+#: symbol vocabulary).
+BPE_TOP_K = 50
+
+
+@register(
+    "q130_bpe_merge_candidates",
+    oracle=f"""
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents) x
+      GROUP BY word
+    ),
+    p AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, freq
+      FROM wf, unnest(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2
+    ),
+    a AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM p GROUP BY pair
+    ),
+    k AS (
+      SELECT pair, pair_count
+      FROM a ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_K}
+    )
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+                AS BIGINT) AS rank
+    FROM k
+    """,
+)
+def q130_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining — the corpus-scale inner loop of
+    tokenizer training (Sennrich et al. 2016): rank adjacent character
+    pairs by frequency over the WORD-FREQUENCY table, not the raw
+    corpus. The word-level pre-aggregation is the classic scalability
+    move: distinct words grow ~Heaps-law sublinearly while tokens grow
+    linearly, so the pair explode runs over a table orders of magnitude
+    smaller than the corpus. The reference has no tokenizer surface at
+    all; a pretraining pipeline trains one on exactly this corpus.
+
+    Scale shape: explode -> map-combined word-frequency aggregate
+    (bounded by vocabulary) -> in-word pair fan-out over that SMALL
+    table -> map-combined pair aggregate (bounded by symbol-alphabet²)
+    -> TakeOrdered top-{BPE_TOP_K}; the rank window runs over the
+    {BPE_TOP_K} collected rows only, never the corpus. Ties break on
+    the pair string, so the cut is total-ordered and engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_K)
+    )
+    return top.select(
+        "pair",
+        "pair_count",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pair_count"), "pair"))
+        .cast("long")
+        .alias("rank"),
+    )

@@ -117,3 +117,19 @@ def test_q129_chunk_geometry_and_fingerprints(spark, tmp_path):
     doc2 = [r for r in out if r["doc_id"] == 2]
     assert len(doc2) == 1 and doc2[0]["chunk_words"] == 1
     assert doc2[0]["chunk_fp"] == hashlib.md5(b"solo").hexdigest()
+
+
+def test_q130_bpe_pairs_exact_counts(spark, tmp_path):
+    from setu_spark.operators.textstats import q130_bpe_merge_candidates
+
+    # 'abab' yields pairs ab,ba,ab (2 ab + 1 ba) at word-freq 3 ->
+    # ab 6, ba 3; 'ab' at freq 2 adds ab 2. Totals: ab 8, ba 3.
+    # Single-char 'z' contributes no pair.
+    rows = [
+        (1, "abab abab abab ab ab z", "en", "a"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["pair"]: r for r in q130_bpe_merge_candidates(spark, d).collect()}
+    assert out["ab"]["pair_count"] == 8 and out["ab"]["rank"] == 1
+    assert out["ba"]["pair_count"] == 3 and out["ba"]["rank"] == 2
+    assert "z" not in out and len(out) == 2

@@ -402,3 +402,13 @@ def test_q129_chunking_no_shuffle(spark):
     # closed-form chunk count + sequence() explode: the whole chunker
     # rides the scan stage
     assert shuffle_count(_q(spark, "q129_sequence_chunking")) == 0
+
+
+def test_q130_bpe_pair_agg_over_vocab_not_corpus(spark):
+    # word-frequency aggregate first (vocabulary-bounded), pair fan-out
+    # over THAT table, pair aggregate, TakeOrdered cut; the rank window
+    # runs over the top-K rows only — every aggregate map-combines
+    df = _q(spark, "q130_bpe_merge_candidates")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in plan_string(df)
+    assert shuffle_count(df) <= 4
