@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -291,3 +292,95 @@ def admission_decisions(
     from setu_spark.operators.dedup import exact_admission
 
     return exact_admission(new_docs, existing_hashes)
+
+
+# --- streaming heavy hitters (bounded-state frequent keys) --------------
+
+#: Shards for the streaming Misra–Gries sketch: state is bounded at
+#: HH_SHARDS × HH_M counters TOTAL regardless of how many distinct keys
+#: the stream ever carries — the property that lets a frequent-keys
+#: monitor run forever on an unbounded key domain (the batch twin with
+#: the same summary is q121_heavy_hitters).
+HH_SHARDS = 8
+HH_M = 50
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("key", LongType()),
+        StructField("est_count", LongType()),
+    ]
+)
+
+_HH_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def with_shard(events: DataFrame, n_shards: int = HH_SHARDS) -> DataFrame:
+    """Deterministic shard assignment for the sketch state: the same
+    key always lands on the same shard, so each shard's summary sees
+    that key's full stream."""
+    return events.withColumn(
+        "shard", F.pmod(F.xxhash64("user_id"), F.lit(n_shards))
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame, m: int = HH_M) -> DataFrame:
+    """Frequent-keys sketch over a stream with HARD-BOUNDED state: a
+    Misra–Gries summary of at most ``m`` counters per shard, maintained
+    in ``applyInPandasWithState`` and re-emitted (full snapshot + a
+    monotone ``seq``) on every update — consumers take the max-seq
+    snapshot per shard and merge. Guarantee (Misra–Gries, mergeable
+    form): every key whose true shard count exceeds N_shard/(m+1)
+    survives in the summary, and estimates undercount by at most
+    N_shard/(m+1); sharding by key hash partitions the guarantee
+    cleanly across shards. Unlike ``groupBy(key).count()`` — whose
+    state grows with |distinct keys| — this monitor runs forever on an
+    unbounded key domain. Batch twin: q121_heavy_hitters (same summary
+    per partition instead of per shard)."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            seq, keys, counts = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            seq, counters = 0, {}
+        for pdf in pdf_iter:
+            for k, c in pdf["user_id"].value_counts().items():
+                counters[int(k)] = counters.get(int(k), 0) + int(c)
+            if len(counters) > m:
+                # batched Misra-Gries decrement: subtract the (m+1)-th
+                # largest count, drop non-positive -> at most m remain
+                pivot = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    k: v - pivot for k, v in counters.items() if v > pivot
+                }
+        seq += 1
+        state.update(
+            (seq, list(counters.keys()), [int(v) for v in counters.values()])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "seq": [seq] * len(counters),
+                "key": list(counters.keys()),
+                "est_count": [int(v) for v in counters.values()],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return with_shard(events).groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -381,3 +381,64 @@ def test_stream_admission_matches_batch_exact_stage(spark, tmp_path):
             assert got[doc_id] == "exact_dup"
         else:  # batch 'near_dup' refines a stream 'novel'
             assert got[doc_id] == "novel"
+
+
+def test_streaming_heavy_hitters_bounded_state_finds_hitters(spark):
+    """Misra-Gries frequent-keys monitor: state stays hard-bounded at
+    m counters per shard, yet every key whose true count exceeds the
+    N_shard/(m+1) undercount bound survives, with estimate <= exact
+    (classic MG under-estimation) within that bound."""
+    from setu_spark.streaming.jobs import (
+        streaming_heavy_hitters,
+        run_to_memory,
+        read_events_stream,
+        with_shard,
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    # skewed key stream: users 1..3 dominate, a long tail of singletons
+    rows = []
+    minute = 0
+    for uid, n in [(1, 60), (2, 40), (3, 25)] + [(100 + i, 1) for i in range(200)]:
+        for _ in range(n):
+            rows.append((minute % 180, uid, "click", 1))
+            minute += 1
+    d = tempfile.mkdtemp(prefix="setu-hh-")
+    try:
+        _mk_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+        M = 8
+        stream = read_events_stream(spark, d)
+        run_to_memory(
+            streaming_heavy_hitters(stream, m=M),
+            "hh_stream",
+            output_mode="update",
+        )
+        emitted = spark.table("hh_stream").toPandas()
+        # take the max-seq snapshot per shard (full-snapshot emission)
+        last = emitted[
+            emitted.seq
+            == emitted.groupby("shard").seq.transform("max")
+        ]
+        # hard state bound per shard
+        assert (last.groupby("shard").size() <= M).all()
+        batch = with_shard(
+            spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+        )
+        exact = batch.groupBy("shard", "user_id").count().toPandas()
+        shard_n = exact.groupby("shard")["count"].sum()
+        est = {
+            (r.shard, r.key): r.est_count for r in last.itertuples()
+        }
+        for r in exact.itertuples():
+            bound = shard_n[r.shard] / (M + 1)
+            got = est.get((r.shard, r.user_id), 0)
+            # MG: estimate never exceeds exact, undercount <= bound
+            assert got <= r.count
+            assert r.count - got <= bound + 1e-9
+            if r.count > bound:  # true heavy hitter must survive
+                assert (r.shard, r.user_id) in est, (r.shard, r.user_id)
+        # and the three planted hitters are all found
+        found_keys = set(last.key)
+        assert {1, 2, 3} <= found_keys
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
