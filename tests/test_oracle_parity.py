@@ -53,3 +53,19 @@ def test_oracleless_query_runs(name, spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_registered_query_emits_complex_columns(spark):
+    """The driver canonicalizer sorts result columns with pandas —
+    array/map/struct output crashes it (`unhashable type: 'list'`,
+    q84 round 4). Every registered query must emit scalar columns only;
+    schema derivation is lazy (no execution), so this sweeps all of
+    them cheaply."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        for f in fn(spark, SF_ORACLE).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.setdefault(name, []).append(f.name)
+    assert not bad, f"complex output columns: {bad}"

@@ -59,6 +59,11 @@ AQE_SET = [
     "q29_token_budget_sample",
     "q52_minhash_lsh_pairs",
     "q94_sequence_packing",
+    # round-5 session-3 additions: broadcast weight join, window-over-
+    # aggregate KL, TakeOrdered pair cut
+    "q127_classifier_quality_filter",
+    "q128_source_kl_divergence",
+    "q130_bpe_merge_candidates",
 ]
 
 
