@@ -1572,7 +1572,7 @@ def q128_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Training-sequence length (words per chunk). Production uses the
 #: tokenizer's token count (q35's BPE-ish counter); the chunk geometry
 #: is identical.
-SEQ_LEN = 64
+CHUNK_LEN = 64
 
 
 @register(
@@ -1585,26 +1585,26 @@ SEQ_LEN = 64
     ),
     c AS (
       SELECT doc_id, t, n,
-             unnest(range(0, (n + {SEQ_LEN - 1}) // {SEQ_LEN}))
+             unnest(range(0, (n + {CHUNK_LEN - 1}) // {CHUNK_LEN}))
                  AS chunk_idx
       FROM d
     )
     SELECT doc_id,
            CAST(chunk_idx AS BIGINT) AS chunk_idx,
-           CAST(chunk_idx * {SEQ_LEN} + 1 AS BIGINT) AS start_word,
-           CAST(least({SEQ_LEN}, n - chunk_idx * {SEQ_LEN}) AS BIGINT)
+           CAST(chunk_idx * {CHUNK_LEN} + 1 AS BIGINT) AS start_word,
+           CAST(least({CHUNK_LEN}, n - chunk_idx * {CHUNK_LEN}) AS BIGINT)
                AS chunk_words,
            md5(array_to_string(
-                 list_slice(t, chunk_idx * {SEQ_LEN} + 1,
-                            chunk_idx * {SEQ_LEN}
-                            + least({SEQ_LEN}, n - chunk_idx * {SEQ_LEN})),
+                 list_slice(t, chunk_idx * {CHUNK_LEN} + 1,
+                            chunk_idx * {CHUNK_LEN}
+                            + least({CHUNK_LEN}, n - chunk_idx * {CHUNK_LEN})),
                  ' ')) AS chunk_fp
     FROM c
     """,
 )
 def q129_sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length training-sequence chunking: split every document
-    into consecutive {SEQ_LEN}-word chunks (last chunk ragged), emitting
+    into consecutive {CHUNK_LEN}-word chunks (last chunk ragged), emitting
     the chunk geometry plus an md5 fingerprint of the chunk text — the
     pre-packing step that turns documents into model-sized sequences
     (q94 then bin-packs the chunks into batches). The reference splits
@@ -1614,14 +1614,14 @@ def q129_sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: zero shuffles — the chunk count is closed-form from
     the word count, `sequence()` + explode fans out rows inside the
     scan stage, and the slice/fingerprint ride the same codegen'd
-    projection. Output volume is input tokens / {SEQ_LEN}, linear."""
+    projection. Output volume is input tokens / {CHUNK_LEN}, linear."""
     docs = load_table(spark, sf_dir, "documents")
     d = (
         docs.select("doc_id", F.split("text", " ", -1).alias("t"))
         .withColumn("n", F.size("t").cast("long"))
         .withColumn(
             "n_chunks",
-            F.expr(f"(n + {SEQ_LEN - 1}) DIV {SEQ_LEN}"),
+            F.expr(f"(n + {CHUNK_LEN - 1}) DIV {CHUNK_LEN}"),
         )
     )
     c = d.select(
@@ -1630,17 +1630,17 @@ def q129_sequence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
     )
-    cw = F.least(F.lit(SEQ_LEN).cast("long"), F.col("n") - F.col("chunk_idx") * SEQ_LEN)
+    cw = F.least(F.lit(CHUNK_LEN).cast("long"), F.col("n") - F.col("chunk_idx") * CHUNK_LEN)
     return c.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (F.col("chunk_idx") * SEQ_LEN + 1).cast("long").alias("start_word"),
+        (F.col("chunk_idx") * CHUNK_LEN + 1).cast("long").alias("start_word"),
         cw.cast("long").alias("chunk_words"),
         F.md5(
             F.array_join(
                 F.expr(
-                    f"slice(t, chunk_idx * {SEQ_LEN} + 1,"
-                    f" least({SEQ_LEN}, n - chunk_idx * {SEQ_LEN}))"
+                    f"slice(t, chunk_idx * {CHUNK_LEN} + 1,"
+                    f" least({CHUNK_LEN}, n - chunk_idx * {CHUNK_LEN}))"
                 ),
                 " ",
             ).cast("binary")

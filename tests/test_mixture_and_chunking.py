@@ -16,8 +16,8 @@ from pyspark.sql import functions as F
 
 from setu_spark.functions.hashes import HEX_DIGITS
 from setu_spark.operators.curation import (
+    CHUNK_LEN,
     KL_B,
-    SEQ_LEN,
     q128_source_kl_divergence,
     q129_sequence_chunking,
 )
@@ -100,7 +100,7 @@ def test_q128_zero_for_corpus_matching_source_positive_for_skew(
 
 
 def test_q129_chunk_geometry_and_fingerprints(spark, tmp_path):
-    n = SEQ_LEN * 2 + 2  # 3 chunks: SEQ_LEN, SEQ_LEN, 2
+    n = CHUNK_LEN * 2 + 2  # 3 chunks: CHUNK_LEN, CHUNK_LEN, 2
     words = [f"w{i}" for i in range(n)]
     rows = [(1, " ".join(words), "en", "a"), (2, "solo", "en", "a")]
     d = _write_docs(spark, tmp_path, rows)
@@ -108,8 +108,8 @@ def test_q129_chunk_geometry_and_fingerprints(spark, tmp_path):
     doc1 = sorted(
         (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"]
     )
-    assert [r["chunk_words"] for r in doc1] == [SEQ_LEN, SEQ_LEN, 2]
-    assert [r["start_word"] for r in doc1] == [1, SEQ_LEN + 1, 2 * SEQ_LEN + 1]
+    assert [r["chunk_words"] for r in doc1] == [CHUNK_LEN, CHUNK_LEN, 2]
+    assert [r["start_word"] for r in doc1] == [1, CHUNK_LEN + 1, 2 * CHUNK_LEN + 1]
     for r in doc1:
         lo = r["start_word"] - 1
         expect = " ".join(words[lo : lo + r["chunk_words"]])
