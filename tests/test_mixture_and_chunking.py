@@ -133,3 +133,32 @@ def test_q130_bpe_pairs_exact_counts(spark, tmp_path):
     assert out["ab"]["pair_count"] == 8 and out["ab"]["rank"] == 1
     assert out["ba"]["pair_count"] == 3 and out["ba"]["rank"] == 2
     assert "z" not in out and len(out) == 2
+
+
+def test_no_module_level_constant_rebinding():
+    """q129's chunk length briefly shadowed q94's SEQ_LEN=256 packing
+    budget by re-assigning the same module-level name further down the
+    file — runtime references silently saw the later value. AST-sweep
+    every engine module: no public module-level name may be assigned
+    twice."""
+    import ast
+    import pathlib
+
+    offenders = []
+    for p in pathlib.Path("setu_spark").rglob("*.py"):
+        seen = {}
+        for node in ast.parse(p.read_text()).body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                ]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                targets = [node.target.id]
+            for t in targets:
+                if t in seen and not t.startswith("_"):
+                    offenders.append(f"{p}:{node.lineno}:{t}")
+                seen[t] = node.lineno
+    assert not offenders, offenders
