@@ -10,7 +10,6 @@ from __future__ import annotations
 import hashlib
 import math
 import os
-from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import functions as F
 
@@ -44,10 +43,6 @@ def _h64(s: str, salt: str) -> int:
     return int(hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:HEX_DIGITS], 16)
 
 
-def _q6(x: float) -> Decimal:
-    return Decimal(x).quantize(Decimal("1e-6"), ROUND_HALF_UP)
-
-
 def test_q127_matches_python_reimplementation(spark, tmp_path):
     rows = [
         (1, "alpha beta gamma delta epsilon", "en", "a"),
@@ -58,11 +53,11 @@ def test_q127_matches_python_reimplementation(spark, tmp_path):
     got = {r["doc_id"]: r for r in q127_classifier_quality_filter(spark, d).collect()}
     for doc_id, text, _, _ in rows:
         words = text.split(" ")
-        s = Decimal(0)
+        s = 0  # exact integer milliweights, the engine's hot-path form
         for w in words:
             b = _h64(w, "cq") % CQ_BUCKETS
-            s += _q6(((_h64(str(b), "cqw") % 2001) - 1000) / 1000.0)
-        mean = float(s) / len(words)
+            s += (_h64(str(b), "cqw") % 2001) - 1000
+        mean = (float(s) / 1000.0) / len(words)
         score = 1.0 / (1.0 + math.exp(-CQ_GAIN * mean))
         u = (_h64(str(doc_id), "cqp") % CQ_UMOD + 1) / float(CQ_UMOD + 1)
         pareto = (1 - u) ** (-1.0 / CQ_PARETO_ALPHA) - 1

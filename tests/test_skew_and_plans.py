@@ -377,14 +377,16 @@ def test_q126_margin_mining_candidate_sized_shuffles(spark):
     assert shuffle_count(df) <= 3
 
 
-def test_q127_classifier_single_shuffle(spark):
-    # one explode -> broadcast weight-table join (the production shape:
-    # the trained vector ships to executors, never a shuffle) -> one
-    # map-combined groupBy(doc_id); the keep rule is a projection
+def test_q127_classifier_single_shuffle_no_join(spark):
+    # explode -> driver-shipped weight-array element_at lookup -> one
+    # map-combined groupBy(doc_id). No join anywhere: a broadcast
+    # weight-table join re-evaluated the md5 bucket key across the join
+    # boundary (2x the explode cost, measured at the 100x corpus) — the
+    # array literal rides the scan stage instead
     df = _q(spark, "q127_classifier_quality_filter")
     assert shuffle_count(df) == 1
     assert has_partial_aggregate(df)
-    assert "BroadcastHashJoin" in plan_string(df)
+    assert "Join" not in plan_string(df)
 
 
 def test_q128_kl_two_scans_bounded_windows(spark):
