@@ -43,6 +43,12 @@ from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
 #: q84 quantile probes and accuracy knob (10k ≈ 0.01% rank error).
+#: Rank-exactness (approx_q ≡ DuckDB quantile_disc) holds at driver
+#: scale (sf0.01, n≈3k per group) but NOT at sf0.1 (n≈30k): Spark's
+#: QuantileSummaries compresses past its internal ~10k buffer no
+#: matter how large the accuracy knob (verified empirically with
+#: accuracy=50k), so beyond that the approx_ok bound is the operative
+#: contract — exactly the 100 TB semantics.
 QUANTILES = (0.25, 0.5, 0.9)
 PCT_ACCURACY = 10_000
 
