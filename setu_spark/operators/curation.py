@@ -510,7 +510,7 @@ def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(
              CAST(sum(CAST(b.tf * -ln((c.big_cnt + 1)
                             / CAST(u.ctx_cnt + v.vocab AS DOUBLE))
-                           AS DECIMAL(18,6))) AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE)
              / CAST(sum(b.tf) AS DOUBLE), 6) AS avg_neg_logprob
     FROM big b
     JOIN bc c USING (w1, w2)
@@ -530,8 +530,12 @@ def q114_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the corpus bigram count and the context count are SUM
     WINDOWS over those same tf rows (partitioned by (w1,w2) and by w1)
     instead of groupBy-join diamonds; V is a one-row broadcast. Per-term
-    products are DECIMAL(18,6)-quantized before the per-doc sum so both
-    engines add identical exact decimals in any order."""
+    products are DECIMAL(28,12)-quantized before the per-doc sum so both
+    engines add identical exact decimals in any order (upgraded from
+    (18,6) after the sf0.1 sweep: at 1e-6 grain an engine ln half-ulp
+    at the quantization edge flipped a term by 1e-6 and moved 3/5000
+    averages across the output rounding boundary; at 1e-12 a flip
+    shifts the average by ~1e-14 — unobservable at round-6)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
     pairs = docs.filter(F.size(t) >= 2).select(
@@ -566,7 +570,7 @@ def q114_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("tf").alias("n_bigrams"),
             F.round(
-                F.sum(term.cast("decimal(18,6)")).cast("double")
+                F.sum(term.cast("decimal(28,12)")).cast("double")
                 / F.sum("tf").cast("double"),
                 6,
             ).alias("avg_neg_logprob"),
