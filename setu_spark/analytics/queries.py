@@ -617,7 +617,7 @@ def q23_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            count(*) AS n,
-           round(CAST(sum(CAST(ln(l_extendedprice) AS DECIMAL(18,6)))
+           round(CAST(sum(CAST(ln(l_extendedprice) AS DECIMAL(28,12)))
                       AS DOUBLE) / count(*), 6) AS avg_log_price,
            round(sqrt(CAST(sum(CAST(l_quantity * l_quantity
                                     AS DECIMAL(18,6))) AS DOUBLE)
@@ -637,7 +637,7 @@ def q24_price_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-independent already."""
     li = load_table(spark, sf_dir, "lineitem")
     avg_log = (
-        F.sum(F.log(F.col("l_extendedprice")).cast("decimal(18,6)"))
+        F.sum(F.log(F.col("l_extendedprice")).cast("decimal(28,12)"))
         .cast("double")
         / F.count("*")
     )

@@ -428,7 +428,7 @@ def q87_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(tf) AS BIGINT) AS n_tokens,
            round(
              CAST(sum(CAST(tf * -ln(cnt / CAST(total AS DOUBLE))
-                           AS DECIMAL(18,6))) AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE)
              / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logprob
     FROM tf JOIN freq USING (word) CROSS JOIN t
     GROUP BY doc_id
@@ -447,7 +447,7 @@ def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-then-join diamond re-executed the tf subplan three times:
     measured 6 shuffles → 3). T comes off the raw scan as a one-row
     broadcast (a narrow sum of per-doc sizes — no token explosion).
-    Each per-term product is quantized to DECIMAL(18,6) before the
+    Each per-term product is quantized to DECIMAL(28,12) before the
     per-doc sum (registry.dsum discipline), so both engines add
     identical exact decimals in any order — cross-engine ULP noise in
     ln() never compounds."""
@@ -471,7 +471,7 @@ def q88_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("tf").alias("n_tokens"),
             F.round(
-                F.sum(term.cast("decimal(18,6)")).cast("double")
+                F.sum(term.cast("decimal(28,12)")).cast("double")
                 / F.sum("tf").cast("double"),
                 6,
             ).alias("avg_neg_logprob"),
@@ -1234,7 +1234,7 @@ _Q88_SQL_CTES = """
              CAST(sum(tf) AS BIGINT) AS n_tokens,
              round(
                CAST(sum(CAST(tf * -ln(cnt / CAST(total AS DOUBLE))
-                             AS DECIMAL(18,6))) AS DOUBLE)
+                             AS DECIMAL(28,12))) AS DOUBLE)
                / CAST(sum(tf) AS DOUBLE), 6) AS avg_neg_logprob
       FROM tf JOIN freq USING (word) CROSS JOIN t
       GROUP BY doc_id
@@ -1370,7 +1370,7 @@ DSIR_TARGET_LANG = "en"
     per_doc AS (
       SELECT fb.doc_id,
              CAST(sum(c) AS BIGINT) AS n_feats,
-             CAST(sum(CAST(c * lr AS DECIMAL(18,6))) AS DOUBLE) AS w
+             CAST(sum(CAST(c * lr AS DECIMAL(28,12))) AS DOUBLE) AS w
       FROM fb JOIN ratio USING (b)
       GROUP BY fb.doc_id
     )
@@ -1407,7 +1407,7 @@ def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus feature totals come off a separate NARROW scan (no explode:
     #feats per doc is 2·words−1 in closed form) as a one-row
     broadcast; the per-doc reduce is the third and last shuffle.
-    Per-term products are DECIMAL(18,6)-quantized so both engines sum
+    Per-term products are DECIMAL(28,12)-quantized so both engines sum
     identical exact decimals in any order."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
@@ -1467,7 +1467,7 @@ def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_feats"),
-            F.sum((F.col("c") * F.col("lr")).cast("decimal(18,6)"))
+            F.sum((F.col("c") * F.col("lr")).cast("decimal(28,12)"))
             .cast("double")
             .alias("w"),
         )
@@ -1518,7 +1518,7 @@ KL_B = 1 << 16
            round(CAST(sum(CAST((cnt / src_tot)
                                * ln((cnt / src_tot)
                                     / (bkt_tot / corpus_tot))
-                               AS DECIMAL(18,6))) AS DOUBLE), 6)
+                               AS DECIMAL(28,12))) AS DOUBLE), 6)
                AS kl_unigram
     FROM e CROSS JOIN tot
     GROUP BY source
@@ -1539,7 +1539,7 @@ def q128_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     those aggregate rows (the q124 lesson — no groupBy-join diamond, no
     single-partition window); the corpus token total comes off a
     separate NARROW scan in closed form (no explode) as a one-row
-    broadcast. Per-bucket KL terms are DECIMAL(18,6)-quantized so both
+    broadcast. Per-bucket KL terms are DECIMAL(28,12)-quantized so both
     engines sum identical exact decimals in any order."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
@@ -1567,7 +1567,7 @@ def q128_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("src_tot").alias("n_tokens"),
         F.count("*").alias("n_buckets"),
         F.round(
-            F.sum(term.cast("decimal(18,6)")).cast("double"), 6
+            F.sum(term.cast("decimal(28,12)")).cast("double"), 6
         ).alias("kl_unigram"),
     )
 
