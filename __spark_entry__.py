@@ -90,7 +90,6 @@ _FRONT = (
     "q38_representative_doc_per_group",
     "q40_reassembly_roundtrip",
     "q41_char_ngram_repetition",
-    "q42_word_ngram_repetition",
     "q43_script_detection",
     "q44_flagged_word_counts",
     "q45_lid_heuristic",
@@ -118,8 +117,10 @@ _FRONT = (
     "q128_source_kl_divergence",
     "q129_sequence_chunking",
     # q130 BPE merge mining takes q34's slot (the fingerprint family
-    # keeps q36/q37 in-window)
+    # keeps q36/q37 in-window); q131 ANN recall audit takes q42's (the
+    # repetition kernel keeps q41 + q47)
     "q130_bpe_merge_candidates",
+    "q131_ann_recall_audit",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

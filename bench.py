@@ -80,6 +80,7 @@ HEADLINE = [
     "q128_source_kl_divergence",
     "q129_sequence_chunking",
     "q130_bpe_merge_candidates",
+    "q131_ann_recall_audit",
 ]
 
 

@@ -1079,3 +1079,90 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("bx") == 1) & (F.col("byy") == 1))
         .drop("bx", "byy")
     )
+
+
+# ---------------------------------------------------------------- q131
+@register(
+    "q131_ann_recall_audit",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT vec_id, {_COS_SQL} AS cosine_sim
+      FROM (
+        SELECT v.vec_id,
+               CAST(unnest(v.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM embeddings v CROSS JOIN q WHERE v.vec_id > 0
+      ) GROUP BY vec_id
+    ),
+    exact AS (
+      SELECT vec_id FROM sims
+      ORDER BY cosine_sim DESC, vec_id LIMIT {IVF_TOPK}
+    ),
+    cent AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+    ),
+    vc AS (
+      SELECT vec_id, cell, {_COS_SQL} AS c
+      FROM (
+        SELECT v.vec_id, c.cell,
+               unnest(v.embedding) AS x, unnest(c.cvec) AS y
+        FROM embeddings v CROSS JOIN cent c WHERE v.vec_id >= 1
+      ) GROUP BY vec_id, cell
+    ),
+    assign AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, cell) AS rn
+      FROM vc
+    ),
+    qc AS (
+      SELECT cell, {_COS_SQL} AS c
+      FROM (
+        SELECT c.cell, unnest(c.cvec) AS x, unnest(q.qe) AS y
+        FROM cent c CROSS JOIN q
+      ) GROUP BY cell
+    ),
+    probe AS (SELECT cell FROM qc ORDER BY c DESC, cell LIMIT {N_PROBE}),
+    approx AS (
+      SELECT a.vec_id
+      FROM assign a
+      JOIN probe p ON a.cell = p.cell
+      JOIN sims s ON s.vec_id = a.vec_id
+      WHERE a.rn = 1
+      ORDER BY s.cosine_sim DESC, a.vec_id
+      LIMIT {IVF_TOPK}
+    )
+    SELECT CAST({IVF_TOPK} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_found,
+           round(count(*) / {IVF_TOPK}.0, 6) AS recall_at_k
+    FROM exact JOIN approx USING (vec_id)
+    """,
+)
+def q131_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path (q63) against brute-force ground
+    truth (q60) — the self-evaluation query an ANN index ships with
+    ("measure, don't guess": nprobe/cell-count tuning is a recall
+    curve, not a feeling). Composes the two registered pipelines
+    verbatim and reports |approx ∩ exact| / k.
+
+    Scale shape: both sides are the already-analyzed q60/q63 plans
+    (narrow scans, driver-bounded codebook); the audit adds one
+    left-semi join over two k-row results and a one-row aggregate —
+    free. At production scale the exact side runs on a SAMPLE of
+    queries (ground truth is O(corpus) per query by definition), which
+    is exactly how recall audits are run on real indexes."""
+    exact = q60_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = q63_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id", "left_semi")
+        .agg(F.count("*").alias("n_found"))
+        .select(
+            F.lit(IVF_TOPK).cast("long").alias("k"),
+            F.col("n_found").cast("long"),
+            F.round(F.col("n_found") / float(IVF_TOPK), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
