@@ -81,13 +81,11 @@ _FRONT = (
     "q70_hourly_event_stats",
     # (b) last green in round 2 — the whole block
     "q06_forecast_revenue",
-    "q21_price_percentiles",
     "q22_part_name_drift",
     "q25_name_normalization",
     "q35_token_counts",
     "q36_rolling_fingerprints",
     "q37_fingerprint_containment",
-    "q38_representative_doc_per_group",
     "q40_reassembly_roundtrip",
     "q41_char_ngram_repetition",
     "q43_script_detection",
@@ -121,6 +119,11 @@ _FRONT = (
     # repetition kernel keeps q41 + q47)
     "q130_bpe_merge_candidates",
     "q131_ann_recall_audit",
+    # q132 vocab coverage + q133 LSH precision audit take q21/q38's
+    # slots (exact percentiles keep q109 in-window; exact-dedup
+    # survivors keep q50)
+    "q132_vocab_coverage",
+    "q133_lsh_precision_audit",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

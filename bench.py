@@ -81,6 +81,8 @@ HEADLINE = [
     "q129_sequence_chunking",
     "q130_bpe_merge_candidates",
     "q131_ann_recall_audit",
+    "q132_vocab_coverage",
+    "q133_lsh_precision_audit",
 ]
 
 

@@ -1313,3 +1313,130 @@ def q122_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------- q133
+def _q133_oracle() -> str:
+    sig_cols = ", ".join(_minhash_sql_cols())
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
+        " AS band_hash FROM sig WHERE m0 IS NOT NULL"
+        for b in range(NUM_BANDS)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(NUM_PERM)
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t != '')) AS ts
+      FROM documents
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(({est}) / {NUM_PERM}.0, 6) AS est_jaccard,
+             round(len(list_intersect(ta.ts, tb.ts))
+                   / CAST(len(list_distinct(ta.ts || tb.ts)) AS DOUBLE),
+                   6) AS exact_jaccard
+      FROM cand c
+      JOIN toks ta ON c.id_a = ta.doc_id
+      JOIN toks tb ON c.id_b = tb.doc_id
+      JOIN sig sa ON c.id_a = sa.doc_id
+      JOIN sig sb ON c.id_b = sb.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN exact_jaccard
+                              >= {JACCARD_VERIFY_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           round(sum(CASE WHEN exact_jaccard
+                               >= {JACCARD_VERIFY_THRESHOLD}
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS precision_at_t,
+           round(CAST(sum(CAST(abs(est_jaccard - exact_jaccard)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS est_mae
+    FROM scored
+    """
+
+
+@register("q133_lsh_precision_audit", oracle=_q133_oracle())
+def q133_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision audit of the MinHash-LSH dedup funnel — q131's
+    "measure, don't guess" twin for near-dup: of the candidate pairs
+    the band join surfaces (q52), what fraction verifies at exact
+    Jaccard ≥ {JACCARD_VERIFY_THRESHOLD} (q58's gate), and how far the
+    {NUM_PERM}-perm MinHash estimate sits from exact Jaccard on those
+    pairs (MAE). This is the readout that tunes bands/rows: banding
+    guarantees recall by construction (a pair above the S-curve
+    threshold collides w.h.p.); precision is the knob you pay shuffles
+    for, and it must be MEASURED on the real corpus.
+
+    Scale shape: the candidate set and token verify are exactly q58's
+    bounded funnel (O(docs x bands) candidates, never all-pairs); the
+    estimate adds two narrow signature re-joins on doc_id and the
+    audit collapses to ONE row via a map-combined global aggregate.
+    MAE terms go through DECIMAL(28,12) (the ln-sum discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sig)
+    toks = docs.select("doc_id", distinct_tokens().alias("ts"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(NUM_PERM)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(NUM_PERM)],
+    )
+    matches = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(NUM_PERM)
+        ],
+    )
+    exact = F.size(F.array_intersect(F.col("ta"), F.col("tb"))) / F.size(
+        F.array_union(F.col("ta"), F.col("tb"))
+    ).cast("double")
+    scored = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.round(matches / float(NUM_PERM), 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+        )
+    )
+    verified = F.when(
+        F.col("exact_jaccard") >= JACCARD_VERIFY_THRESHOLD, 1
+    ).otherwise(0)
+    return scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(verified).cast("long").alias("n_verified"),
+        F.round(
+            F.sum(verified) / F.count("*").cast("double"), 6
+        ).alias("precision_at_t"),
+        F.round(
+            F.sum(
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("est_mae"),
+    )

@@ -1287,3 +1287,77 @@ def q130_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+# ---------------------------------------------------------------- q132
+@register(
+    "q132_vocab_coverage",
+    oracle="""
+    WITH wc AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents) x
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    r AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, word) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wc
+    ),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS vocab
+          FROM wc)
+    SELECT CAST(rnk AS BIGINT) AS vocab_size,
+           round(cum / CAST(tot AS DOUBLE), 6) AS coverage
+    FROM r CROSS JOIN t
+    WHERE (rnk & (rnk - 1)) = 0 OR rnk = vocab
+    """,
+)
+def q132_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design readout: what
+    fraction of all token occurrences the top-N most frequent words
+    cover, sampled at power-of-two N plus the full-vocabulary row
+    (coverage 1.0). 1 − coverage(N) is the OOV rate a closed N-word
+    vocabulary would pay; with q130's merge mining this is the pair of
+    queries a tokenizer build runs over the corpus.
+
+    Scale shape: one explode into a map-combined word-count aggregate
+    (vocabulary-bounded, the q130 move); rank and cumulative sum are
+    windows over that aggregate — a vocabulary-sized global sort, the
+    same accepted shape as exact top-k over vocab (q31): ~1e7-1e8 rows
+    at web scale, trivially sortable by a cluster, and the power-of-two
+    output keeps the result ~30 rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    r = wc.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    tot = wc.agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.expr("rnk & (rnk - 1)") == 0) | (F.col("rnk") == F.col("vocab"))
+        )
+        .select(
+            F.col("rnk").cast("long").alias("vocab_size"),
+            F.round(F.col("cum") / F.col("tot").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
