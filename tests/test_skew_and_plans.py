@@ -414,3 +414,22 @@ def test_q130_bpe_pair_agg_over_vocab_not_corpus(spark):
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in plan_string(df)
     assert shuffle_count(df) <= 4
+
+
+def test_q132_coverage_windows_over_vocab_aggregate(spark):
+    # word counts aggregate first (vocabulary-bounded, map-combined);
+    # rank/cumsum windows run over that aggregate, never raw tokens,
+    # and the totals attach as a one-row broadcast
+    df = _q(spark, "q132_vocab_coverage")
+    assert has_partial_aggregate(df)
+    assert "BroadcastNestedLoopJoin" in plan_string(df)
+
+
+def test_q133_precision_audit_no_cartesian_single_row(spark):
+    # the candidate funnel is q58's bounded band join; the audit adds
+    # doc_id-keyed signature joins and collapses to one row — nothing
+    # cartesian, partial aggregation before the final exchange
+    df = _q(spark, "q133_lsh_precision_audit")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
