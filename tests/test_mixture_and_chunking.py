@@ -157,3 +157,34 @@ def test_no_module_level_constant_rebinding():
                     offenders.append(f"{p}:{node.lineno}:{t}")
                 seen[t] = node.lineno
     assert not offenders, offenders
+
+
+def test_q132_coverage_exact_curve(spark, tmp_path):
+    from setu_spark.operators.textstats import q132_vocab_coverage
+
+    # 8 'a', 4 'b', 2 'c', 1 'd', 1 'e' -> 16 tokens, vocab 5;
+    # coverage: top1 8/16, top2 12/16, top4 15/16, full (rank 5) 1.0
+    rows = [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d", "e"]),
+             "en", "s")]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r["vocab_size"]: r["coverage"]
+           for r in q132_vocab_coverage(spark, d).collect()}
+    assert got == {1: 0.5, 2: 0.75, 4: 0.9375, 5: 1.0}
+
+
+def test_q133_precision_one_on_exact_duplicates(spark, tmp_path):
+    from setu_spark.operators.dedup import q133_lsh_precision_audit
+
+    # two identical docs -> identical signatures -> one candidate pair,
+    # exact jaccard 1.0 -> precision 1.0 and zero estimate error; the
+    # unrelated third doc must not pair with them
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text, "en", "s"),
+        (2, text, "en", "s"),
+        (3, "one two three four five six seven eight", "en", "s"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    r = q133_lsh_precision_audit(spark, d).collect()[0]
+    assert r["n_candidates"] == 1 and r["n_verified"] == 1
+    assert r["precision_at_t"] == 1.0 and r["est_mae"] == 0.0
