@@ -129,6 +129,7 @@ def predict_lid(
     text_col: str = "text",
     probability_threshold: float = 0.0,
     detectors: tuple[str, ...] = ("stopword",),
+    reference_vote_compat: bool = False,
 ) -> DataFrame:
     """mapInPandas LID ensemble: (id, text) in, (id, lang, prob, per-model
     labels) out.
@@ -142,6 +143,13 @@ def predict_lid(
     (votes desc, lang asc); zero votes → 'und'. ``lid_prob`` is the
     highest probability among the winner's voters. ``model_langs`` is the
     per-model label map (reference lid.py:686's ``MapType`` column).
+
+    ``reference_vote_compat=True`` replays the reference's OBSERVABLE
+    defect exactly (SURVEY.md §4.1): ``hard_vote`` counts a vote in both
+    branches of the probability check, so below-threshold predictions
+    still vote and ``probability_threshold`` is a no-op — only the
+    'und' abstention survives. Outputs under the flag match a reference
+    deployment byte-for-byte where the defect changes the winner.
 
     Scale: Arrow-batched, models cached per worker, only the two needed
     columns cross the JVM↔Python boundary (column pruning — the reference
@@ -178,7 +186,10 @@ def predict_lid(
                     lang = preds[name]["lang"].iat[i]
                     prob = float(preds[name]["prob"].iat[i])
                     labels[name] = lang
-                    if lang != "und" and prob >= probability_threshold:
+                    if lang != "und" and (
+                        reference_vote_compat
+                        or prob >= probability_threshold
+                    ):
                         votes.setdefault(lang, []).append(prob)
                 if votes:
                     winner = max(

@@ -258,3 +258,44 @@ def test_double_space_trim_quirk(spark):
     )
     assert off.head().text == "plain\n  indented\n   deep"
     assert on.head().text == "plain\n indented\n  deep"
+
+
+def test_lid_reference_vote_compat_makes_threshold_noop(spark):
+    """SURVEY §4.1: the reference's hard_vote counts a vote in BOTH
+    branches of the probability check (lid.py:575-578), so the
+    threshold is a no-op there. reference_vote_compat=True replays
+    that defect exactly; the default replays the intended semantics."""
+    import pandas as pd
+
+    from setu_spark.stages.lid import predict_lid, register_detector
+
+    class _Fixed:
+        def __init__(self, lang, prob):
+            self.lang, self.prob = lang, prob
+
+        def predict(self, texts):
+            return pd.DataFrame(
+                {"lang": [self.lang] * len(texts),
+                 "prob": [self.prob] * len(texts)}
+            )
+
+    register_detector("cmp_hi_de", lambda: _Fixed("de", 0.95))
+    register_detector("cmp_lo_fr1", lambda: _Fixed("fr", 0.10))
+    register_detector("cmp_lo_fr2", lambda: _Fixed("fr", 0.12))
+
+    docs = spark.createDataFrame([(1, "xyz")], ["doc_id", "text"])
+    dets = ("cmp_hi_de", "cmp_lo_fr1", "cmp_lo_fr2")
+    # intended: the two weak fr voters abstain below 0.5 -> de wins
+    intended = predict_lid(
+        docs, detectors=dets, probability_threshold=0.5
+    ).collect()[0]
+    assert intended.pred_lang == "de"
+    # compat: threshold is a no-op, both fr votes count -> fr majority
+    compat = predict_lid(
+        docs,
+        detectors=dets,
+        probability_threshold=0.5,
+        reference_vote_compat=True,
+    ).collect()[0]
+    assert compat.pred_lang == "fr"
+    assert abs(compat.lid_prob - 0.12) < 1e-6
