@@ -81,23 +81,28 @@ _FRONT = (
     "q70_hourly_event_stats",
     # (b) last green in round 2 — the whole block
     "q06_forecast_revenue",
-    "q22_part_name_drift",
     "q25_name_normalization",
     "q35_token_counts",
     "q36_rolling_fingerprints",
     "q37_fingerprint_containment",
-    "q40_reassembly_roundtrip",
     "q41_char_ngram_repetition",
     "q43_script_detection",
     "q44_flagged_word_counts",
     "q45_lid_heuristic",
     "q46_code_removal",
     "q47_multi_n_repetition",
-    "q48_repetition_flag_filter",
     "q50_exact_dedup_survivors",
-    "q51_minhash_signatures",
     "q52_minhash_lsh_pairs",
     "q58_lsh_then_exact_jaccard",
+    # (a4) queries whose code or oracle changed this session (the
+    # DECIMAL(28,12) ln-term upgrade): must be driver-re-checked.
+    # Slots from q22/q40/q48/q51 — levenshtein keeps q108's r4 green,
+    # reassembly keeps q80, repetition keeps q41/q47, signatures keep
+    # q52 (their superset) in-window.
+    "q24_price_math_profile",
+    "q88_unigram_logprob",
+    "q102_quality_tiers",
+    "q114_bigram_logprob",
     # (a2) new this session: DSIR importance weights, the dedup impact
     # audit (q56's funnel + rollup), margin-based pair mining. Their
     # slots come from q55/q59/q66 — the dedup/similarity families keep
@@ -109,8 +114,10 @@ _FRONT = (
     # (a3) new this session: classifier-based quality filter (hashed
     # linear model + Pareto keep rule), per-source KL mixture
     # diagnostic, fixed-length sequence chunking. Their slots come
-    # from q23/q24/q26 — the analytics family keeps q06/q21/q22/q25
-    # in-window (never-checked beats three-rounds-stale).
+    # from q23/q24/q26 (q24 later re-entered with the (a4) changed
+    # block; q21/q22 ceded to q133/q24) — the analytics family keeps
+    # q06/q25 plus the changed q24 in-window (never-checked and
+    # changed-this-round beat three-rounds-stale).
     "q127_classifier_quality_filter",
     "q128_source_kl_divergence",
     "q129_sequence_chunking",

@@ -631,7 +631,8 @@ def q23_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q24_price_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (ln/sqrt/ceil/abs) inside one map-side-combined
-    aggregate. Float averages go through the DECIMAL(18,6) route (exact,
+    aggregate. Float averages go through the exact-decimal route ((28,12)
+    for ln terms, (18,6) for plain prices — exact,
     order-independent — plain avg() sums doubles in partition order, which
     can flip the 6th rounded digit between engines); min/max/integer sums
     are order-independent already."""

@@ -290,6 +290,22 @@ def _minhash_sql_cols(num_perm: int = NUM_PERM) -> list[str]:
     ]
 
 
+def _bands_sql(null_guard: bool = False) -> str:
+    """The band-projection UNION ALL block shared by every LSH oracle
+    (q52/q56/q58/q93/q133 families) — one definition so a bands/rows or
+    band-hash change cannot silently diverge between oracles. The
+    optional NULL guard drops NULL-signature rows early; without it
+    they still never pair (NULL band_hash never equals anything), so
+    the flag only mirrors each oracle's historical text."""
+    guard = " WHERE m0 IS NOT NULL" if null_guard else ""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
+        f" AS band_hash FROM sig{guard}"
+        for b in range(NUM_BANDS)
+    )
+
+
 # ---------------------------------------------------------------- q50
 @register(
     "q50_exact_dedup_survivors",
@@ -331,12 +347,7 @@ def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q52
 def _pairs_sql() -> str:
     sig_cols = ", ".join(_minhash_sql_cols())
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band,"
-        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
-        " AS band_hash FROM sig"
-        for b in range(NUM_BANDS)
-    )
+    band_rows = _bands_sql()
     eq_terms = " + ".join(
         f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(NUM_PERM)
     )
@@ -749,12 +760,7 @@ def _components_cte() -> str:
     Closure cost is per-cluster quadratic, and near-dup clusters are
     small, so the oracle stays cheap at oracle scale."""
     sig_cols = ", ".join(_minhash_sql_cols())
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band,"
-        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
-        " AS band_hash FROM sig"
-        for b in range(NUM_BANDS)
-    )
+    band_rows = _bands_sql()
     return f"""
     WITH RECURSIVE sig AS (
       SELECT doc_id, {sig_cols} FROM documents
@@ -1044,12 +1050,7 @@ JACCARD_VERIFY_THRESHOLD = 0.5
     WITH sig AS (SELECT doc_id, {', '.join(_minhash_sql_cols())}
                  FROM documents),
     bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band,"
-          f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
-          " AS band_hash FROM sig WHERE m0 IS NOT NULL"
-          for b in range(NUM_BANDS)
-      )}
+      {_bands_sql(null_guard=True)}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1136,12 +1137,7 @@ CROSS_EXIST_MAX_HEX = "7"
 
 def _cross_corpus_sql() -> str:
     sig_cols = ", ".join(_minhash_sql_cols())
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band,"
-        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
-        " AS band_hash FROM sig"
-        for b in range(NUM_BANDS)
-    )
+    band_rows = _bands_sql()
     eq_terms = " + ".join(
         f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(NUM_PERM)
     )
@@ -1318,12 +1314,7 @@ def q122_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q133
 def _q133_oracle() -> str:
     sig_cols = ", ".join(_minhash_sql_cols())
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band,"
-        f" md5(m{b * ROWS_PER_BAND} || ',' || m{b * ROWS_PER_BAND + 1})"
-        " AS band_hash FROM sig WHERE m0 IS NOT NULL"
-        for b in range(NUM_BANDS)
-    )
+    band_rows = _bands_sql(null_guard=True)
     est = " + ".join(
         f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
         for j in range(NUM_PERM)

@@ -336,7 +336,9 @@ def streaming_heavy_hitters(events: DataFrame, m: int = HH_M) -> DataFrame:
     Misra–Gries summary of at most ``m`` counters per shard, maintained
     in ``applyInPandasWithState`` and re-emitted (full snapshot + a
     monotone ``seq``) on every update — consumers take the max-seq
-    snapshot per shard and merge. Guarantee (Misra–Gries, mergeable
+    snapshot per shard, DROP the NULL-key sentinel rows (emitted when a
+    decrement legitimately empties a summary, so every seq stays
+    observable), and merge. Guarantee (Misra–Gries, mergeable
     form): every key whose true shard count exceeds N_shard/(m+1)
     survives in the summary, and estimates undercount by at most
     N_shard/(m+1); sharding by key hash partitions the guarantee
@@ -366,12 +368,20 @@ def streaming_heavy_hitters(events: DataFrame, m: int = HH_M) -> DataFrame:
         state.update(
             (seq, list(counters.keys()), [int(v) for v in counters.values()])
         )
+        # the decrement step can legitimately empty the summary (m+1
+        # equal-count keys -> pivot equals every value); an empty yield
+        # would leave no row at the new seq, and a consumer following
+        # the max-seq-snapshot protocol would resurrect the PREVIOUS
+        # snapshot. Emit a NULL-key sentinel so every seq is observable
+        # and an empty summary reads as empty.
+        keys = list(counters.keys()) or [None]
+        vals = [int(v) for v in counters.values()] or [None]
         yield pd.DataFrame(
             {
-                "shard": [key[0]] * len(counters),
-                "seq": [seq] * len(counters),
-                "key": list(counters.keys()),
-                "est_count": [int(v) for v in counters.values()],
+                "shard": [key[0]] * len(keys),
+                "seq": [seq] * len(keys),
+                "key": keys,
+                "est_count": vals,
             }
         )
 

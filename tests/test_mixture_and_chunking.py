@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from setu_spark.functions.hashes import HEX_DIGITS
 from setu_spark.operators.curation import (
     CHUNK_LEN,
-    KL_B,
     q128_source_kl_divergence,
     q129_sequence_chunking,
 )
@@ -90,8 +89,6 @@ def test_q128_zero_for_corpus_matching_source_positive_for_skew(
     assert abs(kl["a"]["kl_unigram"] - math.log(1.5)) < 1e-5
     assert abs(kl["c"]["kl_unigram"] - math.log(3.0)) < 1e-5
     assert kl["a"]["n_tokens"] == 4 and kl["a"]["n_buckets"] == 4
-    # hashing-trick sanity: bucket ids stay inside [0, KL_B)
-    assert KL_B > 0
 
 
 def test_q129_chunk_geometry_and_fingerprints(spark, tmp_path):

@@ -58,9 +58,12 @@ def test_entry_smoke(spark):
 def test_no_registered_query_emits_complex_columns(spark):
     """The driver canonicalizer sorts result columns with pandas —
     array/map/struct output crashes it (`unhashable type: 'list'`,
-    q84 round 4). Every registered query must emit scalar columns only;
-    schema derivation is lazy (no execution), so this sweeps all of
-    them cheaply."""
+    q84 round 4). Every registered query must emit scalar columns only.
+    Note this is NOT free: building each DataFrame runs the
+    constructors' driver-side jobs (q60/q63/q126/q131 collect tiny
+    codebooks; q117-q120 write their roundtrip sinks) — cost is one
+    extra pass of the cheap sf0.001 builders, accepted for the
+    registry-wide guarantee."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = {}

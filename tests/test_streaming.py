@@ -419,6 +419,7 @@ def test_streaming_heavy_hitters_bounded_state_finds_hitters(spark):
             emitted.seq
             == emitted.groupby("shard").seq.transform("max")
         ]
+        last = last[last.key.notna()]  # drop empty-summary sentinels
         # hard state bound per shard
         assert (last.groupby("shard").size() <= M).all()
         batch = with_shard(
@@ -440,5 +441,45 @@ def test_streaming_heavy_hitters_bounded_state_finds_hitters(spark):
         # and the three planted hitters are all found
         found_keys = set(last.key)
         assert {1, 2, 3} <= found_keys
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_heavy_hitters_empty_summary_emits_sentinel(spark):
+    """The Misra-Gries decrement can empty a shard's summary (m+1 keys
+    with equal counts -> pivot equals every value). The operator must
+    still emit a row at the new seq — a NULL-key sentinel — so the
+    max-seq-snapshot protocol reads 'empty', never a stale snapshot."""
+    from setu_spark.streaming.jobs import (
+        streaming_heavy_hitters,
+        run_to_memory,
+        read_events_stream,
+    )
+
+    # 40 distinct singleton users: with m=1, every shard that receives
+    # >= 2 equal-count keys empties its summary in the decrement
+    rows = [(i % 180, 1000 + i, "click", 1) for i in range(40)]
+    d = tempfile.mkdtemp(prefix="setu-hh-empty-")
+    try:
+        _mk_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+        stream = read_events_stream(spark, d)
+        run_to_memory(
+            streaming_heavy_hitters(stream, m=1),
+            "hh_empty_stream",
+            output_mode="update",
+        )
+        emitted = spark.table("hh_empty_stream").toPandas()
+        assert len(emitted), "no updates emitted at all"
+        last = emitted[
+            emitted.seq == emitted.groupby("shard").seq.transform("max")
+        ]
+        # every shard's final snapshot is observable; empty summaries
+        # appear as exactly one NULL-key sentinel row
+        empty = last[last.key.isna()]
+        nonempty = last[last.key.notna()]
+        assert (empty.groupby("shard").size() <= 1).all()
+        assert (nonempty.groupby("shard").size() <= 1).all()  # m=1 bound
+        # at least one shard must have emptied with 40 singletons / m=1
+        assert len(empty) >= 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
