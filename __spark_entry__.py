@@ -84,7 +84,6 @@ _FRONT = (
     "q25_name_normalization",
     "q35_token_counts",
     "q36_rolling_fingerprints",
-    "q37_fingerprint_containment",
     "q41_char_ngram_repetition",
     "q43_script_detection",
     "q44_flagged_word_counts",
@@ -131,6 +130,9 @@ _FRONT = (
     # survivors keep q50)
     "q132_vocab_coverage",
     "q133_lsh_precision_audit",
+    # q134 RANGE-frame trailing window takes q37's slot (fingerprints
+    # keep q36; q37's containment join was green r02 + unit-tested)
+    "q134_trailing_range_revenue",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

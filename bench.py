@@ -83,6 +83,7 @@ HEADLINE = [
     "q131_ann_recall_audit",
     "q132_vocab_coverage",
     "q133_lsh_precision_audit",
+    "q134_trailing_range_revenue",
 ]
 
 

@@ -863,3 +863,71 @@ def q107_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------- q134
+#: Trailing-window width in days for the RANGE-frame rolling revenue.
+TRAIL_DAYS = 30
+
+
+@register(
+    "q134_trailing_range_revenue",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day', DATE '1990-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day_ord,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(date_diff('day', DATE '1990-01-01',
+                                          CAST(o_orderdate AS DATE))
+                                AS BIGINT)
+                  RANGE BETWEEN {TRAIL_DAYS} PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trail_revenue
+    FROM orders
+    """,
+)
+def q134_trailing_range_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-customer trailing {TRAIL_DAYS}-day revenue via a true RANGE
+    window frame — the interval-framed moving aggregate (SURVEY §2.5
+    names ``rangeBetween`` as part of the rebuild's window surface;
+    q07/q96 exercise only ROWS frames). RANGE frames differ observably
+    from ROWS: all orders on the same (customer, day) are frame PEERS
+    and every one of them sees the full peer group's sum, and gaps in
+    the date axis shrink the frame — semantics a ROWS frame cannot
+    express without a self-join.
+
+    The ORDER BY key is an integer day ordinal (days since 1990-01-01)
+    so both engines frame over identical integers — timestamp-typed
+    RANGE frames have engine-specific interval semantics; integer
+    ordinals do not. Revenue sums are DECIMAL(18,6)-exact inside the
+    frame (order-independent), cast back to double.
+
+    Scale shape: one hash-partitioned sort window per customer — the
+    same shuffle/sort cost as any per-key window (q07); frame
+    evaluation is the sliding two-pointer pass inside each partition,
+    linear in rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_ord = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1990-01-01"))
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day_ord"))
+        .rangeBetween(-TRAIL_DAYS, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day_ord.alias("day_ord"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day_ord",
+            F.sum("p").over(w).cast("double").alias("trail_revenue"),
+        )
+    )
