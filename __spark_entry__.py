@@ -92,7 +92,6 @@ _FRONT = (
     "q47_multi_n_repetition",
     "q50_exact_dedup_survivors",
     "q52_minhash_lsh_pairs",
-    "q58_lsh_then_exact_jaccard",
     # (a4) queries whose code or oracle changed this session (the
     # DECIMAL(28,12) ln-term upgrade): must be driver-re-checked.
     # Slots from q22/q40/q48/q51 — levenshtein keeps q108's r4 green,
@@ -133,6 +132,9 @@ _FRONT = (
     # q134 RANGE-frame trailing window takes q37's slot (fingerprints
     # keep q36; q37's containment join was green r02 + unit-tested)
     "q134_trailing_range_revenue",
+    # q135 unpivot takes q58's slot (q133 composes q58's entire
+    # LSH-then-exact-Jaccard funnel inside its audit, in-window)
+    "q135_unpivot_doc_metrics",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

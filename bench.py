@@ -84,6 +84,7 @@ HEADLINE = [
     "q132_vocab_coverage",
     "q133_lsh_precision_audit",
     "q134_trailing_range_revenue",
+    "q135_unpivot_doc_metrics",
 ]
 
 

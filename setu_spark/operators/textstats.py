@@ -1361,3 +1361,43 @@ def q132_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- q135
+@register(
+    "q135_unpivot_doc_metrics",
+    oracle="""
+    SELECT doc_id, metric, value
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    UNPIVOT (value FOR metric IN (n_words, n_chars, n_bytes))
+    """,
+)
+def q135_unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the per-document metric profile —
+    the inverse of q106's pivot and the last member of the restructure
+    family (explode / pivot / unpivot). One row per (doc, metric); the
+    tidy shape feeds generic per-metric tooling (distribution plots,
+    per-metric gates) without a per-metric query.
+
+    Scale shape: ``DataFrame.unpivot`` compiles to a single Expand node
+    riding the scan — rows fan out by the metric count with ZERO
+    shuffles, the same plan family as grouping-set expansion (q107)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_words", "n_chars", "n_bytes"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
