@@ -86,7 +86,6 @@ _FRONT = (
     "q36_rolling_fingerprints",
     "q41_char_ngram_repetition",
     "q43_script_detection",
-    "q44_flagged_word_counts",
     "q45_lid_heuristic",
     "q46_code_removal",
     "q47_multi_n_repetition",
@@ -135,6 +134,9 @@ _FRONT = (
     # q135 unpivot takes q58's slot (q133 composes q58's entire
     # LSH-then-exact-Jaccard funnel inside its audit, in-window)
     "q135_unpivot_doc_metrics",
+    # q136 window trio takes q44's slot (wordlists keep q49/q65/q66's
+    # r3 greens; q44's broadcast-wordlist join also runs inside q66)
+    "q136_order_distribution_stats",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

@@ -85,6 +85,7 @@ HEADLINE = [
     "q133_lsh_precision_audit",
     "q134_trailing_range_revenue",
     "q135_unpivot_doc_metrics",
+    "q136_order_distribution_stats",
 ]
 
 

@@ -931,3 +931,54 @@ def q134_trailing_range_revenue(
             F.sum("p").over(w).cast("double").alias("trail_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------- q136
+@register(
+    "q136_order_distribution_stats",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           round(cume_dist() OVER w, 6) AS cdist,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_highest_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q136_order_distribution_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The remaining analytic-window trio in one pass: ``ntile`` (equal-
+    count quartile buckets — NOT the value-rank deciles q102 computes),
+    ``cume_dist`` (empirical CDF position), and ``nth_value`` with an
+    explicit full-partition frame (the runner-up price every row can
+    see). The (price, orderkey) tie-break gives a total order, so
+    cume_dist has no peer groups and every value is engine-stable.
+
+    Scale shape: one hash-partitioned sort window per priority — all
+    three functions evaluate in the same single window pass (one
+    exchange, one sort); nth_value's unbounded frame reads the
+    partition's materialized run, not a second shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wd = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_totalprice", 2).over(wd).alias(
+            "second_highest_price"
+        ),
+    )
