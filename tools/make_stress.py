@@ -8,8 +8,11 @@ near-dup cost follows true-duplicate density; see PERF.md's 20× table).
 Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [N]
 Defaults: /root/testdata/sf0.1 /tmp/stress100k 20
 
-Only the three big tables are materialized; TPC-H dims aren't needed by
-the doc/embedding/event queries the sweep runs.
+The three big tables replicate with per-table id offsets. The
+relational facts replicate too, with orders and lineitem sharing ONE
+orderkey offset so the orders⋈lineitem join stays intact (each copy is
+a fresh batch of orders by the same customers/parts/suppliers — the
+realistic scale-up); dims copy verbatim so every dim join resolves.
 """
 
 from __future__ import annotations
@@ -26,6 +29,10 @@ TABLES = {
     "embeddings": ["vec_id"],
     "events": ["event_id", "user_id"],
 }
+
+#: fact tables sharing the orderkey offset; dims copied verbatim
+FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+DIMS = ("customer", "supplier", "part", "nation", "region")
 
 
 def replicate(src: str, dst: str, n: int) -> None:
@@ -47,6 +54,28 @@ def replicate(src: str, dst: str, n: int) -> None:
         out = pa.concat_tables(copies)
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: {len(t)} -> {len(out)} rows")
+
+    # relational facts: one shared orderkey stride keeps orders⋈lineitem
+    # join-consistent across copies; every other key column (custkey,
+    # partkey, suppkey) is left as-is so dim joins resolve unchanged
+    orders = pq.read_table(os.path.join(src, "orders.parquet"))
+    stride = pc.max(orders["o_orderkey"]).as_py() + 1
+    for name, key in FACT_KEYS.items():
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        copies = []
+        for i in range(n):
+            cols = {
+                c: (pc.add(t[c], i * stride) if c == key and i > 0 else t[c])
+                for c in t.column_names
+            }
+            copies.append(pa.table(cols))
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {len(t)} -> {len(out)} rows")
+    for name in DIMS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: copied verbatim ({len(t)} rows)")
 
 
 if __name__ == "__main__":
