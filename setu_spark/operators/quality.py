@@ -726,20 +726,19 @@ def q127_classifier_quality_filter(
     with the Pareto draw inverse-CDF'd from an md5-uniform of doc_id
     (engine-portable randomness, the q86/q124 discipline).
 
-    Scale shape: one explode -> one map-side-combined groupBy(doc_id)
-    (state per doc = two numbers, shuffle carries aggregate rows only).
-    The {CQ_BUCKETS}-entry weight vector is computed DRIVER-SIDE and
-    shipped as an array literal consumed via ``element_at`` — the
-    production shape exactly (a trained vector loads on the driver and
-    broadcasts with the plan), and the fastest of the four forms
-    measured at the 100x corpus: inline per-token weight md5 re-hashed
-    every token (~100s), a broadcast weight-table JOIN re-evaluated the
-    md5 bucket key across the join boundary (50s), pre-aggregating to
-    (doc, bucket) shuffled 20M aggregate rows (59s); the array lookup
-    rides the explode at 33s — the md5 bucket hash itself is the
-    remaining floor (engine-portable determinism is what it buys; a
-    real deployment swaps xxhash64 here, measured 3x cheaper end to
-    end). The sum is exact INTEGER milliweights (weights are multiples
+    Scale shape: one explode -> map-combined (doc, word) aggregate ->
+    bucket/weight lookup on those VOCABULARY-SCALED rows -> final
+    groupBy(doc_id). The {CQ_BUCKETS}-entry weight vector is computed
+    DRIVER-SIDE and shipped as an array literal consumed via
+    ``element_at`` — the production shape exactly (a trained vector
+    loads on the driver and broadcasts with the plan). Form shootout
+    at the 100x corpus: inline per-token weight md5 ~100s; broadcast
+    weight-table JOIN 50s (the join re-evaluated the md5 key across
+    its boundary); per-token md5 + array lookup 34.5s; grouping raw
+    words FIRST so the md5 touches (doc, distinct-word) rows instead
+    of tokens: 16.8s — adopted. The md5 on aggregate rows is the
+    remaining engine-portability floor (a real deployment swaps
+    xxhash64, measured ~6x cheaper). The sum is exact INTEGER milliweights (weights are multiples
     of 1e-3 by construction) divided once at the end — order-
     independent and engine-exact like a decimal sum, at long cost."""
     import hashlib
@@ -763,17 +762,21 @@ def q127_classifier_quality_filter(
         - 1000
         for i in range(CQ_BUCKETS)
     ]
+    # group RAW words per doc first (q128's lesson): the md5 bucket
+    # hash then runs on (doc, distinct-word) aggregate rows, not every
+    # token — 2.1x at the 100x corpus; identical sums since
+    # sum(wk per token) == sum(wk * count per distinct word)
     b = hash64(F.col("word"), salt="cq") % CQ_BUCKETS
+    wk = F.element_at(F.lit(weights), (b + 1).cast("int"))
     per = (
         docs.select("doc_id", F.explode(t).alias("word"))
-        .select(
-            "doc_id",
-            F.element_at(F.lit(weights), (b + 1).cast("int")).alias("wk"),
-        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .select("doc_id", "c", (wk * F.col("c")).alias("wc"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_words"),
-            (F.sum("wk").cast("double") / 1000.0).alias("s"),
+            F.sum("c").alias("n_words"),
+            (F.sum("wc").cast("double") / 1000.0).alias("s"),
         )
     )
     score = 1 / (1 + F.exp(-CQ_GAIN * (F.col("s") / F.col("n_words"))))

@@ -377,14 +377,15 @@ def test_q126_margin_mining_candidate_sized_shuffles(spark):
     assert shuffle_count(df) <= 3
 
 
-def test_q127_classifier_single_shuffle_no_join(spark):
-    # explode -> driver-shipped weight-array element_at lookup -> one
+def test_q127_classifier_two_aggregate_shuffles_no_join(spark):
+    # explode -> map-combined (doc, word) aggregate -> md5 bucket +
+    # driver-shipped weight-array element_at on VOCAB-scaled rows ->
     # map-combined groupBy(doc_id). No join anywhere: a broadcast
     # weight-table join re-evaluated the md5 bucket key across the join
     # boundary (2x the explode cost, measured at the 100x corpus) — the
-    # array literal rides the scan stage instead
+    # array literal rides the aggregate instead
     df = _q(spark, "q127_classifier_quality_filter")
-    assert shuffle_count(df) == 1
+    assert shuffle_count(df) == 2
     assert has_partial_aggregate(df)
     assert "Join" not in plan_string(df)
 
