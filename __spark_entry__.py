@@ -85,7 +85,6 @@ _FRONT = (
     "q35_token_counts",
     "q36_rolling_fingerprints",
     "q41_char_ngram_repetition",
-    "q43_script_detection",
     "q45_lid_heuristic",
     "q46_code_removal",
     "q47_multi_n_repetition",
@@ -137,6 +136,9 @@ _FRONT = (
     # q136 window trio takes q44's slot (wordlists keep q49/q65/q66's
     # r3 greens; q44's broadcast-wordlist join also runs inside q66)
     "q136_order_distribution_stats",
+    # q137 schema'd from_json parse takes q43's slot (script counting
+    # keeps q68's r4 green; q43 was green r02 + unit-tested)
+    "q137_props_schema_parse",
     # (c) round-3-only family representatives
     # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
     # q120-q122 — their families keep q57, q63, q89, q101's r3

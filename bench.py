@@ -86,6 +86,7 @@ HEADLINE = [
     "q134_trailing_range_revenue",
     "q135_unpivot_doc_metrics",
     "q136_order_distribution_stats",
+    "q137_props_schema_parse",
 ]
 
 

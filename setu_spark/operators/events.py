@@ -499,3 +499,50 @@ def q96_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- q137
+@register(
+    "q137_props_schema_parse",
+    oracle="""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(count(*) - count(k) AS BIGINT) AS n_unparsed,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_avg
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q137_props_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd semi-structured parsing: ``from_json`` decodes the whole
+    ``props`` payload into a TYPED struct in one pass — the API a
+    pipeline uses when it consumes many fields (q74's
+    ``get_json_object`` re-parses the document per extracted path; a
+    schema'd decode parses once and unparseable payloads surface as
+    NULLs to count, not silent drops). Per-type parse counts + typed
+    min/max/exact-average of the decoded field.
+
+    Scale shape: the JSON decode is a JVM-side projection riding the
+    scan (no Python, no shuffle); one map-combined groupBy(event_type)
+    follows. The integer average is exact-sum / count in both engines
+    (registry float discipline)."""
+    ev = load_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_parsed"),
+        (F.count("*") - F.count("k")).cast("long").alias("n_unparsed"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(F.sum("k").cast("double") / F.count("k"), 6).alias(
+            "k_avg"
+        ),
+    )
