@@ -102,8 +102,9 @@ _FRONT = (
     # (a2) new this session: DSIR importance weights, the dedup impact
     # audit (q56's funnel + rollup), margin-based pair mining. Their
     # slots come from q55/q59/q66 — the dedup/similarity families keep
-    # q50-q52/q57/q58/q63/q93/q122/q123 plus the new q125/q126 in-window,
-    # and wordlists keeps q44.
+    # q50/q52/q57/q63/q93/q122/q123 plus the new q125/q126 in-window
+    # (q44/q51/q58 later ceded slots to q136/the changed block/q135;
+    # wordlists keep q49/q65/q66's r3 greens).
     "q124_dsir_importance",
     "q125_dedup_impact_audit",
     "q126_margin_pair_mining",
@@ -117,9 +118,9 @@ _FRONT = (
     "q127_classifier_quality_filter",
     "q128_source_kl_divergence",
     "q129_sequence_chunking",
-    # q130 BPE merge mining takes q34's slot (the fingerprint family
-    # keeps q36/q37 in-window); q131 ANN recall audit takes q42's (the
-    # repetition kernel keeps q41 + q47)
+    # q130 BPE merge mining takes q34's slot; q131 ANN recall audit
+    # takes q42's (the repetition kernel keeps q41 + q47; fingerprints
+    # keep q36 — q37 later ceded its slot to q134)
     "q130_bpe_merge_candidates",
     "q131_ann_recall_audit",
     # q132 vocab coverage + q133 LSH precision audit take q21/q38's

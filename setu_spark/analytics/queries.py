@@ -881,7 +881,7 @@ TRAIL_DAYS = 30
                   ORDER BY CAST(date_diff('day', DATE '1990-01-01',
                                           CAST(o_orderdate AS DATE))
                                 AS BIGINT)
-                  RANGE BETWEEN {TRAIL_DAYS} PRECEDING AND CURRENT ROW)
+                  RANGE BETWEEN {TRAIL_DAYS - 1} PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS trail_revenue
     FROM orders
     """,
@@ -890,7 +890,10 @@ def q134_trailing_range_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Per-customer trailing {TRAIL_DAYS}-day revenue via a true RANGE
-    window frame — the interval-framed moving aggregate (SURVEY §2.5
+    window frame spanning exactly {TRAIL_DAYS} distinct day ordinals
+    (frame = {TRAIL_DAYS}-1 PRECEDING..CURRENT, since the current day
+    is day 1 of the window) — the interval-framed moving aggregate
+    (SURVEY §2.5
     names ``rangeBetween`` as part of the rebuild's window surface;
     q07/q96 exercise only ROWS frames). RANGE frames differ observably
     from ROWS: all orders on the same (customer, day) are frame PEERS
@@ -915,7 +918,7 @@ def q134_trailing_range_revenue(
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("day_ord"))
-        .rangeBetween(-TRAIL_DAYS, 0)
+        .rangeBetween(-(TRAIL_DAYS - 1), 0)
     )
     return (
         orders.select(

@@ -513,7 +513,9 @@ def q96_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_avg
     FROM (
       SELECT event_type,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT)
+             END AS k
       FROM events
     )
     GROUP BY event_type
@@ -525,7 +527,10 @@ def q137_props_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses when it consumes many fields (q74's
     ``get_json_object`` re-parses the document per extracted path; a
     schema'd decode parses once and unparseable payloads surface as
-    NULLs to count, not silent drops). Per-type parse counts + typed
+    NULLs to count, not silent drops). A strict shape regexp gates the
+    decode in both engines — their malformed-JSON semantics differ
+    (NULL vs throw vs coerce), so off-shape payloads are counted as
+    unparsed under one pinned rule. Per-type parse counts + typed
     min/max/exact-average of the decoded field.
 
     Scale shape: the JSON decode is a JVM-side projection riding the
@@ -533,9 +538,19 @@ def q137_props_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows. The integer average is exact-sum / count in both engines
     (registry float discipline)."""
     ev = load_events(spark, sf_dir)
+    # strict shape guard BEFORE the decode, mirrored in the oracle: the
+    # engines' failure semantics diverge on malformed payloads (Spark
+    # from_json yields NULL; DuckDB json_extract THROWS, and coerces
+    # string-typed numbers where Spark nulls them), so the parse
+    # contract is pinned to the generated {"k": int} shape and anything
+    # else counts as unparsed identically in both engines
+    shaped = F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
     parsed = ev.select(
         "event_type",
-        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+        F.when(
+            shaped,
+            F.from_json(F.col("props"), "k BIGINT").getField("k"),
+        ).alias("k"),
     )
     return parsed.groupBy("event_type").agg(
         F.count("k").alias("n_parsed"),

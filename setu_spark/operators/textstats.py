@@ -1395,9 +1395,12 @@ def q135_unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.octet_length("text").cast("long").alias("n_bytes"),
     )
+    # DuckDB's UNPIVOT drops NULL-valued cells by default while
+    # DataFrame.unpivot keeps them — pin the exclude-nulls semantic
+    # explicitly so a NULL metric can never split the engines
     return wide.unpivot(
         ids=["doc_id"],
         values=["n_words", "n_chars", "n_bytes"],
         variableColumnName="metric",
         valueColumnName="value",
-    )
+    ).where(F.col("value").isNotNull())

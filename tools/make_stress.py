@@ -61,7 +61,8 @@ def replicate(src: str, dst: str, n: int) -> None:
     orders = pq.read_table(os.path.join(src, "orders.parquet"))
     stride = pc.max(orders["o_orderkey"]).as_py() + 1
     for name, key in FACT_KEYS.items():
-        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        t = (orders if name == "orders"
+             else pq.read_table(os.path.join(src, f"{name}.parquet")))
         copies = []
         for i in range(n):
             cols = {
