@@ -2,9 +2,25 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the compact headline JSON as its own FINAL line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q01_...": sec, ...}, "sf": "..."}
+and the per-query loadavg block as a SEPARATE preceding line (tagged
+"loadavg_detail").  Round 5 appended the loadavg map to the single
+final line, which grew it past the driver's tail-capture window —
+BENCH_r05.json came back `parsed: null` with the headline total
+truncated out.  The driver's tail always sees a short parseable
+summary now; the full detail (loads, errors) rides the earlier line
+and bench_partial.json.
+
+Flags:
+  --full        time EVERY registered query (the whole registry), not
+                just the HEADLINE subset — regressions in non-headline
+                families become visible per-round.
+  --out PATH    also write the full payload to PATH (append-only
+                bench records: pass a fresh name per run, e.g.
+                bench_clean_r06_1.json — never overwrite a claimed
+                number's file).
 
 Each query is materialized through the ``noop`` datasource sink — every
 column is computed (no count()-style projection pruning) and nothing is
@@ -91,6 +107,10 @@ HEADLINE = [
 
 
 def main() -> None:
+    full = "--full" in sys.argv
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from setu_spark.session import get_spark
 
@@ -101,6 +121,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+    names = list(queries) if full else HEADLINE
 
     # Warm the JVM/codegen paths and the Python (Arrow UDF) workers once so
     # the first measured query doesn't pay session/worker spin-up.
@@ -141,7 +162,11 @@ def main() -> None:
 
     def _checkpoint() -> None:
         payload = {
-            "metric": "headline_query_total_wall",
+            "metric": (
+                "full_registry_total_wall"
+                if full
+                else "headline_query_total_wall"
+            ),
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
@@ -161,7 +186,7 @@ def main() -> None:
             pass
         return payload
 
-    for name in HEADLINE:
+    for name in names:
         loads[name] = round(os.getloadavg()[0], 2)
         try:
             runs: list[float] = []
@@ -192,7 +217,20 @@ def main() -> None:
             spark.catalog.clearCache()
             _checkpoint()
 
-    print(json.dumps(_checkpoint()))
+    payload = _checkpoint()
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    # Detail (loadavg, errors) on its OWN line; the compact headline
+    # summary is the FINAL line so a tail-capture of any size parses.
+    detail = {"loadavg_detail": payload["loadavg"]}
+    if errors:
+        detail["errors"] = errors
+    print(json.dumps(detail))
+    compact = {
+        k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

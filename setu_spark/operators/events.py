@@ -513,7 +513,7 @@ def q96_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_avg
     FROM (
       SELECT event_type,
-             CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
+             CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]{1,18}\\}$')
                   THEN CAST(json_extract(props, '$.k') AS BIGINT)
              END AS k
       FROM events
@@ -543,8 +543,11 @@ def q137_props_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from_json yields NULL; DuckDB json_extract THROWS, and coerces
     # string-typed numbers where Spark nulls them), so the parse
     # contract is pinned to the generated {"k": int} shape and anything
-    # else counts as unparsed identically in both engines
-    shaped = F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
+    # else counts as unparsed identically in both engines. The digit
+    # count is bounded at 18 so every admitted integer fits BIGINT in
+    # BOTH engines by construction: on a wider payload Spark from_json
+    # NULLs (counted unparsed) but DuckDB CAST(... AS BIGINT) THROWS.
+    shaped = F.col("props").rlike('^\\{"k": -?[0-9]{1,18}\\}$')
     parsed = ev.select(
         "event_type",
         F.when(

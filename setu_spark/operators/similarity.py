@@ -84,9 +84,17 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 # ---------------------------------------------------------------- q60
+#: Brute-force top-k depth.  q131's recall audit composes q60 as its
+#: exact ground truth and uses IVF_TOPK (defined with q63 below) as
+#: both its oracle's exact-set LIMIT and its recall denominator — the
+#: two depths MUST stay equal or the audit silently compares sets of
+#: different sizes; a module-load assert below q131 pins the coupling.
+BRUTE_TOPK = 10
+
+
 @register(
     "q60_cosine_topk",
-    oracle="""
+    oracle=f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     pairs AS (
       -- two unnests in the SELECT clause zip positionally in DuckDB
@@ -105,7 +113,7 @@ def cosine(a: Column, b: Column) -> Column:
     SELECT vec_id, label, cosine_sim
     FROM sims
     ORDER BY cosine_sim DESC, vec_id
-    LIMIT 10
+    LIMIT {BRUTE_TOPK}
     """,
 )
 def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +131,7 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), qlit), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-        .limit(10)
+        .limit(BRUTE_TOPK)
     )
 
 
@@ -841,9 +849,17 @@ def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication with the pairwise stage BOUNDED by k-means clusters —
     cluster the embeddings (q85's deterministic Lloyd's trajectory),
-    compare only within-cluster pairs, and greedily drop every vector
-    whose cosine to a LOWER-id vector in its cluster reaches {SEM_TAU}
-    (keep-first, the same deterministic survivor rule as q50/q38).
+    compare only within-cluster pairs, and drop every vector whose
+    cosine to ANY lower-id vector in its cluster reaches {SEM_TAU}.
+    NOTE the deliberate divergence from true greedy keep-first: the
+    rule is lower-id-wins against ALL lower ids, not against surviving
+    keepers only — a vector similar only to an already-removed vector
+    is still removed (so ``max_sim_to_keeper`` is really max-sim to any
+    lower id). This one-pass relaxation is a common SemDeDup
+    simplification (it removes a superset of true-greedy's removals,
+    chain case pinned by tests/test_kmeans.py::test_semdedup_chain_\
+    removes_against_removed) and is what keeps the stage join-shaped
+    instead of sequentially dependent.
     Completes the dedup funnel's semantic tier above q55's LSH near-dup:
     q55 catches near-identical vectors, this catches *semantically
     redundant* ones at a much looser threshold, where LSH banding no
@@ -1153,6 +1169,10 @@ def q131_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     free. At production scale the exact side runs on a SAMPLE of
     queries (ground truth is O(corpus) per query by definition), which
     is exactly how recall audits are run on real indexes."""
+    assert IVF_TOPK == BRUTE_TOPK, (
+        "q131 compares q60's exact top-k against q63's IVF top-k: the "
+        "depths must match or recall@k is computed over unequal sets"
+    )
     exact = q60_cosine_topk(spark, sf_dir).select("vec_id")
     approx = q63_ann_ivf_topk(spark, sf_dir).select("vec_id")
     return (

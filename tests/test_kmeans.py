@@ -97,6 +97,36 @@ def test_semantic_dedup_planted(spark):
                 assert r.max_sim_to_keeper == -1.0
 
 
+def test_semdedup_chain_removes_against_removed(spark):
+    """Pins q123's documented divergence from true greedy keep-first:
+    the rule is lower-id-wins against ALL lower ids. Chain A(0)-B(1)-
+    C(2) with cos(A,B)=cos(B,C)=0.9 >= tau and cos(A,C)=0.62 < tau:
+    true greedy would KEEP C (its only >=tau neighbor B was already
+    removed); the implemented one-pass rule removes BOTH B and C."""
+    import math
+
+    from setu_spark.operators.similarity import semantic_dedup
+
+    s, c = math.sqrt(0.19), 0.9  # cos(theta)=0.9
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [c, s]),  # rotated by theta
+        (2, 0, [2 * c * c - 1, 2 * c * s]),  # rotated by 2*theta
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(df, k=1, iters=1, tau=0.85).collect()
+    }
+    assert not out[0].sem_removed
+    assert out[1].sem_removed and out[1].max_sim_to_keeper >= 0.85
+    # C is removed via the REMOVED vector B — the divergence under test
+    assert out[2].sem_removed
+    assert 0.85 <= out[2].max_sim_to_keeper < 0.95  # sim to B, not A
+
+
 def test_q123_registered_with_oracle(spark):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert "q123_semantic_dedup" in qs

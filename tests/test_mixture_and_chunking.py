@@ -136,8 +136,13 @@ def test_no_module_level_constant_rebinding():
     import ast
     import pathlib
 
+    # anchor to the repo root: a cwd-relative path finds nothing (and
+    # passes vacuously) when pytest runs from outside the repo
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "setu_spark"
+    files = sorted(pkg.rglob("*.py"))
+    assert files, f"no sources under {pkg}"
     offenders = []
-    for p in pathlib.Path("setu_spark").rglob("*.py"):
+    for p in files:
         seen = {}
         for node in ast.parse(p.read_text()).body:
             targets = []
