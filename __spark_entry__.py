@@ -46,113 +46,78 @@ from setu_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
-#: Round-5 window: the driver's correctness harness checks roughly the
+#: Round-6 window: the driver's correctness harness checks roughly the
 #: FIRST 50 entries of the returned maps, so this list pins the window
-#: explicitly (everything else follows in registration order). Exactly
-#: 50 names — round 4's 57-entry list overflowed and its last 7 fell
-#: out of the window (they are the r2-stale block below). Priority:
-#: (a) queries whose code or oracle changed this round (sketch-family
-#: witnesses, the new q115 gate, the kmeans rounding fix, the new q123
-#: SemDeDup) plus an events representative for the load_events
-#: TZ-independence rewrite (q74, the second rep, ceded its slot to
-#: q123 — never-checked beats one-round-stale);
-#: (b) every query whose last green driver row is ROUND 2 (3 rounds
-#: stale); (c) per-family representatives from the round-3-only set
-#: (dedup, similarity, curation, wordlists, stages, multimodal,
-#: privacy, quality, range join) so no family's staleness exceeds 2
-#: rounds.
+#: explicitly (everything else follows in registration order).
+#: Priority: (a) never-driver-checked queries new this round (q138 ANN
+#: margin mining, q139 iterative BPE, q140 margin recall audit);
+#: (b) queries whose code or oracle changed this round and must be
+#: re-checked (q137 regex digit bound, q126 helper refactor, q131
+#: depth assert, q60 BRUTE_TOPK constant);
+#: (c) the whole round-2-stale block (3 rounds since their last green
+#: driver row — the round-5 verdict's rotation ask);
+#: (d) every round-3-stale query except the two rows-only checks
+#: (q82/q90 — weaker signal, rotate next round);
+#: (e) six round-4 family representatives (dedup CC funnel, edit
+#: verify, both percentile gates' exact twin, events JSON, span
+#: removal, packing) so the r04 block starts refreshing early.
+#: Round-5 greens (q116-q137 etc.) rotate OUT — one round stale max.
 _FRONT = (
-    # (a) new or changed this round (q116-q119: the §2 components that
-    # previously had only unit tests — sentence explode + quirk flags,
-    # partitioned/ORC/JSONL sink-scan roundtrips)
-    "q28_approx_distinct_parts",
-    "q84_approx_quantiles",
-    "q104_compression_ratio",
-    "q115_quality_sketch_gate",
-    "q116_sentence_explode",
-    "q117_partitioned_sink_roundtrip",
-    "q118_orc_sink_roundtrip",
-    "q119_jsonl_scan_roundtrip",
-    "q120_csv_scan_roundtrip",
-    "q121_heavy_hitters",
-    "q122_incremental_admission",
-    "q123_semantic_dedup",
-    "q85_kmeans_clusters",
-    "q70_hourly_event_stats",
-    # (b) last green in round 2 — the whole block
-    "q06_forecast_revenue",
-    "q25_name_normalization",
-    "q35_token_counts",
-    "q36_rolling_fingerprints",
-    "q41_char_ngram_repetition",
-    "q45_lid_heuristic",
-    "q46_code_removal",
-    "q47_multi_n_repetition",
-    "q50_exact_dedup_survivors",
-    "q52_minhash_lsh_pairs",
-    # (a4) queries whose code or oracle changed this session (the
-    # DECIMAL(28,12) ln-term upgrade): must be driver-re-checked.
-    # Slots from q22/q40/q48/q51 — levenshtein keeps q108's r4 green,
-    # reassembly keeps q80, repetition keeps q41/q47, signatures keep
-    # q52 (their superset) in-window.
-    "q24_price_math_profile",
-    "q88_unigram_logprob",
-    "q102_quality_tiers",
-    "q114_bigram_logprob",
-    # (a2) new this session: DSIR importance weights, the dedup impact
-    # audit (q56's funnel + rollup), margin-based pair mining. Their
-    # slots come from q55/q59/q66 — the dedup/similarity families keep
-    # q50/q52/q57/q63/q93/q122/q123 plus the new q125/q126 in-window
-    # (q44/q51/q58 later ceded slots to q136/the changed block/q135;
-    # wordlists keep q49/q65/q66's r3 greens).
-    "q124_dsir_importance",
-    "q125_dedup_impact_audit",
-    "q126_margin_pair_mining",
-    # (a3) new this session: classifier-based quality filter (hashed
-    # linear model + Pareto keep rule), per-source KL mixture
-    # diagnostic, fixed-length sequence chunking. Their slots come
-    # from q23/q24/q26 (q24 later re-entered with the (a4) changed
-    # block; q21/q22 ceded to q133/q24) — the analytics family keeps
-    # q06/q25 plus the changed q24 in-window (never-checked and
-    # changed-this-round beat three-rounds-stale).
-    "q127_classifier_quality_filter",
-    "q128_source_kl_divergence",
-    "q129_sequence_chunking",
-    # q130 BPE merge mining takes q34's slot; q131 ANN recall audit
-    # takes q42's (the repetition kernel keeps q41 + q47; fingerprints
-    # keep q36 — q37 later ceded its slot to q134)
-    "q130_bpe_merge_candidates",
-    "q131_ann_recall_audit",
-    # q132 vocab coverage + q133 LSH precision audit take q21/q38's
-    # slots (exact percentiles keep q109 in-window; exact-dedup
-    # survivors keep q50)
-    "q132_vocab_coverage",
-    "q133_lsh_precision_audit",
-    # q134 RANGE-frame trailing window takes q37's slot (fingerprints
-    # keep q36; q37's containment join was green r02 + unit-tested)
-    "q134_trailing_range_revenue",
-    # q135 unpivot takes q58's slot (q133 composes q58's entire
-    # LSH-then-exact-Jaccard funnel inside its audit, in-window)
-    "q135_unpivot_doc_metrics",
-    # q136 window trio takes q44's slot (wordlists keep q49/q65/q66's
-    # r3 greens; q44's broadcast-wordlist join also runs inside q66)
-    "q136_order_distribution_stats",
-    # q137 schema'd from_json parse takes q43's slot (script counting
-    # keeps q68's r4 green; q43 was green r02 + unit-tested)
+    # (a) never checked
+    "q138_margin_pair_mining_ann",
+    "q139_bpe_merge_iterations",
+    "q140_margin_ann_recall_audit",
+    # (b) changed this round
     "q137_props_schema_parse",
-    # (c) round-3-only family representatives
-    # (q53/q62/q64/q92 ceded slots to q116-q119; q18/q29/q67 to
-    # q120-q122 — their families keep q57, q63, q89, q101's r3
-    # green, the r2 analytics block, q83, and q44 respectively, so every
-    # never-driver-checked query sits inside the window this round)
-    "q57_simhash_neardup_pairs",
-    "q63_ann_ivf_topk",
-    "q80_clean_pipeline",
-    "q83_curation_pipeline",
-    "q89_bloom_decontamination",
-    "q93_cross_corpus_neardup",
-    "q97_pii_redaction",
-    "q99_gopher_quality_rules",
+    "q126_margin_pair_mining",
+    "q131_ann_recall_audit",
+    "q60_cosine_topk",
+    # (c) last green in round 2 — the whole block
+    "q21_price_percentiles",
+    "q22_part_name_drift",
+    "q23_monthly_seasonality",
+    "q26_conditional_aggregates",
+    "q34_doc_fingerprint",
+    "q37_fingerprint_containment",
+    "q38_representative_doc_per_group",
+    "q40_reassembly_roundtrip",
+    "q42_word_ngram_repetition",
+    "q43_script_detection",
+    "q44_flagged_word_counts",
+    "q48_repetition_flag_filter",
+    "q51_minhash_signatures",
+    "q58_lsh_then_exact_jaccard",
+    # (d) last green in round 3 (minus rows-only q82/q90)
+    "q18_order_price_bands",
+    "q29_token_budget_sample",
+    "q39_tfidf_top_terms",
+    "q49_wordlist_flagged_counts",
+    "q53_token_jaccard_pairs",
+    "q54_simhash",
+    "q55_embedding_neardup",
+    "q59_dedup_removed_docs",
+    "q61_label_centroids",
+    "q62_ann_lsh_buckets",
+    "q64_decontamination",
+    "q65_keyword_phrase_hits",
+    "q66_flashtext_keyword_dist",
+    "q67_normalize_indic",
+    "q69_junk_document_flags",
+    "q81_flag_filter_survivors",
+    "q86_weighted_sample",
+    "q87_lang_balanced_sample",
+    "q91_video_frame_offsets",
+    "q92_media_bytes_by_kind",
+    "q98_hash_split",
+    "q100_dataset_card",
+    "q101_media_chunk_windows",
+    # (e) round-4 family representatives
+    "q56_dedup_components",
+    "q74_event_props_extract",
+    "q94_sequence_packing",
+    "q108_editdist_verify",
+    "q109_quality_percentile_gate",
+    "q111_shared_span_removal",
 )
 
 

@@ -885,28 +885,12 @@ MINE_K = 4
 #: a production job can afford to broadcast; the big side streams).
 MINE_MOD, MINE_REM = 10, 1
 
-
-@register(
-    "q126_margin_pair_mining",
-    oracle=f"""
-    WITH x AS (
-      SELECT vec_id AS x_id, embedding AS xe FROM embeddings
-      WHERE vec_id % {MINE_MOD} <> {MINE_REM}
-    ),
-    y AS (
-      SELECT vec_id AS y_id, embedding AS ye FROM embeddings
-      WHERE vec_id % {MINE_MOD} = {MINE_REM}
-    ),
-    pr AS (
-      SELECT x_id, y_id,
-             round(sum(xv * yv)
-                   / (sqrt(sum(xv * xv)) * sqrt(sum(yv * yv))), 6) AS rcos
-      FROM (SELECT x_id, y_id,
-                   CAST(unnest(xe) AS DOUBLE) AS xv,
-                   CAST(unnest(ye) AS DOUBLE) AS yv
-            FROM x CROSS JOIN y)
-      GROUP BY x_id, y_id
-    ),
+#: Margin + mutual-best selection over a ``pr(x_id, y_id, rcos)`` CTE —
+#: shared verbatim between q126 (pr = full |X|·|Y| cross product) and
+#: q138 (pr = IVF-bounded candidates) so the two contracts cannot
+#: drift: the ONLY difference between the exact and ANN pipelines is
+#: how ``pr`` is generated.
+_MARGIN_TAIL_SQL = f"""
     cand AS (
       SELECT x_id, y_id, rcos FROM (
         SELECT *, row_number() OVER (PARTITION BY x_id
@@ -941,9 +925,31 @@ MINE_MOD, MINE_REM = 10, 1
     )
     SELECT x_id, y_id, cosine_sim, margin
     FROM rk WHERE bx = 1 AND byy = 1
-    """,
-)
-def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+_Q126_ORACLE = f"""
+    WITH x AS (
+      SELECT vec_id AS x_id, embedding AS xe FROM embeddings
+      WHERE vec_id % {MINE_MOD} <> {MINE_REM}
+    ),
+    y AS (
+      SELECT vec_id AS y_id, embedding AS ye FROM embeddings
+      WHERE vec_id % {MINE_MOD} = {MINE_REM}
+    ),
+    pr AS (
+      SELECT x_id, y_id,
+             round(sum(xv * yv)
+                   / (sqrt(sum(xv * xv)) * sqrt(sum(yv * yv))), 6) AS rcos
+      FROM (SELECT x_id, y_id,
+                   CAST(unnest(xe) AS DOUBLE) AS xv,
+                   CAST(unnest(ye) AS DOUBLE) AS yv
+            FROM x CROSS JOIN y)
+      GROUP BY x_id, y_id
+    ),
+    {_MARGIN_TAIL_SQL}"""
+
+
+def margin_pairs_exact(emb: DataFrame) -> DataFrame:
     """Margin-based mutual-nearest-neighbor pair mining (Artetxe &
     Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
     Sentence Embeddings" — the LASER/CCMatrix bitext-mining score):
@@ -956,6 +962,13 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding operators at all; this is the standard corpus-alignment
     step (bitext mining, cross-corpus doc linking) a multilingual
     pretraining pipeline runs between embedding and sampling.
+
+    This is the EXACT twin: it assumes the incoming side Y is small
+    enough to collect and broadcast (true for a bitext-mining delta
+    batch; NOT true as registered here, where Y is a fixed 10% slice
+    that grows with the corpus). The corpus-scale path is q138, which
+    generates candidates through the IVF cells and never collects Y;
+    q140 audits q138's recall against this query's exact pairs.
 
     Scale shape: Y is the bounded side — its matrix rides in the
     ``mapInPandas`` closure (broadcast-variable form, q63's codebook
@@ -974,10 +987,11 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite ``cos·2^20 − id_rank`` int64 key makes the vectorized
     argpartition reproduce lexicographic order with no per-row sorts
     (the first kernel's per-column lexsorts + b×m×d elementwise temp
-    were 12× slower at 20×)."""
+    were 12× slower at 20×). Exposed as a DataFrame-taking helper so
+    the planted-fixture recall test can drive it next to
+    :func:`margin_pairs_ann` (tests/test_kmeans.py)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
     y_rows = sorted(
         emb.filter(F.col("vec_id") % MINE_MOD == MINE_REM)
         .select("vec_id", "embedding")
@@ -1097,6 +1111,14 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q126_margin_pair_mining", oracle=_Q126_ORACLE)
+def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact margin pair mining over the embeddings table — see
+    :func:`margin_pairs_exact` for semantics, exactness discipline and
+    the scale stance (the exact twin of q138's ANN form)."""
+    return margin_pairs_exact(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------- q131
 @register(
     "q131_ann_recall_audit",
@@ -1185,4 +1207,380 @@ def q131_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------- q138
+#: How many IVF cells each X-side vector probes for margin-mining
+#: candidates (per-query fan-out of the inverted-file search; the Y
+#: side is assigned to exactly one cell).
+MINE_PROBE = 2
+
+#: IVF codebook size for margin mining: ceil(sqrt(n)) cells — the
+#: standard IVF sizing rule (FAISS guideline: #lists ~ sqrt(n)), and
+#: the choice that makes the candidate volume sub-quadratic by
+#: construction: per-cell population ~ sqrt(n), so candidates ~
+#: |X|*probes*|Y_cell| ~ n^1.5 instead of n^2. A FIXED cell count
+#: would only shave a constant factor (probes/cells) off the cross
+#: product — measured: the first q138 cut used the 8-cell q63 codebook
+#: and was still grinding at 20x where this form finishes in seconds.
+_MINE_CELLS_SQL = (
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+)
+
+_Q138_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_MINE_CELLS_SQL}
+    ),
+    xs AS (
+      SELECT vec_id AS x_id, embedding AS xe FROM embeddings
+      WHERE vec_id % {MINE_MOD} <> {MINE_REM}
+    ),
+    ys AS (
+      SELECT vec_id AS y_id, embedding AS ye FROM embeddings
+      WHERE vec_id % {MINE_MOD} = {MINE_REM}
+    ),
+    xcell AS (
+      SELECT x_id, cell, {_COS_SQL} AS c
+      FROM (
+        SELECT v.x_id, c.cell,
+               unnest(v.xe) AS x, unnest(c.cvec) AS y
+        FROM xs v CROSS JOIN cent c
+      ) GROUP BY x_id, cell
+    ),
+    xprobe AS (
+      SELECT x_id, cell FROM (
+        SELECT x_id, cell,
+               row_number() OVER (PARTITION BY x_id
+                                  ORDER BY c DESC, cell) AS rn
+        FROM xcell) WHERE rn <= {MINE_PROBE}
+    ),
+    ycell AS (
+      SELECT y_id, cell, {_COS_SQL} AS c
+      FROM (
+        SELECT v.y_id, c.cell,
+               unnest(v.ye) AS x, unnest(c.cvec) AS y
+        FROM ys v CROSS JOIN cent c
+      ) GROUP BY y_id, cell
+    ),
+    yassign AS (
+      SELECT y_id, cell FROM (
+        SELECT y_id, cell,
+               row_number() OVER (PARTITION BY y_id
+                                  ORDER BY c DESC, cell) AS rn
+        FROM ycell) WHERE rn = 1
+    ),
+    pr AS (
+      SELECT x_id, y_id,
+             round(sum(xv * yv)
+                   / (sqrt(sum(xv * xv)) * sqrt(sum(yv * yv))), 6) AS rcos
+      FROM (
+        SELECT p.x_id, a.y_id,
+               CAST(unnest(xv.xe) AS DOUBLE) AS xv,
+               CAST(unnest(yv.ye) AS DOUBLE) AS yv
+        FROM xprobe p
+        JOIN yassign a ON p.cell = a.cell
+        JOIN xs xv ON xv.x_id = p.x_id
+        JOIN ys yv ON yv.y_id = a.y_id
+      )
+      GROUP BY x_id, y_id
+    ),
+    {_MARGIN_TAIL_SQL}"""
+
+
+def margin_pairs_ann(emb: DataFrame) -> DataFrame:
+    """ANN-bounded margin pair mining — q126's contract with candidate
+    generation routed through IVF cells instead of the exact |X|*|Y|
+    kernel. The codebook is the embeddings of vec_id 1..ceil(sqrt(n))
+    (standing in for a k-means codebook, FAISS-style sqrt(n) sizing);
+    each X vector probes its {MINE_PROBE} nearest cells, each Y vector
+    is assigned its single nearest cell, candidates are the (x, y)
+    pairs meeting in a probed cell, and the margin score + mutual-best
+    selection (Artetxe & Schwenk 2019 ratio margin; the kNN averages
+    are candidate-bounded — the standard ANN approximation, exactly
+    how CCMatrix runs this score through FAISS) run over candidates
+    only. q140 audits this approximation's recall against q126's
+    exact mutual-best pairs.
+
+    Scale shape — the answer to q126's two scale problems:
+
+      * **no driver-side Y collect** — only the sqrt(n)-row codebook is
+        collected (the IVF codebook is driver-sized by definition;
+        q63's broadcast-variable stance), and
+      * **no quadratic kernel, no pair-sized shuffle** — assignment is
+        one narrow Arrow pass per side (n x C BLAS block); the only
+        shuffle is repartitioning the n (id, vector) rows by cell for
+        the cogroup; each cell's |X_c|x|Y_c| cosine block is computed
+        INSIDE `applyInPandas` and emits only per-x/per-y top-{MINE_K}
+        rows, so both shuffle volume and output are LINEAR in n while
+        compute is sum-per-cell ~ n^1.5 with sqrt(n) cells — the IVF
+        contract. A y's cell is unique, so its cogroup partial IS its
+        global candidate kNN; an x probes {MINE_PROBE} cells, so one
+        window over its <= {MINE_PROBE}*{MINE_K} partial rows
+        finishes the global top-k. Skewed mega-cells are bounded by
+        the codebook sizing (and AQE handles residual imbalance).
+
+    Exactness: cell choice and scores use round-6 cosines with
+    composite-int64-key argpartition selection (q126's tie-exact
+    kernel: key = cos*1e6*2^20 - id_rank reproduces lexicographic
+    (cos DESC, id ASC) order with no per-row sorts); BLAS-vs-
+    sequential fold divergence is absorbed by round-6 (q85/q126's
+    pinned stance). Exposed as a DataFrame-taking helper so the
+    planted-fixture recall test can drive it on clustered synthetic
+    shapes next to :func:`margin_pairs_exact` (tests/test_kmeans.py)."""
+    import math
+
+    import numpy as np
+
+    n_cells = int(math.ceil(math.sqrt(float(emb.count()))))
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id").between(1, n_cells))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    cells = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    k = MINE_K
+    #: |cos*1e6| <= 1e6 and ranks stay < 2^20 (cells ~ sqrt(n); per-
+    #: cell populations ~ sqrt(n) — asserted below), so the composite
+    #: key never collides and never overflows int64 (<= ~2^40).
+    SHIFT = 1 << 20
+    assert len(cells) < SHIFT
+    cellrank = np.arange(len(cells), dtype=np.int64)
+    assign_schema = "vec_id bigint, cell bigint, embedding array<float>"
+
+    def make_assigner(topn):
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["embedding"].values).astype(np.float64)
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                cs = round6_away(
+                    (mat @ cmat.T) / (norms[:, None] * cnorm[None, :])
+                )
+                ri = np.rint(cs * 1e6).astype(np.int64)
+                key = ri * SHIFT - cellrank[None, :]
+                t = min(topn, cs.shape[1])
+                sel = np.argpartition(-key, t - 1, axis=1)[:, :t]
+                rows = np.repeat(np.arange(len(mat)), t)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values[rows],
+                        "cell": cells[sel.ravel()],
+                        "embedding": pdf["embedding"].values[rows],
+                    }
+                )
+
+        return assign
+
+    xs = (
+        emb.filter(F.col("vec_id") % MINE_MOD != MINE_REM)
+        .select("vec_id", "embedding")
+        .mapInPandas(make_assigner(MINE_PROBE), assign_schema)
+    )
+    ys = (
+        emb.filter(F.col("vec_id") % MINE_MOD == MINE_REM)
+        .select("vec_id", "embedding")
+        .mapInPandas(make_assigner(1), assign_schema)
+    )
+
+    def per_cell(xpdf, ypdf):
+        empty = pd.DataFrame(
+            {
+                "side": pd.Series([], dtype="object"),
+                "x_id": pd.Series([], dtype="int64"),
+                "y_id": pd.Series([], dtype="int64"),
+                "rcos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(xpdf) == 0 or len(ypdf) == 0:
+            return empty
+        assert max(len(xpdf), len(ypdf)) < SHIFT
+        xm = np.stack(xpdf["embedding"].values).astype(np.float64)
+        ym = np.stack(ypdf["embedding"].values).astype(np.float64)
+        xids = xpdf["vec_id"].values.astype(np.int64)
+        yids = ypdf["vec_id"].values.astype(np.int64)
+        rcos = round6_away(
+            (xm @ ym.T)
+            / (
+                np.sqrt((xm * xm).sum(axis=1))[:, None]
+                * np.sqrt((ym * ym).sum(axis=1))[None, :]
+            )
+        )
+        ri = np.rint(rcos * 1e6).astype(np.int64)
+        xrank = np.empty(len(xids), dtype=np.int64)
+        xrank[np.argsort(xids, kind="stable")] = np.arange(len(xids))
+        yrank = np.empty(len(yids), dtype=np.int64)
+        yrank[np.argsort(yids, kind="stable")] = np.arange(len(yids))
+        kx = min(k, rcos.shape[1])
+        ky = min(k, rcos.shape[0])
+        # per-x top-k within the cell (global finish: one window over
+        # the <= MINE_PROBE partials per x), ties (cos DESC, y_id ASC)
+        xkey = ri * SHIFT - yrank[None, :]
+        ci = np.argpartition(-xkey, kx - 1, axis=1)[:, :kx]
+        rows_ix = np.repeat(np.arange(rcos.shape[0]), kx)
+        cols_ix = ci.ravel()
+        # per-y top-k: the y side is single-cell, so this IS global
+        ykey = ri * SHIFT - xrank[:, None]
+        rj = np.argpartition(-ykey, ky - 1, axis=0)[:ky, :]
+        yrows_ix = rj.ravel()
+        ycols_ix = np.tile(np.arange(rcos.shape[1]), ky)
+        return pd.DataFrame(
+            {
+                "side": ["x"] * len(rows_ix) + ["y"] * len(yrows_ix),
+                "x_id": np.concatenate([xids[rows_ix], xids[yrows_ix]]),
+                "y_id": np.concatenate([yids[cols_ix], yids[ycols_ix]]),
+                "rcos": np.concatenate(
+                    [rcos[rows_ix, cols_ix], rcos[yrows_ix, ycols_ix]]
+                ),
+            }
+        )
+
+    rows = (
+        xs.groupBy("cell")
+        .cogroup(ys.groupBy("cell"))
+        .applyInPandas(
+            per_cell, "side string, x_id bigint, y_id bigint, rcos double"
+        )
+        .cache()
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("rcos"), F.asc("y_id"))
+    cand = (
+        rows.filter(F.col("side") == "x")
+        .withColumn("rx", F.row_number().over(wx))
+        .filter(F.col("rx") <= k)
+        .drop("rx", "side")
+    )
+    ax = (
+        F.sum(F.col("rcos").cast("decimal(18,6)"))
+        .over(Window.partitionBy("x_id"))
+        .cast("double")
+        / k
+    )
+    ay = (
+        rows.filter(F.col("side") == "y")
+        .groupBy("y_id")
+        .agg(
+            (
+                F.sum(F.col("rcos").cast("decimal(18,6)")).cast("double")
+                / k
+            ).alias("ayv")
+        )
+    )
+    scored = (
+        cand.withColumn("axv", ax)
+        .join(F.broadcast(ay), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            F.col("rcos").alias("cosine_sim"),
+            F.round(
+                F.col("rcos") / ((F.col("axv") + F.col("ayv")) / 2), 6
+            ).alias("margin"),
+        )
+    )
+    bx = Window.partitionBy("x_id").orderBy(
+        F.desc("margin"), F.asc("y_id")
+    )
+    byy = Window.partitionBy("y_id").orderBy(
+        F.desc("margin"), F.asc("x_id")
+    )
+    return (
+        scored.withColumn("bx", F.row_number().over(bx))
+        .withColumn("byy", F.row_number().over(byy))
+        .filter((F.col("bx") == 1) & (F.col("byy") == 1))
+        .drop("bx", "byy")
+    )
+
+
+@register("q138_margin_pair_mining_ann", oracle=_Q138_ORACLE)
+def q138_margin_pair_mining_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN-bounded margin pair mining over the embeddings table — see
+    :func:`margin_pairs_ann` for the IVF candidate routing, exactness
+    discipline and the linear-shuffle scale argument (the corpus-scale
+    twin of q126)."""
+    return margin_pairs_ann(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------- q140
+_Q140_ORACLE = f"""
+    WITH exact AS (
+      SELECT x_id, y_id FROM ({_Q126_ORACLE})
+    ),
+    ann AS (
+      SELECT x_id, y_id FROM ({_Q138_ORACLE})
+    ),
+    hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_found
+      FROM exact JOIN ann USING (x_id, y_id)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    cfg AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells
+            FROM embeddings)
+    SELECT n_exact, n_found,
+           round(n_found / CAST(n_exact AS DOUBLE), 6) AS recall,
+           n_found / CAST(n_exact AS DOUBLE)
+             >= (0.5 * {MINE_PROBE * MINE_PROBE}) / n_cells AS recall_ok
+    FROM tot CROSS JOIN hit CROSS JOIN cfg
+    """
+
+
+@register("q140_margin_ann_recall_audit", oracle=_Q140_ORACLE)
+def q140_margin_ann_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall audit of the ANN-bounded margin miner (q138) against the
+    exact miner's (q126) mutual-best pairs — q131's pattern applied to
+    the pair-mining tier: |ann ∩ exact| / |exact| plus a hash-checked
+    ``recall_ok`` boolean, so a silent fidelity regression in the IVF
+    routing flips a verified value, not a vibe. Composes the two
+    registered pipelines verbatim (same module constants, same margin
+    tail) — the audit cannot drift from what it audits.
+
+    The bound is SCALE-AWARE, not a constant: on the synthetic
+    near-orthogonal embeddings (no cluster structure — IVF's
+    pathological case) the expected capture rate of a best pair is the
+    cell-collision probability ~ {MINE_PROBE}²/n_cells, which DECAYS
+    as the sqrt(n) codebook grows, so any fixed bound would be wrong
+    at some SF. ``recall_ok`` asserts recall >= half that baseline —
+    "the routing is not broken" — in both engines from the same
+    count-derived n_cells. Fidelity WHEN STRUCTURE EXISTS (the real-
+    embedding case IVF is built for) is pinned separately by the
+    clustered planted-fixture test (recall ~1.0,
+    tests/test_kmeans.py::test_margin_ann_high_recall_on_clustered).
+
+    Scale shape: both sides are the already-analyzed q126/q138 plans;
+    the audit adds one broadcast-sized pair join and a one-row
+    aggregate. At production scale the exact side runs on a SAMPLE of
+    the incoming batch (ground truth is quadratic by definition) —
+    same stance as q131."""
+    import math
+
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    n_cells = int(math.ceil(math.sqrt(float(emb_n))))
+    bound = (0.5 * MINE_PROBE * MINE_PROBE) / n_cells
+    exact = q126_margin_pair_mining(spark, sf_dir).select("x_id", "y_id")
+    ann = q138_margin_pair_mining_ann(spark, sf_dir).select(
+        "x_id", "y_id"
+    )
+    hit = exact.join(ann, ["x_id", "y_id"], "left_semi").agg(
+        F.count("*").alias("n_found")
+    )
+    tot = exact.agg(F.count("*").alias("n_exact"))
+    return tot.crossJoin(hit).select(
+        F.col("n_exact").cast("long"),
+        F.col("n_found").cast("long"),
+        F.round(
+            F.col("n_found") / F.col("n_exact").cast("double"), 6
+        ).alias("recall"),
+        (
+            F.col("n_found") / F.col("n_exact").cast("double")
+            >= F.lit(bound)
+        ).alias("recall_ok"),
     )

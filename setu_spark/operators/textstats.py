@@ -1404,3 +1404,168 @@ def q135_unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).where(F.col("value").isNotNull())
+
+
+# ---------------------------------------------------------------- q139
+#: Bounded BPE merge-loop depth. Each iteration is the identical
+#: vocabulary-bounded query shape; production runs tens of thousands of
+#: iterations with the same per-iteration cost profile.
+BPE_ITERS = 4
+
+
+def _bpe_oracle(iters: int) -> str:
+    """DuckDB replay of :func:`q139_bpe_merge_iterations`: the adaptive
+    merge loop unrolled into a CTE chain — seg_k applies iteration k's
+    winning pair (b_k, a one-row CTE) to seg_{k-1} via ``list_reduce``
+    over a list-of-singleton-lists accumulator, which IS greedy
+    left-to-right BPE merging (probed: 'aaaaa' + (a,a) → [aa, aa, a]).
+    Built programmatically so the iteration count is the single
+    BPE_ITERS constant shared with the Spark loop."""
+    parts = [
+        """
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    seg0 AS (SELECT freq, string_split(word, '') AS syms FROM wf)"""
+    ]
+    for k in range(1, iters + 1):
+        prev = f"seg{k - 1}"
+        parts.append(
+            f"""
+    p{k} AS (
+      SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT freq,
+                   list_extract(syms, i) AS s1,
+                   list_extract(syms, i + 1) AS s2
+            FROM {prev}, unnest(range(1, len(syms))) AS t(i)
+            WHERE len(syms) >= 2)
+      GROUP BY s1, s2
+    ),
+    b{k} AS (SELECT s1, s2, pair_count FROM p{k}
+             ORDER BY pair_count DESC, s1, s2 LIMIT 1)"""
+        )
+        if k < iters:
+            parts.append(
+                f"""
+    seg{k} AS (
+      SELECT freq,
+             list_reduce(
+               list_transform(syms, s -> [s]),
+               (acc, x) -> CASE
+                 WHEN list_extract(acc, -1) = b{k}.s1
+                      AND list_extract(x, 1) = b{k}.s2
+                 THEN list_append(
+                        list_slice(acc, 1, len(acc) - 1),
+                        b{k}.s1 || b{k}.s2)
+                 ELSE list_concat(acc, x) END
+             ) AS syms
+      FROM {prev} CROSS JOIN b{k})"""
+            )
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS iteration,
+               s1 AS left_sym, s2 AS right_sym, pair_count
+        FROM b{k}"""
+        for k in range(1, iters + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+def _bpe_merge_expr(a: str, b: str):
+    """Greedy left-to-right merge of adjacent pair (a, b) in the
+    ``syms`` array — the exact BPE merge rule, as a JVM HOF fold (no
+    Python): walk the symbols, gluing s onto the accumulator tail when
+    tail == a and s == b ('aaaaa' + (a,a) → [aa, aa, a], matching the
+    DuckDB list_reduce twin element for element)."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@register("q139_bpe_merge_iterations", oracle=_bpe_oracle(BPE_ITERS))
+def q139_bpe_merge_iterations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iterative BPE merge mining (Sennrich et al. 2016) — the full
+    tokenizer-training inner loop, not just q130's first-iteration
+    ranking: for {BPE_ITERS} iterations, find the most frequent
+    adjacent symbol pair over the current segmentation of the
+    WORD-FREQUENCY table, adopt it (ties broken on (left, right) so
+    both engines adopt the same pair), re-segment every word with the
+    greedy left-to-right merge, and repeat. Output is the adopted merge
+    table — (iteration, left, right, count) — which IS a BPE
+    tokenizer's artifact.
+
+    Scale shape: every iteration is the same vocabulary-bounded shape
+    as q130 — the pair explode and the merge fold run over the
+    word-frequency table (Heaps-law sublinear in corpus size), never
+    the corpus; the corpus is read ONCE to build ``wf``. Per iteration
+    the driver collects exactly one row (the winning pair — the same
+    bounded-collect contract as q63's codebook), and the merge is a
+    codegen'd JVM fold, so per-iteration cost is flat in corpus size
+    (PERF.md q139 sweep). Intermediate segmentations are cached so
+    iteration k never replays merges 1..k-1 from the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    seg = wf.select("freq", F.split("word", "").alias("syms")).cache()
+    cached = [seg]
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for it in range(1, BPE_ITERS + 1):
+            pairs = (
+                seg.filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct("
+                            "   element_at(syms, i) AS s1,"
+                            "   element_at(syms, i + 1) AS s2))"
+                        )
+                    ).alias("p"),
+                )
+                .select("freq", "p.s1", "p.s2")
+            )
+            top = (
+                pairs.groupBy("s1", "s2")
+                .agg(F.sum("freq").cast("long").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "s1", "s2")
+                .limit(1)
+                .collect()
+            )
+            if not top:  # vocabulary fully merged — nothing adjacent
+                break
+            a, b, cnt = top[0].s1, top[0].s2, int(top[0].pair_count)
+            merges.append((it, a, b, cnt))
+            if it < BPE_ITERS:
+                seg = seg.select(
+                    "freq", _bpe_merge_expr(a, b).alias("syms")
+                ).cache()
+                cached.append(seg)
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "iteration bigint, left_sym string, right_sym string,"
+        " pair_count bigint",
+    )

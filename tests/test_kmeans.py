@@ -133,6 +133,41 @@ def test_q123_registered_with_oracle(spark):
     assert "q123_semantic_dedup" in os_
 
 
+def test_margin_ann_high_recall_on_clustered(spark):
+    """q138's IVF routing must achieve near-perfect recall of q126's
+    exact mutual-best pairs WHEN CLUSTER STRUCTURE EXISTS — the real-
+    embedding case IVF is built for (the registered q140 runs on the
+    structureless synthetic table where capture ~ probes²/cells is the
+    honest ceiling; this fixture is the other half of the contract).
+    100 vectors in 5 tight direction-clusters; the codebook rows
+    (vec_id 1..ceil(sqrt(100))=10) cover every direction twice, so
+    each vector's probed cells are its own direction's centroids and
+    every within-direction best pair meets in a probed cell."""
+    from setu_spark.operators.similarity import (
+        margin_pairs_ann,
+        margin_pairs_exact,
+    )
+
+    dim = 8
+    rows = []
+    for vid in range(100):
+        g = vid % 5
+        base = [0.0] * dim
+        base[g] = 1.0
+        base[(g + 5) % dim] = 0.05 * ((vid % 7) - 3) / 3.0
+        rows.append((vid, g, base))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    exact = {
+        (r.x_id, r.y_id) for r in margin_pairs_exact(df).collect()
+    }
+    ann = {(r.x_id, r.y_id) for r in margin_pairs_ann(df).collect()}
+    assert exact, "fixture produced no exact mutual-best pairs"
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.9, (recall, sorted(exact - ann))
+
+
 def test_margin_pair_mining_planted_match(spark):
     """q126 on planted vectors: an exact clone across the X/Y split must
     be mined as a mutual-best pair, and the mutual-best filter yields at

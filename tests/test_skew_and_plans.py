@@ -434,3 +434,57 @@ def test_q133_precision_audit_no_cartesian_single_row(spark):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q123_skewed_megacluster_guard(spark):
+    """SemDeDup's named 100 TB failure mode: one k-means cluster holds
+    ~half the corpus, so the within-cluster pairwise join concentrates
+    |mega|² candidate pairs on one join key. Guard both halves of the
+    mitigation story: (a) correctness is unaffected by the skew — the
+    mega cluster still keeps exactly its lowest id; (b) the pairwise
+    stage compiles to a SHUFFLE join (SortMergeJoin once the broadcast
+    shortcut is off) — the shape AQE skew-join can split at runtime —
+    under a session that has skew-join enabled. PERF.md carries the
+    measured skewed-fixture sweep row."""
+    from setu_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    rows = []
+    for vid in range(104):
+        if vid < 4:
+            g = vid  # ids 0-3 seed one vector per direction (k-means init)
+        elif vid < 64:
+            g = 0  # the mega cluster: 61 of 104 vectors
+        else:
+            g = 1 + (vid % 3)
+        base = [0.0] * dim
+        base[g] = 1.0
+        base[(g + 4) % dim] = 0.02 * ((vid % 5) - 2)
+        rows.append((vid, g, base))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+
+    out = semantic_dedup(df, k=4, iters=2, tau=0.9).collect()
+    assert len(out) == 104
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes[-1] >= 50, sizes  # the planted skew actually exists
+    for members in by_cluster.values():
+        survivors = sorted(r.vec_id for r in members if not r.sem_removed)
+        assert survivors == [min(r.vec_id for r in members)]
+
+    # (b) plan shape: with the broadcast shortcut off (both sides large
+    # at production scale) the pairwise stage must be a sort-merge join
+    # — the only form AQE skew-join knows how to split — and the session
+    # must actually have the splitter on.
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_string(semantic_dedup(df, k=4, iters=2, tau=0.9))
+        assert "SortMergeJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
