@@ -67,6 +67,9 @@ _FRONT = (
     "q138_margin_pair_mining_ann",
     "q139_bpe_merge_iterations",
     "q140_margin_ann_recall_audit",
+    "q141_bpe_compression_curve",
+    "q142_embedding_quant_audit",
+    "q143_ivf_cell_balance",
     # (b) changed this round
     "q137_props_schema_parse",
     "q126_margin_pair_mining",
@@ -111,13 +114,12 @@ _FRONT = (
     "q98_hash_split",
     "q100_dataset_card",
     "q101_media_chunk_windows",
-    # (e) round-4 family representatives
+    # (e) round-4 family representatives (q74/q94/q111 ceded their
+    # slots to the never-checked q141-q143 — 2-rounds-stale with green
+    # r04 rows loses to never-checked)
     "q56_dedup_components",
-    "q74_event_props_extract",
-    "q94_sequence_packing",
     "q108_editdist_verify",
     "q109_quality_percentile_gate",
-    "q111_shared_span_removal",
 )
 
 

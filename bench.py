@@ -103,6 +103,14 @@ HEADLINE = [
     "q135_unpivot_doc_metrics",
     "q136_order_distribution_stats",
     "q137_props_schema_parse",
+    # round 6: ANN-bounded margin mining (the q126 scale fix), its
+    # recall audit, and the iterative BPE loop
+    "q138_margin_pair_mining_ann",
+    "q139_bpe_merge_iterations",
+    "q140_margin_ann_recall_audit",
+    "q141_bpe_compression_curve",
+    "q142_embedding_quant_audit",
+    "q143_ivf_cell_balance",
 ]
 
 

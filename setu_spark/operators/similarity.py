@@ -1584,3 +1584,192 @@ def q140_margin_ann_recall_audit(
             >= F.lit(bound)
         ).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------- q142
+#: int8 quantization levels (asymmetric per-dimension min/max scale —
+#: the faiss ScalarQuantizer / GGML-style Q8 layout).
+QUANT_LEVELS = 255
+
+
+@register(
+    "q142_embedding_quant_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT i AS dim, CAST(x AS DOUBLE) AS x
+      FROM (SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    s AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM e GROUP BY dim),
+    q AS (
+      SELECT e.dim, s.lo, s.hi,
+             CASE WHEN s.hi = s.lo THEN 0.0
+                  ELSE abs(e.x - (s.lo
+                       + round((e.x - s.lo) / ((s.hi - s.lo) / {QUANT_LEVELS}.0))
+                         * ((s.hi - s.lo) / {QUANT_LEVELS}.0)))
+             END AS err
+      FROM e JOIN s USING (dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(any_value(lo), 6) AS lo,
+           round(any_value(hi), 6) AS hi,
+           round(CAST(sum(CAST(err AS DECIMAL(27,18))) AS DOUBLE)
+                 / count(*), 9) AS mean_abs_err,
+           round(max(err), 9) AS max_abs_err
+    FROM q GROUP BY dim
+    """,
+)
+def q142_embedding_quant_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension int8 scalar-quantization audit — the "can I ship
+    these embeddings as int8" readout an ANN index build runs before
+    compressing a 100 TB vector corpus 4×: for each dimension, the
+    min/max calibration range and the mean/max absolute reconstruction
+    error of {QUANT_LEVELS}-level asymmetric quantization
+    (q = round((x−lo)/scale), x̂ = lo + q·scale — the faiss
+    ScalarQuantizer layout). Read next to q131/q140's recall audits:
+    range, error, and recall are the three numbers a quantization
+    decision needs. No reference counterpart (it has no embedding
+    surface at all).
+
+    Scale shape: posexplode → ONE shuffle on (dim) where the window
+    min/max, the per-row reconstruction error, and the final per-dim
+    aggregate all share the same partitioning (no second exchange —
+    the groupBy reuses the window's hash partitioning). Per-row error
+    math is codegen'd double arithmetic with the identical IEEE
+    expression in both engines (lo/hi/scale are exact aggregates of
+    float32-exact doubles; round-half-up to the level grid in both);
+    the order-sensitive error SUM is routed through DECIMAL(27,18)
+    (errors are ~1e-3 — 18 fractional digits keep the quantization
+    grain far below the 9-digit report rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        (F.col("i0") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    w = Window.partitionBy("dim")
+    lo, hi = F.min("x").over(w), F.max("x").over(w)
+    scale = (hi - lo) / F.lit(float(QUANT_LEVELS))
+    err = F.when(hi == lo, F.lit(0.0)).otherwise(
+        F.abs(
+            F.col("x")
+            - (lo + F.round((F.col("x") - lo) / scale, 0) * scale)
+        )
+    )
+    return (
+        e.select("dim", lo.alias("lo"), hi.alias("hi"), err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.first("lo"), 6).alias("lo"),
+            F.round(F.first("hi"), 6).alias("hi"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(27,18)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_abs_err"),
+            F.round(F.max("err"), 9).alias("max_abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q143
+_Q143_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_MINE_CELLS_SQL}
+    ),
+    vc AS (
+      SELECT vid, cell, {_COS_SQL} AS c
+      FROM (
+        SELECT v.vec_id AS vid, c.cell,
+               unnest(v.embedding) AS x, unnest(c.cvec) AS y
+        FROM embeddings v CROSS JOIN cent c
+      ) GROUP BY vid, cell
+    ),
+    assign AS (
+      SELECT vid, cell FROM (
+        SELECT vid, cell,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY c DESC, cell) AS rn
+        FROM vc) WHERE rn = 1
+    ),
+    occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM assign GROUP BY cell),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells
+            FROM embeddings)
+    SELECT cell, n_vecs,
+           round(n_vecs / CAST(n AS DOUBLE), 6) AS share,
+           round(n_vecs / (CAST(n AS DOUBLE) / n_cells), 6)
+             AS load_factor
+    FROM occ CROSS JOIN tot
+    """
+
+
+@register("q143_ivf_cell_balance", oracle=_Q143_ORACLE)
+def q143_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy balance audit — the index-health table for
+    the q138 ANN tier: assign EVERY vector to its nearest of the
+    sqrt(n) codebook cells and report per-cell population, corpus
+    share, and load factor (population / uniform expectation). A
+    load_factor far above 1 is the mega-cell failure mode that turns
+    IVF probes quadratic (the same pathology as q123's skewed
+    k-means cluster) — this is the query that catches it BEFORE a
+    production mining run, and the empirical check on q138's
+    "per-cell populations stay bounded" claim. Same audit stance as
+    q131/q133/q140: every approximate tier ships its own
+    self-measurement.
+
+    Scale shape: one narrow Arrow pass (n × C BLAS assignment, the
+    q138 assigner with topn=1, no embedding carried in the output) →
+    one map-combined groupBy(cell) over C≈sqrt(n) groups → broadcast
+    one-row totals. Nothing pair-sized anywhere."""
+    import math
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = int(math.ceil(math.sqrt(float(n))))
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id").between(1, n_cells))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    cells = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].values).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cs = round6_away(
+                (mat @ cmat.T) / (norms[:, None] * cnorm[None, :])
+            )
+            # argmax on round-6 scores; first max index = lowest cell
+            # (cmat rows are cell-ascending) == ORDER BY c DESC, cell
+            yield pd.DataFrame({"cell": cells[np.argmax(cs, axis=1)]})
+
+    occ = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(assign, "cell bigint")
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    uniform = float(n) / n_cells
+    return occ.select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.lit(float(n)), 6).alias("share"),
+        F.round(F.col("n_vecs") / F.lit(uniform), 6).alias(
+            "load_factor"
+        ),
+    )

@@ -1413,14 +1413,15 @@ def q135_unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ITERS = 4
 
 
-def _bpe_oracle(iters: int) -> str:
-    """DuckDB replay of :func:`q139_bpe_merge_iterations`: the adaptive
-    merge loop unrolled into a CTE chain — seg_k applies iteration k's
-    winning pair (b_k, a one-row CTE) to seg_{k-1} via ``list_reduce``
-    over a list-of-singleton-lists accumulator, which IS greedy
-    left-to-right BPE merging (probed: 'aaaaa' + (a,a) → [aa, aa, a]).
-    Built programmatically so the iteration count is the single
-    BPE_ITERS constant shared with the Spark loop."""
+def _bpe_chain(iters: int) -> str:
+    """The shared DuckDB CTE chain replaying the adaptive BPE merge
+    loop — seg_k applies iteration k's winning pair (b_k, a one-row
+    CTE) to seg_{k-1} via ``list_reduce`` over a list-of-singleton-
+    lists accumulator, which IS greedy left-to-right BPE merging
+    (probed: 'aaaaa' + (a,a) → [aa, aa, a]). Built programmatically so
+    the iteration count is the single BPE_ITERS constant shared with
+    the Spark loop; q139 (merge table) and q141 (compression curve)
+    SELECT from the same chain, so the two oracles cannot drift."""
     parts = [
         """
     WITH wf AS (
@@ -1448,9 +1449,8 @@ def _bpe_oracle(iters: int) -> str:
     b{k} AS (SELECT s1, s2, pair_count FROM p{k}
              ORDER BY pair_count DESC, s1, s2 LIMIT 1)"""
         )
-        if k < iters:
-            parts.append(
-                f"""
+        parts.append(
+            f"""
     seg{k} AS (
       SELECT freq,
              list_reduce(
@@ -1464,14 +1464,19 @@ def _bpe_oracle(iters: int) -> str:
                  ELSE list_concat(acc, x) END
              ) AS syms
       FROM {prev} CROSS JOIN b{k})"""
-            )
+        )
+    return ",".join(parts)
+
+
+def _bpe_oracle(iters: int) -> str:
+    """q139's SELECT over the shared chain: the adopted-merge table."""
     selects = [
         f"""SELECT CAST({k} AS BIGINT) AS iteration,
                s1 AS left_sym, s2 AS right_sym, pair_count
         FROM b{k}"""
         for k in range(1, iters + 1)
     ]
-    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return _bpe_chain(iters) + "\n    " + "\n    UNION ALL ".join(selects)
 
 
 def _bpe_merge_expr(a: str, b: str):
@@ -1568,4 +1573,99 @@ def q139_bpe_merge_iterations(
         merges,
         "iteration bigint, left_sym string, right_sym string,"
         " pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------- q141
+def _bpe_curve_oracle(iters: int) -> str:
+    """q141's SELECT over the shared chain: token totals per adopted
+    merge — seg0 (chars) through seg{iters}."""
+    tot = "(SELECT CAST(sum(freq) AS BIGINT) FROM wf)"
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS iteration,
+               CAST(sum(freq * len(syms)) AS BIGINT) AS total_tokens,
+               round(CAST(sum(freq * len(syms)) AS DOUBLE) / {tot}, 6)
+                 AS tokens_per_occurrence
+        FROM seg{k}"""
+        for k in range(0, iters + 1)
+    ]
+    return _bpe_chain(iters) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "q141_bpe_compression_curve", oracle=_bpe_curve_oracle(BPE_ITERS)
+)
+def q141_bpe_compression_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE compression curve — the tokenizer-evaluation readout for
+    q139's merge loop: total token count (and tokens per word
+    occurrence) after EACH adopted merge, iteration 0 (characters)
+    through {BPE_ITERS}. This is the curve a tokenizer build watches
+    to pick its merge budget ("how much does each merge actually buy
+    on THIS corpus"); paired with q132's vocabulary-coverage curve it
+    is the full tokenizer-design readout.
+
+    Scale shape: identical to q139 — the corpus is read once into the
+    word-frequency table; every per-iteration total is a single
+    vocabulary-bounded aggregate (Σ freq·|syms|), the winning pair and
+    the one-row total are the only driver collects, and the merge is
+    the same codegen'd JVM fold. The tokens_per_occurrence ratio
+    divides two exact BIGINTs in IEEE double in both engines and
+    rounds half-up at 6 digits (textstats._round6 discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    seg = wf.select("freq", F.split("word", "").alias("syms")).cache()
+    cached = [seg]
+    rows: list[tuple[int, int, float]] = []
+    try:
+        tot_occ = int(seg.agg(F.sum("freq")).collect()[0][0])
+        for it in range(0, BPE_ITERS + 1):
+            total = int(
+                seg.agg(
+                    F.sum(F.col("freq") * F.size("syms")).cast("long")
+                ).collect()[0][0]
+            )
+            rows.append((it, total, _round6(total / tot_occ)))
+            if it == BPE_ITERS:
+                break
+            top = (
+                seg.filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct("
+                            "   element_at(syms, i) AS s1,"
+                            "   element_at(syms, i + 1) AS s2))"
+                        )
+                    ).alias("p"),
+                )
+                .select("freq", "p.s1", "p.s2")
+                .groupBy("s1", "s2")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), "s1", "s2")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            seg = seg.select(
+                "freq",
+                _bpe_merge_expr(top[0].s1, top[0].s2).alias("syms"),
+            ).cache()
+            cached.append(seg)
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "iteration bigint, total_tokens bigint,"
+        " tokens_per_occurrence double",
     )
