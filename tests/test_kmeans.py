@@ -200,3 +200,45 @@ def test_margin_pair_mining_planted_match(spark):
     xs = [r["x_id"] for r in out]
     ys = [r["y_id"] for r in out]
     assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+
+
+def test_q142_quant_audit_planted(spark):
+    """int8 quantization audit on a planted 2-vector, 2-dim table:
+    dim 1 spans [0, 255] exactly (scale 1.0 → every value on the grid,
+    zero error); dim 2 is constant (degenerate range → zero error by
+    the hi==lo guard, not NaN)."""
+    import __spark_entry__ as e
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 7.5], 0), (1, [255.0, 7.5], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    qs = e.queries()
+    out = {r.dim: r for r in qs["q142_embedding_quant_audit"](spark, d).collect()}
+    assert out[1].lo == 0.0 and out[1].hi == 255.0
+    assert out[1].mean_abs_err == 0.0 and out[1].max_abs_err == 0.0
+    assert out[2].lo == 7.5 and out[2].hi == 7.5
+    assert out[2].mean_abs_err == 0.0 and out[2].max_abs_err == 0.0
+
+
+def test_q143_cell_balance_accounts_every_vector(spark):
+    """Occupancies must sum to n (every vector assigned exactly one
+    cell), shares to ~1, and load_factor must equal share * n_cells."""
+    import math
+
+    import __spark_entry__ as e
+    from setu_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    qs = e.queries()
+    rows = qs["q143_ivf_cell_balance"](spark, SF_ORACLE).collect()
+    n = load_table(spark, SF_ORACLE, "embeddings").count()
+    n_cells = int(math.ceil(math.sqrt(float(n))))
+    assert sum(r.n_vecs for r in rows) == n
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.load_factor - r.share * n_cells) < 1e-4
+        assert 1 <= r.cell <= n_cells
