@@ -30,6 +30,12 @@ SENSITIVE = [
     "q85_kmeans_clusters",
     "q94_sequence_packing",
     "q111_shared_span_removal",
+    # round 6: the cogroup per-cell top-k kernel (cell contents must be
+    # the ONLY input — a batch/partition-boundary leak would corrupt
+    # the candidate set) and the iterative merge loop (per-iteration
+    # top-pair collect must be layout-independent)
+    "q138_margin_pair_mining_ann",
+    "q139_bpe_merge_iterations",
 ]
 
 
