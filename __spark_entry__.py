@@ -70,10 +70,14 @@ _FRONT = (
     "q141_bpe_compression_curve",
     "q142_embedding_quant_audit",
     "q143_ivf_cell_balance",
-    # (b) changed this round
+    # (b) changed this round (q82/q90: the former rows-only carve-outs,
+    # UPGRADED to hash-checked — float64 lid_prob / exact byte moments;
+    # q126/q131 ceded their slots: q126's full pipeline runs inside
+    # q140's composed oracle, and q131's only change is a fail-fast
+    # assert that cannot alter results)
     "q137_props_schema_parse",
-    "q126_margin_pair_mining",
-    "q131_ann_recall_audit",
+    "q82_lid_predictions",
+    "q90_media_decode_stats",
     "q60_cosine_topk",
     # (c) last green in round 2 — the whole block
     "q21_price_percentiles",

@@ -33,6 +33,7 @@ from setu_spark.registry import register
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -60,8 +61,8 @@ DECODE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("byte_mean", FloatType()),
-        StructField("byte_std", FloatType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_std", DoubleType()),
     ]
 )
 
@@ -91,24 +92,42 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def decode_stats(media: DataFrame) -> DataFrame:
     """Decode each payload and emit per-item stats. Arrow-batched; payloads
-    never leave the executor as anything but summary numbers."""
+    never leave the executor as anything but summary numbers.
+
+    Stats come from EXACT integer moments (Σx, Σx² over the byte
+    buffer): mean = Σx/n and std = sqrt(n·Σx² − (Σx)²)/n are then one
+    exact-int→double conversion, one sqrt, one division — the identical
+    IEEE sequence a SQL replay computes, which is what upgraded q90
+    from rows-only to hash-checked (np.mean/np.std's pairwise float
+    reductions differ from an engine's streaming variance at ULP level;
+    exact moments sidestep the comparison entirely)."""
+    import math
+
+    from setu_spark.operators.textstats import _round6
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            n_bytes, means, stds = [], [], []
+            for p in pdf["payload"]:
+                d = _fake_decode(p)
+                n = len(d)
+                n_bytes.append(n)
+                if n == 0:
+                    means.append(0.0)
+                    stds.append(0.0)
+                    continue
+                xs = d.astype(np.int64)
+                sx = int(xs.sum())
+                sx2 = int((xs * xs).sum())
+                means.append(_round6(sx / n))
+                stds.append(_round6(math.sqrt(n * sx2 - sx * sx) / n))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(d) for d in decoded],
-                    "byte_mean": np.array(
-                        [d.mean() if len(d) else 0.0 for d in decoded],
-                        dtype=np.float32,
-                    ),
-                    "byte_std": np.array(
-                        [d.std() if len(d) else 0.0 for d in decoded],
-                        dtype=np.float32,
-                    ),
+                    "n_bytes": n_bytes,
+                    "byte_mean": np.array(means, dtype=np.float64),
+                    "byte_std": np.array(stds, dtype=np.float64),
                 }
             )
 
@@ -175,10 +194,43 @@ def _synth_media(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q90
-@register("q90_media_decode_stats")  # no oracle: mapInPandas decode path
+@register(
+    "q90_media_decode_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             CAST(list_sum(list_transform(string_split(text, ''),
+                                          c -> ascii(c))) AS BIGINT)
+               AS sx,
+             CAST(list_sum(list_transform(string_split(text, ''),
+                                          c -> ascii(c) * ascii(c)))
+                  AS BIGINT) AS sx2
+      FROM documents
+    )
+    SELECT media_id, kind, n_bytes,
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE round(sx / CAST(n_bytes AS DOUBLE), 6)
+           END AS byte_mean,
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE round(sqrt(CAST(n_bytes * sx2 - sx * sx AS DOUBLE))
+                           / n_bytes, 6)
+           END AS byte_std
+    FROM m
+    """,
+)
 def q90_media_decode_stats(spark, sf_dir: str) -> DataFrame:
-    """Binary decode plumbing over synthesized payloads (rows-only check:
-    the decode kernel is the non-SQL path by construction)."""
+    """Binary decode plumbing over synthesized payloads — UPGRADED from
+    the rows-only carve-out to a hash-checked row: the deterministic
+    fake decode reads the payload as its byte buffer, so the per-item
+    stats are exact integer moments the oracle replays byte-for-byte
+    (ASCII corpus: per-char ``ascii()`` == UTF-8 byte — the same
+    ASCII-only stance as the levenshtein oracle). A REAL codec
+    (``pip install .[media]``) replaces only ``_fake_decode``; that
+    deployment path is inference-only by nature, exactly like q82's
+    real-model tier."""
     return decode_stats(_synth_media(spark, sf_dir))
 
 

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    FloatType,
+    DoubleType,
     MapType,
     StringType,
     StructField,
@@ -159,7 +159,7 @@ def predict_lid(
         [
             StructField(id_col, docs.schema[id_col].dataType),
             StructField("pred_lang", StringType()),
-            StructField("lid_prob", FloatType()),
+            StructField("lid_prob", DoubleType()),
             StructField("model_langs", MapType(StringType(), StringType())),
         ]
     )
@@ -205,7 +205,7 @@ def predict_lid(
                 {
                     id_col: pdf[id_col],
                     "pred_lang": out_lang,
-                    "lid_prob": pd.Series(out_prob, dtype="float32"),
+                    "lid_prob": pd.Series(out_prob, dtype="float64"),
                     "model_langs": out_map,
                 }
             )

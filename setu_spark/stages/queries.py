@@ -124,12 +124,70 @@ def q81_flag_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q82
-@register("q82_lid_predictions")  # no oracle: mapInPandas inference path
+def _lid_cnt_sql(lang: str) -> str:
+    """Stopword-hit count for ``lang`` over the token list — the SQL
+    twin of _HeuristicModel.predict's Σ toks.count(w) (profile words
+    are distinct, so counting membership hits equals summing per-word
+    occurrence counts)."""
+    from setu_spark.stages.lid import STOPWORD_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in STOPWORD_PROFILES[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '),"
+        f" t -> list_contains([{words}], t)))"
+    )
+
+
+def _q82_oracle() -> str:
+    from setu_spark.stages.lid import STOPWORD_PROFILES
+
+    langs = sorted(STOPWORD_PROFILES)
+    score_cols = ",\n             ".join(
+        f"{_lid_cnt_sql(lg)} / CAST(greatest(len(string_split(text,"
+        f" ' ')), 1) AS DOUBLE) AS s_{lg}"
+        for lg in langs
+    )
+    # argmax on UNROUNDED scores, first max in lexicographic lang order
+    # (Python's max(sorted(scores), key=score) tie rule); the zero-score
+    # winner becomes 'und' with prob 0.0 (the detector's abstention).
+    pred = "CASE greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    for lg in langs:
+        pred += f" WHEN s_{lg} THEN '{lg}'"
+    pred += " END"
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS pred_lang,
+           round({best}, 6) AS lid_prob,
+           CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS doc_lang
+    FROM scored
+    """
+
+
+@register("q82_lid_predictions", oracle=_q82_oracle())
 def q82_lid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LID stage (mapInPandas + per-worker model cache + join-back, J1).
-    Deterministic heuristic detector; declared without an oracle — the
-    driver records the rows-only check for non-SQL-expressible ops."""
+    The default single-detector ensemble is the deterministic stopword
+    heuristic, so the stage is now ORACLE-CHECKED end to end (upgraded
+    from the round-2..5 rows-only carve-out): the DuckDB replay
+    reproduces the per-language hit-ratio scores as exact IEEE double
+    divisions, the abstention rule (zero score → 'und', prob 0.0), and
+    Python's max(sorted(scores)) lexicographic tie-break. ``lid_prob``
+    rides float64 end-to-end (was float32, whose representation error
+    is wider than the round-6 hash grid) and is rounded at 6 for the
+    hashed output. Real model detectors (the ``.[lid]`` extra) replace
+    the heuristic in deployment — THAT path stays inference-only by
+    nature."""
     docs = load_table(spark, sf_dir, "documents")
     return attach_lid(docs).select(
-        "doc_id", "lang", "pred_lang", "lid_prob", "doc_lang"
+        "doc_id",
+        "lang",
+        "pred_lang",
+        F.round("lid_prob", 6).alias("lid_prob"),
+        "doc_lang",
     )
