@@ -1447,3 +1447,96 @@ def q133_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_mae"),
     )
+
+
+# ---------------------------------------------------------------- q144
+# Split constants shared with q98 (curation) so the raw assignment here
+# is EXACTLY the split a q98 run would publish. curation is imported
+# before this module by __spark_entry__, so the module-level import adds
+# no registration reordering.
+from setu_spark.operators.curation import (  # noqa: E402
+    SPLIT_TEST_HEX,
+    SPLIT_VAL_HEX,
+)
+
+
+def _split_case_sql(id_expr: str) -> str:
+    """DuckDB spelling of q98's md5-prefix split rule for ``id_expr``."""
+    hx = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {hx} < '{SPLIT_VAL_HEX}' THEN 'train'"
+        f" WHEN {hx} < '{SPLIT_TEST_HEX}' THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+def _split_col(id_col: Column) -> Column:
+    """Spark twin of :func:`_split_case_sql` (q98's rule verbatim)."""
+    hx = F.substring(F.md5(id_col.cast("string")), 1, 2)
+    return (
+        F.when(hx < SPLIT_VAL_HEX, "train")
+        .when(hx < SPLIT_TEST_HEX, "val")
+        .otherwise("test")
+    )
+
+
+def _leak_free_sql() -> str:
+    return f"""{_components_cte()},
+    comp_full AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT {_split_case_sql("component")} AS final_split,
+           {_split_case_sql("doc_id")} AS raw_split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components
+    FROM comp_full
+    GROUP BY ALL
+    """
+
+
+@register("q144_leak_free_split", oracle=_leak_free_sql())
+def q144_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test assignment: q98's per-document hash split
+    is UNSAFE under near-duplication — two fuzzy copies of the same page
+    hash independently, so one lands in train and its twin in test, and
+    the eval set silently overlaps the training set. The fix every
+    production corpus needs: split by NEAR-DUP COMPONENT, not by
+    document — every doc adopts the split of its LSH connected
+    component's label (the min doc_id, so singletons reduce exactly to
+    q98's rule). Output is the reassignment matrix (final_split ×
+    raw_split): off-diagonal cells are precisely the documents q98
+    would have leaked across split boundaries, with the distinct
+    component count per cell.
+
+    Scale shape: the cost IS q56's funnel (signatures → banded LSH →
+    iterative CC), already graded at 100 TB; on top of it, one
+    doc⟕component join (shuffle on doc_id) and one 9-cell groupBy.
+    Both split decisions are pure per-row md5 arithmetic — no extra
+    pass over text, no new shuffle key. The component label being the
+    min doc_id means the canonical split needs NO second join back to
+    the label row: md5(component) is computable in place."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    comps = connected_components(pairs)
+    full = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    return (
+        full.select(
+            _split_col(F.col("component")).alias("final_split"),
+            _split_col(F.col("doc_id")).alias("raw_split"),
+            "component",
+        )
+        .groupBy("final_split", "raw_split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+    )

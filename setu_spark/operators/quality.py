@@ -790,3 +790,114 @@ def q127_classifier_quality_filter(
         F.round(score, 6).alias("quality_score"),
         (F.round(pareto, 6) > F.round(1 - score, 6)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- q145
+def _pearson_sql(n, sx, sy, sxx, syy, sxy, alias: str) -> str:
+    """Exact-moment Pearson r as one deterministic IEEE sequence: every
+    moment is an exact BIGINT sum, so numerator/denominator are single
+    int→double conversions and the fp work is two sqrts, one multiply,
+    one divide — identical in both engines."""
+    num = f"{n}*{sxy} - {sx}*{sy}"
+    dx = f"{n}*{sxx} - {sx}*{sx}"
+    dy = f"{n}*{syy} - {sy}*{sy}"
+    return (
+        f"CASE WHEN {dx} = 0 OR {dy} = 0 THEN NULL"
+        f" ELSE round(CAST({num} AS DOUBLE)"
+        f" / (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))), 6)"
+        f" END AS {alias}"
+    )
+
+
+def _pearson_col(n, sx, sy, sxx, syy, sxy):
+    num = (n * sxy - sx * sy).cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+    return F.when((dx == 0) | (dy == 0), F.lit(None)).otherwise(
+        F.round(r, 6)
+    )
+
+
+@register(
+    "q145_quality_signal_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             n_chars AS c,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS g
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(w*w) AS BIGINT) AS sww,
+             CAST(sum(c*c) AS BIGINT) AS scc,
+             CAST(sum(g*g) AS BIGINT) AS sgg,
+             CAST(sum(w*c) AS BIGINT) AS swc,
+             CAST(sum(w*g) AS BIGINT) AS swg
+      FROM m GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           {_pearson_sql('n', 'sw', 'sc', 'sww', 'scc', 'swc',
+                         'corr_words_chars')},
+           {_pearson_sql('n', 'sw', 'sg', 'sww', 'sgg', 'swg',
+                         'corr_words_digits')}
+    FROM s
+    """,
+)
+def q145_quality_signal_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language Pearson correlation between quality signals
+    (word count vs char count; word count vs digit count) — the
+    redundancy audit a filter battery needs before shipping: two
+    signals correlated at ~1 gate the same documents, so one of them
+    buys no selectivity and its threshold fights the other's.
+
+    Scale shape: ONE map-side-combinable groupBy — per-row integer
+    signals (split size, length arithmetic; no UDF) reduced to exact
+    integer moments (n, Σx, Σy, Σx², Σy², Σxy) per language, then r is
+    closed-form per group. State is 10 BIGINTs × |langs|; nothing else
+    moves — the shape survives any corpus size. Float discipline:
+    Spark's corr() (streaming double covariance) is order-dependent
+    across partitions; exact integer moments make the result
+    partition-layout-independent AND cross-engine hashable. Overflow
+    bound: Σxy terms stay < 2^63 up to ~10^13 docs/group at this
+    corpus's row widths; widen the moments to DECIMAL(38,0) past that."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    g = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("long")
+    m = docs.select(
+        "lang", w.alias("w"), F.col("n_chars").alias("c"), g.alias("g")
+    )
+    s = m.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum("c").alias("sc"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        F.sum(F.col("w") * F.col("c")).alias("swc"),
+        F.sum(F.col("w") * F.col("g")).alias("swg"),
+    )
+    n, sw, sc, sg = F.col("n"), F.col("sw"), F.col("sc"), F.col("sg")
+    return s.select(
+        "lang",
+        n.alias("n_docs"),
+        _pearson_col(
+            n, sw, sc, F.col("sww"), F.col("scc"), F.col("swc")
+        ).alias("corr_words_chars"),
+        _pearson_col(
+            n, sw, sg, F.col("sww"), F.col("sgg"), F.col("swg")
+        ).alias("corr_words_digits"),
+    )

@@ -1669,3 +1669,87 @@ def q141_bpe_compression_curve(
         "iteration bigint, total_tokens bigint,"
         " tokens_per_occurrence double",
     )
+
+
+# ---------------------------------------------------------------- q146
+def _novelty_sql() -> str:
+    # DuckDB spelling of dedup.distinct_shingles (3-word, RAW split —
+    # no empty-token filter, matching the Spark expression verbatim):
+    # shingle i = l[i]||' '||l[i+1]||' '||l[i+2] for i in 1..m-2.
+    l = "string_split(text, ' ')"
+    return f"""
+    WITH shs AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len({l}) - 1),
+               i -> {l}[i] || ' ' || {l}[i+1] || ' ' || {l}[i+2]
+             ))) AS sh
+      FROM documents
+      WHERE len({l}) >= 3
+    ),
+    dfc AS (SELECT sh, count(*) AS df FROM shs GROUP BY sh),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_sh,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM shs s JOIN dfc USING (sh) GROUP BY s.doc_id
+    )
+    SELECT CASE WHEN p.doc_id IS NULL THEN CAST(-1 AS BIGINT)
+                ELSE least((n_unique * 10) // n_sh, 9) END
+             AS novelty_decile,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    GROUP BY ALL
+    """
+
+
+@register("q146_ngram_novelty", oracle=_novelty_sql())
+def q146_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty profile: per document, the fraction of its distinct
+    3-word shingles that occur NOWHERE else in the corpus (document
+    frequency 1), bucketed into deciles. The boilerplate detector's
+    aggregate view — template farms and mirrored pages pile up in the
+    low deciles (most of their n-grams are shared), original prose sits
+    high; the decile histogram is the knob-setting artifact for a
+    shared-span removal pass (q111) and a dedup-threshold choice.
+    Docs too short to shingle (< 3 words) report as decile -1.
+
+    Scale shape: shingle rows = O(corpus tokens); two shuffles (shingle
+    → df groupBy, then doc_id re-agg) plus the df join-back on the
+    shingle key — partial-agg'd and AQE-balanced (shingle keys are
+    near-unique, so no skew by construction). The decile is computed in
+    INTEGER arithmetic ((n_unique·10) div n_sh) — no float boundary can
+    disagree between engines. At 100 TB the join-back is the big
+    exchange; the winnowed-fingerprint variant (q111's machinery,
+    sampling 1/w of shingles) is the documented cheaper estimate when
+    the exact histogram isn't required."""
+    from setu_spark.operators.dedup import distinct_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(distinct_shingles()).alias("sh")
+    )
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    decile = F.least(
+        F.expr("(n_unique * 10) div n_sh"), F.lit(9).cast("long")
+    )
+    bucket = F.when(
+        F.col("n_sh").isNull(), F.lit(-1).cast("long")
+    ).otherwise(decile)
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(bucket.alias("novelty_decile"))
+        .groupBy("novelty_decile")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -360,3 +360,33 @@ def test_dedup_impact_audit_planted_clusters(spark):
     )
     assert out[1]["n_clusters"] == 1 and out[1]["removed_chars"] == 0
     assert sum(r["n_docs"] for r in out.values()) == len(rows)
+
+
+def test_leak_free_split_reassigns_planted_leak(spark):
+    """q144 on a planted cross-split near-dup pair: doc 1 hashes to
+    train, doc 44 to test (md5 prefixes computed offline); identical
+    text makes them an LSH pair, so q144 must pull doc 44 into doc 1's
+    split (component label = min id = 1 → train) — the exact leak q98's
+    per-document rule would have shipped. Singleton doc 49 (test split)
+    must stay where its own hash puts it."""
+    import setu_spark.operators.dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, shared), (44, shared), (49, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        cells = {
+            (r.final_split, r.raw_split): (r.n_docs, r.n_components)
+            for r in dd.q144_leak_free_split(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+    assert cells == {
+        ("train", "train"): (1, 1),   # doc 1 in place
+        ("train", "test"): (1, 1),    # doc 44 PULLED train-ward: the leak
+        ("test", "test"): (1, 1),     # singleton 49 untouched
+    }

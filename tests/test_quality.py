@@ -127,3 +127,32 @@ def test_q115_sketch_gate_agrees_with_exact_on_separated_scores(spark, tmp_path)
     for lang in ("en", "hi"):
         kept = sorted(i for i, lg in approx if lg == lang)
         assert len(kept) in (18, 19)
+
+
+def test_quality_signal_correlation_exact_cases(spark):
+    """q145 on planted data: chars = 2·words exactly → r = 1.0;
+    digit count constant → zero variance → NULL (never NaN/div-zero);
+    single-row group → NULL both."""
+    import setu_spark.operators.quality as q
+
+    def doc(i, lang, k):
+        text = " ".join(["w"] * k)          # k words, zero digits
+        return (i, lang, text, 2 * k)       # n_chars := 2·words
+    docs = spark.createDataFrame(
+        [doc(1, "xx", 3), doc(2, "xx", 5), doc(3, "xx", 8),
+         doc(4, "yy", 4)],
+        ["doc_id", "lang", "text", "n_chars"],
+    )
+    orig = q.load_table
+    q.load_table = lambda sp, d, n: docs
+    try:
+        rows = {
+            r.lang: r
+            for r in q.q145_quality_signal_correlation(spark, "x").collect()
+        }
+    finally:
+        q.load_table = orig
+    assert rows["xx"].n_docs == 3
+    assert rows["xx"].corr_words_chars == 1.0
+    assert rows["xx"].corr_words_digits is None   # zero digit variance
+    assert rows["yy"].corr_words_chars is None    # single row: dx = 0

@@ -488,3 +488,26 @@ def test_q123_skewed_megacluster_guard(spark):
         assert "SortMergeJoin" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q145_correlation_single_aggregate_no_join(spark):
+    # per-row integer signals reduced in ONE map-combined groupBy(lang);
+    # Pearson r is closed-form over the exact moments per group — no
+    # second pass, no join, no window
+    df = _q(spark, "q145_quality_signal_correlation")
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
+    plan = plan_string(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q146_novelty_shuffles_bounded(spark):
+    # shingle-df aggregate + df join-back + per-doc re-agg + histogram:
+    # the only exchanges are on (sh) and (doc_id) — no cartesian, no
+    # corpus-wide window
+    df = _q(spark, "q146_ngram_novelty")
+    plan = plan_string(df)
+    assert shuffle_count(df) <= 5, shuffle_count(df)
+    assert "Cartesian" not in plan
+    assert "partitionBy=[]" not in plan

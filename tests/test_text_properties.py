@@ -61,3 +61,26 @@ def test_counting_and_predicates_match_python(spark, texts):
         assert r.bc == len(t.encode("utf-8")), t
         assert r.num == (len(t) > 0 and all(c.isdigit() for c in t)), t
         assert r.term == _py_terminal_valid(t), t
+
+
+def test_ngram_novelty_planted_histogram(spark):
+    """q146 deciles on planted docs: a mirrored pair shares every
+    shingle (decile 0), a fully original doc is all-unique (decile 9),
+    and a 2-word doc cannot shingle (decile -1)."""
+    import setu_spark.operators.textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"),
+         (3, "x y z w"), (4, "q r")],
+        ["doc_id", "text"],
+    )
+    orig = ts.load_table
+    ts.load_table = lambda sp, d, n: docs
+    try:
+        hist = {
+            r.novelty_decile: r.n_docs
+            for r in ts.q146_ngram_novelty(spark, "x").collect()
+        }
+    finally:
+        ts.load_table = orig
+    assert hist == {0: 2, 9: 1, -1: 1}
