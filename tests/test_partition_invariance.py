@@ -36,6 +36,13 @@ SENSITIVE = [
     # top-pair collect must be layout-independent)
     "q138_margin_pair_mining_ann",
     "q139_bpe_merge_iterations",
+    # round 6 session 2: the CC-funnel split (iterative label
+    # propagation again, now feeding a hash reassignment) and the
+    # exact-moment correlation, whose whole design claim is that the
+    # result is partition-layout-independent (unlike corr()'s
+    # streaming covariance)
+    "q144_leak_free_split",
+    "q145_quality_signal_correlation",
 ]
 
 
