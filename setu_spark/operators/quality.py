@@ -901,3 +901,92 @@ def q145_quality_signal_correlation(
             n, sw, sg, F.col("sww"), F.col("sgg"), F.col("swg")
         ).alias("corr_words_digits"),
     )
+
+
+# ---------------------------------------------------------------- q147
+#: Rule names in gopher_signals flag-column order.
+RULE_NAMES = ("word_count", "word_len", "stopword", "alpha")
+
+
+def _ablation_sql() -> str:
+    # Built ON TOP of q99's registered oracle string (nested CTE), so
+    # the two queries' flag semantics cannot drift by construction.
+    from setu_spark.registry import ORACLES
+
+    cases = ", ".join(
+        f"CASE WHEN flag_{r} THEN '{r}' END" for r in RULE_NAMES
+    )
+    return f"""
+    WITH q99 AS ({ORACLES["q99_gopher_quality_rules"]}),
+    failed AS (
+      SELECT doc_id,
+             list_filter([{cases}], x -> x IS NOT NULL) AS fl
+      FROM q99
+    ),
+    pairs AS (
+      SELECT f.doc_id, a.ra AS rule_a, b.rb AS rule_b
+      FROM failed f, unnest(fl) AS a(ra), unnest(fl) AS b(rb)
+      UNION ALL
+      SELECT doc_id, fl[1] AS rule_a, 'ONLY' AS rule_b
+      FROM failed WHERE len(fl) = 1
+    )
+    SELECT rule_a, rule_b, count(*) AS n_docs
+    FROM pairs GROUP BY ALL
+    """
+
+
+@register("q147_quality_rule_ablation", oracle=_ablation_sql())
+def q147_quality_rule_ablation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-battery ablation matrix for the Gopher filters: for every
+    pair of rules, how many documents BOTH catch (diagonal = each
+    rule's raw fail count), plus an `ONLY` row per rule counting the
+    documents that rule alone gates. The threshold-tuning companion to
+    q145's signal correlation: a rule whose fail set is ⊆ another's
+    co-failure cell and whose ONLY count is ~0 can be dropped without
+    admitting a single extra document — measured, not guessed, before
+    a 100 TB filtering run.
+
+    Scale shape: ONE corpus scan (q99's zero-exchange signal battery),
+    the per-row failed-rule list fanned into its ≤4×4 pair array plus
+    the sole-gate marker entirely inside the row (nested HOF transform,
+    typed-empty via a zero-length slice — no union-of-two-scans, no
+    join), then one map-combined groupBy over a ≤|rules|²+|rules| key
+    space. Output is O(1) regardless of corpus size."""
+    sig = gopher_signals(load_table(spark, sf_dir, "documents"))
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(f"flag_{r}"), F.lit(r))
+                for r in RULE_NAMES
+            ]
+        )
+    )
+    rows = sig.select(failed.alias("fl"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("fl"),
+            lambda a: F.transform(
+                F.col("fl"),
+                lambda b: F.struct(
+                    a.alias("rule_a"), b.alias("rule_b")
+                ),
+            ),
+        )
+    )
+    only = F.when(
+        F.size("fl") == 1,
+        F.array(
+            F.struct(
+                F.element_at("fl", 1).alias("rule_a"),
+                F.lit("ONLY").alias("rule_b"),
+            )
+        ),
+    ).otherwise(F.slice(pairs, 1, 0))
+    return (
+        rows.select(F.explode(F.concat(pairs, only)).alias("p"))
+        .select("p.rule_a", "p.rule_b")
+        .groupBy("rule_a", "rule_b")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -156,3 +156,35 @@ def test_quality_signal_correlation_exact_cases(spark):
     assert rows["xx"].corr_words_chars == 1.0
     assert rows["xx"].corr_words_digits is None   # zero digit variance
     assert rows["yy"].corr_words_chars is None    # single row: dx = 0
+
+
+def test_quality_rule_ablation_planted_cells(spark):
+    """q147 cells on planted docs: a doc failing word_count ONLY
+    (long-enough words, stopwords present, but < MIN_WORDS of them),
+    and a doc failing nothing, must yield exactly the diagonal cell
+    plus its ONLY row. Note '1 a word' style docs fail several rules
+    at once — the planted single-failure doc is crafted to pass the
+    other three."""
+    import setu_spark.operators.quality as q
+
+    # 10 words (< MIN_WORDS=30): mean len in [3,10], 2/10 stopwords
+    # >= 0.05, all alphabetic -> ONLY flag_word_count fires.
+    short = "the quick brown foxes jump over the lazy sleepy dogs"
+    # 35 words, same mix -> passes everything.
+    ok = " ".join(["the quick brown foxes jumps"] * 7)
+    docs = spark.createDataFrame(
+        [(1, short), (2, ok)], ["doc_id", "text"]
+    )
+    orig = q.load_table
+    q.load_table = lambda sp, d, n: docs
+    try:
+        cells = {
+            (r.rule_a, r.rule_b): r.n_docs
+            for r in q.q147_quality_rule_ablation(spark, "x").collect()
+        }
+    finally:
+        q.load_table = orig
+    assert cells == {
+        ("word_count", "word_count"): 1,
+        ("word_count", "ONLY"): 1,
+    }

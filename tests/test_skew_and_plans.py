@@ -511,3 +511,14 @@ def test_q146_novelty_shuffles_bounded(spark):
     assert shuffle_count(df) <= 5, shuffle_count(df)
     assert "Cartesian" not in plan
     assert "partitionBy=[]" not in plan
+
+
+def test_q147_ablation_single_scan_single_shuffle(spark):
+    # pair fan-out happens INSIDE the row (nested HOF over the <=4-rule
+    # failed list) — one scan, one map-combined groupBy, no join/union
+    # of a second scan
+    df = _q(spark, "q147_quality_rule_ablation")
+    assert len(scan_schemas(df)) == 1
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
+    assert "Join" not in plan_string(df)
