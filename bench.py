@@ -111,6 +111,12 @@ HEADLINE = [
     "q141_bpe_compression_curve",
     "q142_embedding_quant_audit",
     "q143_ivf_cell_balance",
+    # round 6 session 2: leak-free split, signal correlation, n-gram
+    # novelty, rule-ablation matrix
+    "q144_leak_free_split",
+    "q145_quality_signal_correlation",
+    "q146_ngram_novelty",
+    "q147_quality_rule_ablation",
 ]
 
 
