@@ -390,3 +390,63 @@ def test_leak_free_split_reassigns_planted_leak(spark):
         ("train", "test"): (1, 1),    # doc 44 PULLED train-ward: the leak
         ("test", "test"): (1, 1),     # singleton 49 untouched
     }
+
+
+def test_leak_free_split_collapse_equivalence(spark):
+    """q144's exact-collapse funnel must produce the IDENTICAL matrix to
+    the naive uncollapsed composition (LSH over every copy) on a
+    fixture exercising every collapse case: an exact 3-clique of long
+    docs, a near-dup pair of DIFFERENT texts, a short exact pair
+    (must NOT merge — no signature, no pairs in the naive graph),
+    and a singleton."""
+    import setu_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_b = long_a.replace("kappa", "lambda")  # near-dup of long_a
+    docs = spark.createDataFrame(
+        [(1, long_a), (44, long_a), (49, long_a),   # exact 3-clique
+         (2, long_b),                               # near-dup neighbor
+         (3, "a b"), (64, "a b"),                   # short exact pair
+         (5, "completely different words here make this doc unique ok")],
+        ["doc_id", "text"],
+    )
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        got = {
+            (r.final_split, r.raw_split): (r.n_docs, r.n_components)
+            for r in dd.q144_leak_free_split(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    # naive composition, inline
+    sig = dd.minhash_signatures(docs)
+    comps = dd.connected_components(dd.lsh_candidate_pairs(sig))
+    full = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    want = {
+        (r.final_split, r.raw_split): (r.n_docs, r.n_components)
+        for r in full.select(
+            dd._split_col(F.col("component")).alias("final_split"),
+            dd._split_col(F.col("doc_id")).alias("raw_split"),
+            "component",
+        )
+        .groupBy("final_split", "raw_split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+        .collect()
+    }
+    assert got == want
+    # and the short exact pair really did stay apart: doc 64 keeps its
+    # own component (its own raw split), not doc 3's
+    naive = {r.doc_id: r.component for r in full.collect()}
+    assert naive[64] == 64 and naive[3] == 3
