@@ -1160,6 +1160,30 @@ SPLIT_VAL_HEX = "e6"
 SPLIT_TEST_HEX = "f3"
 
 
+def split_case_sql(id_expr: str) -> str:
+    """DuckDB spelling of the md5-prefix split rule for ``id_expr`` —
+    THE single source of the rule's SQL form (q98's oracle spells it
+    inline with identical semantics; q144 composes this helper)."""
+    hx = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {hx} < '{SPLIT_VAL_HEX}' THEN 'train'"
+        f" WHEN {hx} < '{SPLIT_TEST_HEX}' THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+def split_col(id_col: Column) -> Column:
+    """Spark twin of :func:`split_case_sql` — shared by q98 and q144 so
+    the engine-side rule cannot fork between the per-document split and
+    its leak-free variant."""
+    hx = F.substring(F.md5(id_col.cast("string")), 1, 2)
+    return (
+        F.when(hx < SPLIT_VAL_HEX, "train")
+        .when(hx < SPLIT_TEST_HEX, "val")
+        .otherwise("test")
+    )
+
+
 @register(
     "q98_hash_split",
     oracle=f"""
@@ -1190,13 +1214,9 @@ def q98_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion exists in both engines) and one partial-agg'd groupBy on
     a 3x|langs| key space. Nothing else moves."""
     docs = load_table(spark, sf_dir, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return (
         docs.select(
-            F.when(hx < SPLIT_VAL_HEX, "train")
-            .when(hx < SPLIT_TEST_HEX, "val")
-            .otherwise("test")
-            .alias("split"),
+            split_col(F.col("doc_id")).alias("split"),
             "lang",
             F.size(F.split("text", " ", -1)).cast("long").alias("words"),
             "n_chars",

@@ -1450,34 +1450,15 @@ def q133_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q144
-# Split constants shared with q98 (curation) so the raw assignment here
-# is EXACTLY the split a q98 run would publish. curation is imported
-# before this module by __spark_entry__, so the module-level import adds
-# no registration reordering.
+# Split rule shared with q98 (ONE helper pair in curation.py, beside
+# its boundary constants) so the assignment here is EXACTLY the split
+# a q98 run would publish — the rule cannot fork between modules.
+# curation is imported before this module by __spark_entry__, so the
+# module-level import adds no registration reordering.
 from setu_spark.operators.curation import (  # noqa: E402
-    SPLIT_TEST_HEX,
-    SPLIT_VAL_HEX,
+    split_case_sql as _split_case_sql,
+    split_col as _split_col,
 )
-
-
-def _split_case_sql(id_expr: str) -> str:
-    """DuckDB spelling of q98's md5-prefix split rule for ``id_expr``."""
-    hx = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 2)"
-    return (
-        f"CASE WHEN {hx} < '{SPLIT_VAL_HEX}' THEN 'train'"
-        f" WHEN {hx} < '{SPLIT_TEST_HEX}' THEN 'val'"
-        f" ELSE 'test' END"
-    )
-
-
-def _split_col(id_col: Column) -> Column:
-    """Spark twin of :func:`_split_case_sql` (q98's rule verbatim)."""
-    hx = F.substring(F.md5(id_col.cast("string")), 1, 2)
-    return (
-        F.when(hx < SPLIT_VAL_HEX, "train")
-        .when(hx < SPLIT_TEST_HEX, "val")
-        .otherwise("test")
-    )
 
 
 def _leak_free_sql() -> str:
@@ -1522,7 +1503,7 @@ def q144_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition. This is the step that tames duplicate-dense corpora:
     LSH pair volume is quadratic in copy count per clique, so at the
     100× stress corpus (every doc a 100-clique) the collapse cuts the
-    pair stage from ~25M pairs to the 5k-rep graph — 196s → 31s
+    pair stage from ~25M pairs to the 5k-rep graph — 196s → 21s
     measured (7.4s at 20×, vs 16.9s uncollapsed). Docs too short to shingle keep their own component (they
     never generate pairs in the uncollapsed graph — the band table's
     NULL-signature guard — so collapsing them would WRONGLY merge
@@ -1533,18 +1514,36 @@ def q144_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     second join back to the label row: md5(component) is computable in
     place."""
     docs = load_table(spark, sf_dir, "documents")
-    shingleable = F.size(F.split(F.col("text"), " ", -1)) >= SHINGLE_N
+    # "shingleable" must use the SAME word count as the signature
+    # kernel's NULL guard (non-EMPTY tokens — _minhash_udf filters
+    # empties), not the raw split size: a doc like "x y " has 3 raw
+    # tokens but 2 words, gets a NULL signature, and must therefore
+    # keep its own component exactly as the uncollapsed graph leaves it.
+    shingleable = (
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " ", -1),
+                lambda w: w != F.lit(""),
+            )
+        )
+        >= SHINGLE_N
+    )
     keyed = docs.select(
         "doc_id", "text", F.md5("text").alias("k"), shingleable.alias("ok")
     )
     long_docs = keyed.filter(F.col("ok"))
-    reps = long_docs.groupBy("k").agg(F.min("doc_id").alias("rep_id"))
+    # texts within an md5(text) group are byte-identical, so min(text)
+    # carries the rep's text through the SAME shuffle that picks the
+    # rep id — no second join over the full corpus to recover it
+    reps = long_docs.groupBy("k").agg(
+        F.min("doc_id").alias("rep_id"), F.min("text").alias("text")
+    )
     doc2rep = (
-        long_docs.select("doc_id", "k").join(reps, "k").select("doc_id", "rep_id")
+        long_docs.select("doc_id", "k")
+        .join(reps.select("k", "rep_id"), "k")
+        .select("doc_id", "rep_id")
     )
-    rep_docs = long_docs.select("doc_id", "text").join(
-        reps.select(F.col("rep_id").alias("doc_id")), "doc_id"
-    )
+    rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
     sig = minhash_signatures(rep_docs)
     pairs = lsh_candidate_pairs(sig)
     comps = connected_components(pairs)

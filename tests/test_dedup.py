@@ -408,6 +408,11 @@ def test_leak_free_split_collapse_equivalence(spark):
         [(1, long_a), (44, long_a), (49, long_a),   # exact 3-clique
          (2, long_b),                               # near-dup neighbor
          (3, "a b"), (64, "a b"),                   # short exact pair
+         # 3 RAW tokens but 2 WORDS (trailing space): the signature
+         # kernel emits NULL for these, so this exact pair must NOT
+         # collapse either — guards the shingleable predicate using
+         # the kernel's non-empty word count, not the raw split size
+         (6, "x y "), (83, "x y "),
          (5, "completely different words here make this doc unique ok")],
         ["doc_id", "text"],
     )
@@ -446,7 +451,8 @@ def test_leak_free_split_collapse_equivalence(spark):
         .collect()
     }
     assert got == want
-    # and the short exact pair really did stay apart: doc 64 keeps its
-    # own component (its own raw split), not doc 3's
+    # and the short exact pairs really did stay apart: docs 64/83 keep
+    # their own components, not doc 3's/6's
     naive = {r.doc_id: r.component for r in full.collect()}
     assert naive[64] == 64 and naive[3] == 3
+    assert naive[83] == 83 and naive[6] == 6
