@@ -1761,3 +1761,130 @@ def q146_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("novelty_decile")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------- q148
+#: Winnow modulus: keep shingle hashes ≡ 0 (mod W) — a deterministic
+#: 1/W sample of each document's shingle set, identical in both engines
+#: because the shingle hash is the engine-portable polynomial family.
+WINNOW_W = 8
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _winnowed_shingle_udf(texts: pd.Series) -> pd.Series:
+    """Distinct polynomial shingle hashes ≡ 0 (mod WINNOW_W) per doc —
+    the numpy production kernel (per-batch word-hash cache), value-
+    identical to filtering `_shingle_hashes_expr`'s HOF twin."""
+    import numpy as np
+
+    from setu_spark.operators.dedup import (
+        P31,
+        SHINGLE_N,
+        WORD_B,
+        word_hash_py,
+    )
+
+    cache: dict[str, int] = {}
+    out = []
+    for text in texts.fillna(""):
+        words = [w for w in text.split(" ") if w]
+        if len(words) < SHINGLE_N:
+            out.append([])
+            continue
+        hw = np.fromiter(
+            (
+                cache[w]
+                if w in cache
+                else cache.setdefault(w, word_hash_py(w))
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+        t = (hw[:-2] * WORD_B + hw[1:-1]) % P31
+        hs = np.unique((t * WORD_B + hw[2:]) % P31)
+        out.append(hs[hs % WINNOW_W == 0].tolist())
+    return pd.Series(out)
+
+
+def _winnowed_novelty_sql() -> str:
+    from setu_spark.operators.dedup import _shingle_hashes_sql
+
+    sampled = (
+        f"list_filter({_shingle_hashes_sql('text')},"
+        f" h -> h % {WINNOW_W} = 0)"
+    )
+    return f"""
+    WITH shs AS (
+      SELECT doc_id, unnest({sampled}) AS h
+      FROM documents
+    ),
+    dfc AS (SELECT h, count(*) AS df FROM shs GROUP BY h),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_sh,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM shs s JOIN dfc USING (h) GROUP BY s.doc_id
+    )
+    SELECT CASE WHEN p.doc_id IS NULL THEN CAST(-1 AS BIGINT)
+                ELSE least((n_unique * 10) // n_sh, 9) END
+             AS novelty_decile,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    GROUP BY ALL
+    """
+
+
+@register("q148_winnowed_novelty", oracle=_winnowed_novelty_sql())
+def q148_winnowed_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q146's novelty histogram at 1/{W} the shuffle volume — the 100 TB
+    estimate: each document's distinct shingle set is winnowed to the
+    hashes ≡ 0 (mod {W}) of the engine-portable polynomial family, and
+    the df=1 fraction is computed over the SAMPLE. The statistic is
+    defined on the hashed-winnowed domain, so the DuckDB replay is
+    exact by construction (both engines compute the identical integer
+    hash set — no collision caveat, unlike q146's xxhash64 keys vs
+    string-counting oracle). Deciles are integer arithmetic as in q146;
+    docs with NO sampled shingles (short docs plus the ~(7/8)^|set|
+    tail of docs whose sample came up empty) report -1 — the estimate's
+    stated coverage cost, which shrinks geometrically with document
+    length.
+
+    Scale shape: identical to q146 (shingle-df aggregate + join-back +
+    re-agg) but every exchange carries 1/{W} of the rows; hashing rides
+    a numpy Arrow kernel (per-batch word cache), never per-row Python
+    or interpreted HOF Horner. Measured 60s → 37s at the 100× corpus:
+    the 8× exchange cut leaves the per-doc hashing pass as the dominant
+    cost — the SAME polynomial fold the MinHash signature stage runs,
+    so a production funnel computes it once and feeds both (the shuffle
+    savings, the part that matters at 1000 executors, is the full 8×).
+    Tuning W trades coverage for cost; W=1 degenerates to q146's exact
+    histogram on the polynomial domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_winnowed_shingle_udf("text")).alias("h")
+    )
+    dfc = sh.groupBy("h").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    decile = F.least(
+        F.expr("(n_unique * 10) div n_sh"), F.lit(9).cast("long")
+    )
+    bucket = F.when(
+        F.col("n_sh").isNull(), F.lit(-1).cast("long")
+    ).otherwise(decile)
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(bucket.alias("novelty_decile"))
+        .groupBy("novelty_decile")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -84,3 +84,31 @@ def test_ngram_novelty_planted_histogram(spark):
     finally:
         ts.load_table = orig
     assert hist == {0: 2, 9: 1, -1: 1}
+
+
+def test_winnowed_novelty_matches_kernel_vs_hof_twin(spark):
+    """q148's numpy winnow kernel must produce the identical sampled
+    hash sets as filtering the HOF shingle-hash twin — the same
+    three-form discipline the MinHash family keeps."""
+    from pyspark.sql import functions as F
+
+    import setu_spark.operators.textstats as ts
+    from setu_spark.operators.dedup import _shingle_hashes_expr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "x y"),                       # too short: empty
+         (3, "a b  c d"),                  # double space: filtered words
+         (4, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    hof = F.expr(
+        f"filter({_shingle_hashes_expr()}, h -> h % {ts.WINNOW_W} == 0)"
+    )
+    rows = docs.select(
+        "doc_id",
+        F.array_sort(ts._winnowed_shingle_udf("text")).alias("k"),
+        F.array_sort(hof).alias("t"),
+    ).collect()
+    for r in rows:
+        assert r.k == r.t, (r.doc_id, r.k, r.t)
