@@ -136,12 +136,11 @@ def stage_govern(spark, inp: str, out: str, cfg: dict) -> str:
     from pyspark.sql import functions as F
 
     from setu_spark.functions.pii import PII_PATTERNS, pii_count, redact_pii
-    from setu_spark.operators.curation import SPLIT_TEST_HEX, SPLIT_VAL_HEX
+    from setu_spark.operators.curation import split_col
     from setu_spark.operators.quality import gopher_signals
 
     df = _read(spark, inp)
     keep = [c for c in ("doc_id", "lang", "source") if c in df.columns]
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     base = df.select(
         *keep,
         redact_pii("text").alias("text"),
@@ -149,10 +148,7 @@ def stage_govern(spark, inp: str, out: str, cfg: dict) -> str:
             (pii_count("text", k) for k in PII_PATTERNS),
             F.lit(0),
         ).alias("pii_hits"),
-        F.when(hx < SPLIT_VAL_HEX, "train")
-        .when(hx < SPLIT_TEST_HEX, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_col(F.col("doc_id")).alias("split"),
     )
     sigs = gopher_signals(df, keep=("doc_id",))
     governed = base.join(sigs, "doc_id")
