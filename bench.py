@@ -117,6 +117,7 @@ HEADLINE = [
     "q145_quality_signal_correlation",
     "q146_ngram_novelty",
     "q147_quality_rule_ablation",
+    "q148_winnowed_novelty",
 ]
 
 
