@@ -120,10 +120,14 @@ _FRONT = (
     "q101_media_chunk_windows",
     # (e) round-4 family representatives (q74/q94/q111 ceded their
     # slots to the never-checked q141-q143 — 2-rounds-stale with green
-    # r04 rows loses to never-checked)
+    # r04 rows loses to never-checked), plus q125: its funnel switched
+    # to exact_collapsed_components this session (q56 shares the new
+    # path and was already here) — changed code must be re-checked, so
+    # it takes q109's freely-chosen rep slot (q109 is r04-green and
+    # re-enters in round 7 with the rest of the r04 block).
     "q56_dedup_components",
     "q108_editdist_verify",
-    "q109_quality_percentile_gate",
+    "q125_dedup_impact_audit",
 )
 
 

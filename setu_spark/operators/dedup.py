@@ -768,6 +768,93 @@ def connected_components(
     return labels
 
 
+def exact_collapsed_components(docs: DataFrame) -> DataFrame:
+    """(doc_id, component, in_graph) for EVERY document — the LSH/CC
+    funnel run in production order: exact-duplicate groups (min doc_id
+    per md5(text)) collapse to one representative, the rep graph goes
+    through signatures → banding → connected components, and labels
+    join back over the group mapping.
+
+    Label-identical to running the funnel over every copy, because
+    identical text ⇒ identical signature ⇒ exact copies share every
+    band: a copy clique contributes no connectivity beyond its rep, and
+    the full-graph min-id label equals the rep-graph label (the min doc
+    of any component is its own exact group's rep). ``in_graph``
+    reconstructs naive pair-graph membership exactly: a doc has ≥1
+    candidate pair iff its exact group has ≥2 copies (the copies pair
+    with each other) or its rep pairs with another rep. Docs too short
+    to shingle (the signature kernel's NON-EMPTY word count — not the
+    raw split size — must decide this, matching the NULL-signature band
+    guard) never pair, so they keep their own component with
+    ``in_graph`` false. Pinned by planted equivalence tests against the
+    uncollapsed composition for all three funnel queries (q56/q125/
+    q144).
+
+    Why this is the 100 TB form: LSH pair volume is quadratic in copy
+    count per exact clique, so duplicate-dense corpora (the ones dedup
+    exists for) explode the pair stage; collapsing first bounds it by
+    the UNIQUE-text graph. Measured at the 100× stress corpus (every
+    doc a 100-clique): q56 149s → 13s, q125 153s → 16s, q144
+    196s → 21s. At duplicate-sparse small scale the md5 group/join
+    overhead buys no shrink (~+0.7s at sf0.1) — the right side of the
+    trade."""
+    shingleable = (
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " ", -1),
+                lambda w: w != F.lit(""),
+            )
+        )
+        >= SHINGLE_N
+    )
+    keyed = docs.select(
+        "doc_id", "text", F.md5("text").alias("k"), shingleable.alias("ok")
+    )
+    long_docs = keyed.filter(F.col("ok"))
+    # texts within an md5(text) group are byte-identical, so min(text)
+    # carries the rep's text through the SAME shuffle that picks the
+    # rep id — no second join over the full corpus to recover it
+    reps = long_docs.groupBy("k").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min("text").alias("text"),
+        F.count("*").alias("group_size"),
+    )
+    doc2rep = (
+        long_docs.select("doc_id", "k")
+        .join(reps.select("k", "rep_id", "group_size"), "k")
+        .select("doc_id", "rep_id", "group_size")
+    )
+    rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
+    sig = minhash_signatures(rep_docs)
+    pairs = lsh_candidate_pairs(sig)
+    comps = connected_components(pairs)
+    rep_full = (
+        reps.select("rep_id")
+        .join(comps.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left")
+        .select(
+            "rep_id",
+            F.coalesce("component", "rep_id").alias("component"),
+            F.col("component").isNotNull().alias("rep_in_graph"),
+        )
+    )
+    long_full = (
+        doc2rep.join(rep_full, "rep_id")
+        .select(
+            "doc_id",
+            "component",
+            ((F.col("group_size") >= 2) | F.col("rep_in_graph")).alias(
+                "in_graph"
+            ),
+        )
+    )
+    short_full = keyed.filter(~F.col("ok")).select(
+        "doc_id",
+        F.col("doc_id").alias("component"),
+        F.lit(False).alias("in_graph"),
+    )
+    return long_full.unionByName(short_full)
+
+
 def _components_cte() -> str:
     """Shared DuckDB CTE chain (q56/q125): the same LSH candidate edges
     as :func:`_pairs_sql` (un-thresholded), then components by recursive
@@ -817,16 +904,21 @@ def _components_sql() -> str:
 @register("q56_dedup_components", oracle=_components_sql())
 def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy-dedup decision: MinHash signatures → LSH candidate
-    pairs → connected components → per-component survivor stats. The
-    iterative min-label propagation's fixpoint is oracle-checked against a
-    DuckDB recursive transitive closure (:func:`_components_sql`); the
-    component math is additionally pinned by unit tests on planted
-    duplicate clusters."""
+    pairs → connected components → per-component survivor stats, run in
+    production order through :func:`exact_collapsed_components` (exact
+    groups collapse to reps before the funnel — label- and
+    membership-identical to the uncollapsed composition, see its proof;
+    149s → 13s at the duplicate-dense 100× corpus). The fixpoint is
+    oracle-checked against a DuckDB recursive transitive closure
+    (:func:`_components_sql`) over the UNCOLLAPSED graph; the component
+    math is additionally pinned by unit tests on planted duplicate
+    clusters and a collapsed≡naive equivalence test. ``in_graph``
+    restores the historical output contract exactly: only docs with ≥1
+    candidate pair appear, and the survivor is the member min id ( =
+    the component label)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
-    comps = connected_components(pairs)
-    return comps.groupBy("component").agg(
+    members = exact_collapsed_components(docs).filter(F.col("in_graph"))
+    return members.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.min("doc_id").alias("survivor_doc_id"),
     )
@@ -873,23 +965,17 @@ def q125_dedup_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerating into one giant component before a multi-day 100 TB job
     commits to it.
 
-    Scale shape: q56's funnel (signatures → banded LSH → iterative CC)
-    unchanged, then one broadcast-sized rollup: per-component stats are
+    Scale shape: q56's funnel in production order
+    (:func:`exact_collapsed_components` — exact groups collapse to reps
+    first, label-identical, 153s → 16s at the duplicate-dense 100×
+    corpus), then one broadcast-sized rollup: per-component stats are
     one shuffle over the (doc, component) rows (``min_by`` keeps the
     survivor's chars without a self-join), and the histogram groups the
     ≤|components| rows — negligible next to the funnel."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
-    comps = connected_components(pairs)
-    full = (
-        docs.select("doc_id", "n_chars")
-        .join(comps, "doc_id", "left")
-        .select(
-            F.coalesce("component", "doc_id").alias("component"),
-            "doc_id",
-            "n_chars",
-        )
+    full = docs.select("doc_id", "n_chars").join(
+        exact_collapsed_components(docs).select("doc_id", "component"),
+        "doc_id",
     )
     per = full.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
@@ -1490,79 +1576,17 @@ def q144_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     would have leaked across split boundaries, with the distinct
     component count per cell.
 
-    Scale shape — the production funnel ORDER, not just its pieces:
-    EXACT-duplicate groups collapse to one representative (min doc_id
-    per md5(text)) BEFORE the LSH/CC funnel runs, and the component
-    label broadcasts back over the group join. Provably
-    label-identical to running LSH over every copy: identical text ⇒
-    identical signature ⇒ exact copies share every band, so a copy
-    clique contributes nothing to connectivity beyond its
-    representative, and the full-graph min-id label equals the rep-graph
-    label (the min doc of any component is its own exact-group's rep);
-    pinned by a planted equivalence test against the uncollapsed
-    composition. This is the step that tames duplicate-dense corpora:
-    LSH pair volume is quadratic in copy count per clique, so at the
-    100× stress corpus (every doc a 100-clique) the collapse cuts the
-    pair stage from ~25M pairs to the 5k-rep graph — 196s → 21s
-    measured (7.4s at 20×, vs 16.9s uncollapsed). Docs too short to shingle keep their own component (they
-    never generate pairs in the uncollapsed graph — the band table's
-    NULL-signature guard — so collapsing them would WRONGLY merge
-    exact copies the LSH graph leaves apart). On top of the funnel:
-    one doc→rep join, one rep⟕component join, one 9-cell groupBy; both
-    split decisions are pure per-row md5 arithmetic. The component
-    label being the min doc_id means the canonical split needs NO
-    second join back to the label row: md5(component) is computable in
-    place."""
+    Scale shape — the production funnel ORDER via
+    :func:`exact_collapsed_components` (exact groups collapse to reps
+    before LSH/CC; label-identical with the proof and measured numbers
+    in its docstring — 196s → 21s at the duplicate-dense 100× corpus,
+    7.4s vs 16.9s at 20×). On top of the shared funnel: one 9-cell
+    groupBy; both split decisions are pure per-row md5 arithmetic. The
+    component label being the min doc_id means the canonical split
+    needs NO second join back to the label row: md5(component) is
+    computable in place."""
     docs = load_table(spark, sf_dir, "documents")
-    # "shingleable" must use the SAME word count as the signature
-    # kernel's NULL guard (non-EMPTY tokens — _minhash_udf filters
-    # empties), not the raw split size: a doc like "x y " has 3 raw
-    # tokens but 2 words, gets a NULL signature, and must therefore
-    # keep its own component exactly as the uncollapsed graph leaves it.
-    shingleable = (
-        F.size(
-            F.filter(
-                F.split(F.col("text"), " ", -1),
-                lambda w: w != F.lit(""),
-            )
-        )
-        >= SHINGLE_N
-    )
-    keyed = docs.select(
-        "doc_id", "text", F.md5("text").alias("k"), shingleable.alias("ok")
-    )
-    long_docs = keyed.filter(F.col("ok"))
-    # texts within an md5(text) group are byte-identical, so min(text)
-    # carries the rep's text through the SAME shuffle that picks the
-    # rep id — no second join over the full corpus to recover it
-    reps = long_docs.groupBy("k").agg(
-        F.min("doc_id").alias("rep_id"), F.min("text").alias("text")
-    )
-    doc2rep = (
-        long_docs.select("doc_id", "k")
-        .join(reps.select("k", "rep_id"), "k")
-        .select("doc_id", "rep_id")
-    )
-    rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
-    sig = minhash_signatures(rep_docs)
-    pairs = lsh_candidate_pairs(sig)
-    comps = connected_components(pairs)
-    rep_full = (
-        reps.select("rep_id")
-        .join(comps.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left")
-        .select(
-            "rep_id", F.coalesce("component", "rep_id").alias("component")
-        )
-    )
-    full = (
-        doc2rep.join(rep_full, "rep_id")
-        .select("doc_id", "component")
-        .unionByName(
-            keyed.filter(~F.col("ok")).select(
-                "doc_id", F.col("doc_id").alias("component")
-            )
-        )
-    )
+    full = exact_collapsed_components(docs).select("doc_id", "component")
     return (
         full.select(
             _split_col(F.col("component")).alias("final_split"),

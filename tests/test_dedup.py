@@ -456,3 +456,84 @@ def test_leak_free_split_collapse_equivalence(spark):
     naive = {r.doc_id: r.component for r in full.collect()}
     assert naive[64] == 64 and naive[3] == 3
     assert naive[83] == 83 and naive[6] == 6
+
+
+def test_funnel_collapse_equivalence_q56_q125(spark):
+    """q56 and q125 now run through exact_collapsed_components; both
+    must reproduce the naive uncollapsed composition exactly on the
+    hostile fixture (exact clique, near-dup, short exact pair,
+    trailing-space 2-word pair, singleton) — including q56's
+    graph-membership contract (only docs with >=1 candidate pair
+    appear) and q125's per-size char-removal accounting."""
+    import setu_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_b = long_a.replace("kappa", "lambda")
+    rows = [(1, long_a), (44, long_a), (49, long_a),
+            (2, long_b),
+            (3, "a b"), (64, "a b"),
+            (6, "x y "), (83, "x y "),
+            (5, "completely different words here make this doc unique ok")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+
+    # naive compositions, inline
+    sig = dd.minhash_signatures(docs)
+    comps = dd.connected_components(dd.lsh_candidate_pairs(sig))
+    naive_q56 = {
+        (r.component, r.cluster_size, r.survivor_doc_id)
+        for r in comps.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .collect()
+    }
+    naive_full = (
+        docs.select("doc_id", "n_chars")
+        .join(comps, "doc_id", "left")
+        .select(
+            F.coalesce("component", "doc_id").alias("component"),
+            "doc_id",
+            "n_chars",
+        )
+    )
+    naive_per = naive_full.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        (F.sum("n_chars") - F.min_by("n_chars", "doc_id")).alias(
+            "removed_chars"
+        ),
+    )
+    naive_q125 = {
+        (r.cluster_size, r.n_clusters, r.n_docs, r.removed_docs,
+         r.removed_chars)
+        for r in naive_per.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).alias("removed_docs"),
+            F.sum("removed_chars").alias("removed_chars"),
+        )
+        .collect()
+    }
+
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        got_q56 = {
+            (r.component, r.cluster_size, r.survivor_doc_id)
+            for r in dd.q56_dedup_components(spark, "x").collect()
+        }
+        got_q125 = {
+            (r.cluster_size, r.n_clusters, r.n_docs, r.removed_docs,
+             r.removed_chars)
+            for r in dd.q125_dedup_impact_audit(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+    assert got_q56 == naive_q56
+    assert got_q125 == naive_q125
+    # the exact clique must actually be in q56's output (graph members)
+    assert any(c == 1 and s >= 3 for c, s, _ in got_q56)
