@@ -118,6 +118,7 @@ HEADLINE = [
     "q146_ngram_novelty",
     "q147_quality_rule_ablation",
     "q148_winnowed_novelty",
+    "q149_component_source_purity",
 ]
 
 

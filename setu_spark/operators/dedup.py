@@ -1599,3 +1599,62 @@ def q144_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("component").alias("n_components"),
         )
     )
+
+
+# ---------------------------------------------------------------- q149
+def _source_purity_sql() -> str:
+    return f"""{_components_cte()},
+    comp_full AS (
+      SELECT d.doc_id, d.source,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    per AS (
+      SELECT component,
+             count(*) AS cluster_size,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM comp_full GROUP BY component
+      HAVING count(*) >= 2
+    )
+    SELECT n_sources,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM per GROUP BY ALL
+    """
+
+
+@register("q149_component_source_purity", oracle=_source_purity_sql())
+def q149_component_source_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Provenance profile of the duplicate graph: for every near-dup
+    component with ≥2 members, how many DISTINCT sources it spans,
+    histogrammed. n_sources=1 clusters are intra-crawl reposts (the
+    source's own redundancy — fixable upstream); n_sources≥2 clusters
+    are cross-crawl mirrors (the redundancy only corpus-level dedup can
+    remove, and the reason per-source dedup is insufficient). Together
+    with q125's size histogram this is the before-commit evidence for
+    WHERE a 100 TB dedup pass's savings actually come from.
+
+    Scale shape: the shared :func:`exact_collapsed_components` funnel
+    (collapse-first, see its proof and measured 10× at the
+    duplicate-dense 100× corpus), one source attach join, one
+    (component) aggregate with a distinct count whose domain is
+    |sources| (small by construction), and a ≤|sources|-row histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = docs.select("doc_id", "source").join(
+        exact_collapsed_components(docs).select("doc_id", "component"),
+        "doc_id",
+    )
+    per = (
+        full.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return per.groupBy("n_sources").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

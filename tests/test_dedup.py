@@ -537,3 +537,31 @@ def test_funnel_collapse_equivalence_q56_q125(spark):
     assert got_q125 == naive_q125
     # the exact clique must actually be in q56's output (graph members)
     assert any(c == 1 and s >= 3 for c, s, _ in got_q56)
+
+
+def test_component_source_purity_planted(spark):
+    """q149 on planted provenance: a cross-source exact pair (mirror),
+    an intra-source exact pair (repost), and singletons — the histogram
+    must separate them by distinct-source count."""
+    import setu_spark.operators.dedup as dd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_b = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [(1, long_a, "crawlA"), (2, long_a, "crawlB"),   # cross-source mirror
+         (3, long_b, "crawlA"), (4, long_b, "crawlA"),   # intra-source repost
+         (5, "totally unrelated text with enough words to shingle fine",
+          "crawlC")],
+        ["doc_id", "text", "source"],
+    )
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        hist = {
+            r.n_sources: (r.n_clusters, r.n_docs)
+            for r in dd.q149_component_source_purity(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+    assert hist == {1: (1, 2), 2: (1, 2)}  # singletons excluded
