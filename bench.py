@@ -119,6 +119,7 @@ HEADLINE = [
     "q147_quality_rule_ablation",
     "q148_winnowed_novelty",
     "q149_component_source_purity",
+    "q150_quality_survivor_delta",
 ]
 
 

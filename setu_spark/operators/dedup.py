@@ -1658,3 +1658,96 @@ def q149_component_source_purity(
         F.count("*").alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------- q150
+def _quality_survivor_sql() -> str:
+    return f"""{_components_cte()},
+    comp_full AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    w AS (
+      SELECT component, doc_id, n_chars,
+             max(n_chars) OVER (PARTITION BY component) AS mc,
+             count(*) OVER (PARTITION BY component) AS cs
+      FROM comp_full
+    ),
+    per AS (
+      SELECT component,
+             min(doc_id) AS minid_survivor,
+             arg_min(n_chars, doc_id) AS minid_chars,
+             min(doc_id) FILTER (WHERE n_chars = mc) AS q_survivor,
+             any_value(mc) AS best_chars
+      FROM w WHERE cs >= 2 GROUP BY component
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN q_survivor != minid_survivor
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(best_chars - minid_chars) AS BIGINT) AS chars_gained
+    FROM per
+    """
+
+
+@register("q150_quality_survivor_delta", oracle=_quality_survivor_sql())
+def q150_quality_survivor_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware survivor selection, quantified BEFORE switching:
+    min-id survivor choice (q50/q56/q125's convention) is arbitrary —
+    production dedup usually keeps the BEST copy per cluster (here:
+    most chars; ties broken by min doc_id so the choice stays
+    deterministic and engine-portable). This query reports, over all
+    ≥2-member near-dup clusters, how many clusters change survivor
+    under the quality rule and how many characters the corpus gains —
+    the one-row evidence for whether the policy switch is worth a
+    re-run of a 100 TB dedup job.
+
+    Scale shape: the shared collapse-first funnel
+    (:func:`exact_collapsed_components`), one n_chars attach join, ONE
+    aggregate per component — the quality survivor rides a single
+    ``max(struct(n_chars, -doc_id))`` (lexicographic struct max = max
+    chars, then min id among ties; no second pass, no window, no
+    self-join), min-id survivor and its chars ride ``min``/``min_by``
+    in the same shuffle — then a one-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = docs.select("doc_id", "n_chars").join(
+        exact_collapsed_components(docs).select("doc_id", "component"),
+        "doc_id",
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("c"),
+            (-F.col("doc_id")).alias("nid"),
+        )
+    )
+    per = (
+        full.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("minid_survivor"),
+            F.min_by("n_chars", "doc_id").alias("minid_chars"),
+            best.alias("best"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "minid_survivor",
+            "minid_chars",
+            (-F.col("best.nid")).alias("q_survivor"),
+            F.col("best.c").alias("best_chars"),
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(
+            F.when(
+                F.col("q_survivor") != F.col("minid_survivor"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.col("best_chars") - F.col("minid_chars"))
+        .cast("long")
+        .alias("chars_gained"),
+    )

@@ -565,3 +565,40 @@ def test_component_source_purity_planted(spark):
     finally:
         dd.load_table = orig
     assert hist == {1: (1, 2), 2: (1, 2)}  # singletons excluded
+
+
+def test_quality_survivor_delta_planted(spark):
+    """q150 on planted clusters: one cluster where the biggest copy has
+    the HIGHER id (survivor changes, chars gained), one where the
+    min-id copy is already the biggest (no change), and a max-chars TIE
+    broken toward the min id (no change, zero gain)."""
+    import setu_spark.operators.dedup as dd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big = base + " extra trailing words proving the larger copy wins"
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    tie = "completely different words that shingle fine and tie on size"
+    rows = [
+        # cluster A: near-dups, doc 10 small, doc 20 big -> survivor 10->20
+        (10, base), (20, big),
+        # cluster B: doc 30 big (min id), doc 40 small -> unchanged
+        (30, other + " nineteen twenty"), (40, other),
+        # cluster C: exact copies (equal chars) -> tie -> min id, 0 gain
+        (50, tie), (60, tie),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    orig = dd.load_table
+    dd.load_table = lambda sp, d, n: docs
+    try:
+        [r] = dd.q150_quality_survivor_delta(spark, "x").collect()
+    finally:
+        dd.load_table = orig
+    assert r.n_clusters == 3
+    assert r.n_changed == 1
+    assert r.chars_gained == (len(big) - len(base))
