@@ -46,88 +46,77 @@ from setu_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
-#: Round-6 window: the driver's correctness harness checks roughly the
+#: Round-7 window: the driver's correctness harness checks roughly the
 #: FIRST 50 entries of the returned maps, so this list pins the window
 #: explicitly (everything else follows in registration order).
-#: Priority: (a) never-driver-checked queries new this round (q138 ANN
-#: margin mining, q139 iterative BPE, q140 margin recall audit);
-#: (b) queries whose code or oracle changed this round and must be
-#: re-checked (q137 regex digit bound, q126 helper refactor, q131
-#: depth assert, q60 BRUTE_TOPK constant);
-#: (c) the whole round-2-stale block (3 rounds since their last green
-#: driver row — the round-5 verdict's rotation ask);
-#: (d) every round-3-stale query except the two rows-only checks
-#: (q82/q90 — weaker signal, rotate next round);
-#: (e) six round-4 family representatives (dedup CC funnel, edit
-#: verify, both percentile gates' exact twin, events JSON, span
-#: removal, packing) so the r04 block starts refreshing early.
-#: Round-5 greens (q116-q137 etc.) rotate OUT — one round stale max.
+#: The round-6 VERDICT pinned this window exactly — the slots are
+#: saturated, so round 7 is a feature freeze:
+#: (a) the 7 never-driver-checked queries (q144-q150, added after the
+#: round-6 window was pinned; builder-sweep green only so far);
+#: (b) the entire 42-query r04-stale block (tools/staleness.py) —
+#: 3 rounds since their last green driver row, the rotation ceiling;
+#: (c) ONE slot (the 50th) for this round's only changed query family:
+#: q63_ann_ivf_topk moves from the first-N pseudo-codebook to the
+#: q85-k-means-trained codebook (round-6 VERDICT task 4).  q138/q140/
+#: q142/q143 share the same trained-codebook helper + oracle CTE, so a
+#: green q63 driver row validates the shared change; all four are
+#: r06-green and re-enter with the r05 block in round 8.
+#: The 48 r05-stale queries rotate in round 8 (see tools/staleness.py
+#: --plan, committed as ROTATION.md).
 _FRONT = (
-    # (a) never checked
-    "q138_margin_pair_mining_ann",
-    "q139_bpe_merge_iterations",
-    "q140_margin_ann_recall_audit",
-    "q141_bpe_compression_curve",
-    "q142_embedding_quant_audit",
-    "q143_ivf_cell_balance",
-    # (b) changed this round (q82/q90: the former rows-only carve-outs,
-    # UPGRADED to hash-checked — float64 lid_prob / exact byte moments;
-    # q126/q131 ceded their slots: q126's full pipeline runs inside
-    # q140's composed oracle, and q131's only change is a fail-fast
-    # assert that cannot alter results)
-    "q137_props_schema_parse",
-    "q82_lid_predictions",
-    "q90_media_decode_stats",
-    "q60_cosine_topk",
-    # (c) last green in round 2 — the whole block
-    "q21_price_percentiles",
-    "q22_part_name_drift",
-    "q23_monthly_seasonality",
-    "q26_conditional_aggregates",
-    "q34_doc_fingerprint",
-    "q37_fingerprint_containment",
-    "q38_representative_doc_per_group",
-    "q40_reassembly_roundtrip",
-    "q42_word_ngram_repetition",
-    "q43_script_detection",
-    "q44_flagged_word_counts",
-    "q48_repetition_flag_filter",
-    "q51_minhash_signatures",
-    "q58_lsh_then_exact_jaccard",
-    # (d) last green in round 3 (minus rows-only q82/q90)
-    "q18_order_price_bands",
-    "q29_token_budget_sample",
-    "q39_tfidf_top_terms",
-    "q49_wordlist_flagged_counts",
-    "q53_token_jaccard_pairs",
-    "q54_simhash",
-    "q55_embedding_neardup",
-    "q59_dedup_removed_docs",
-    "q61_label_centroids",
-    "q62_ann_lsh_buckets",
-    "q64_decontamination",
-    "q65_keyword_phrase_hits",
-    "q66_flashtext_keyword_dist",
-    "q67_normalize_indic",
-    "q69_junk_document_flags",
-    "q81_flag_filter_survivors",
-    "q86_weighted_sample",
-    "q87_lang_balanced_sample",
-    "q91_video_frame_offsets",
-    "q92_media_bytes_by_kind",
-    "q98_hash_split",
-    "q100_dataset_card",
-    "q101_media_chunk_windows",
-    # (e) round-4 family representatives (q74/q94/q111 ceded their
-    # slots to the never-checked q141-q143 — 2-rounds-stale with green
-    # r04 rows loses to never-checked), plus q125: its funnel switched
-    # to exact_collapsed_components this session (q56 shares the new
-    # path and was already here) — changed code must be re-checked, so
-    # it takes q109's freely-chosen rep slot (q109 is r04-green and
-    # re-enters in round 7 with the rest of the r04 block).
-    "q56_dedup_components",
-    "q108_editdist_verify",
-    "q125_dedup_impact_audit",
+    # (a) never driver-checked
+    "q144_leak_free_split",
+    "q145_quality_signal_correlation",
+    "q146_ngram_novelty",
+    "q147_quality_rule_ablation",
+    "q148_winnowed_novelty",
+    "q149_component_source_purity",
+    "q150_quality_survivor_delta",
+    # (b) the full r04-stale block (42)
+    "q01_pricing_summary",
+    "q02_top_parts_by_revenue",
+    "q03_shipping_priority",
+    "q05_region_nation_revenue",
+    "q07_customer_running_spend",
+    "q08_supplier_rank_in_nation",
+    "q09_sales_rollup",
+    "q10_late_shipment_priority",
+    "q11_customers_without_orders",
+    "q12_supplier_part_breadth",
+    "q13_segment_acctbal",
+    "q14_order_gap_days",
+    "q15_status_priority_cube",
+    "q16_top3_orders_per_customer",
+    "q17_rich_customers_minus_buyers",
+    "q19_asof_last_signup",
+    "q20_repeat_buyers_intersection",
+    "q27_unified_activity_ledger",
+    "q30_doc_word_stats",
+    "q31_word_freq_topk",
+    "q32_lang_profile",
+    "q33_quality_flags",
+    "q68_language_script_profile",
+    "q71_user_sessions",
+    "q72_first_event_per_user_type",
+    "q73_event_type_hourly_share",
+    "q74_event_props_extract",
+    "q75_user_totals",
+    "q76_sliding_event_counts",
+    "q77_event_funnel",
+    "q94_sequence_packing",
+    "q95_cohort_retention",
+    "q96_event_anomaly",
+    "q103_snapshot_diff",
+    "q105_source_overlap",
+    "q106_event_type_pivot",
+    "q107_grouping_sets_revenue",
+    "q109_quality_percentile_gate",
+    "q110_source_mixture_weights",
+    "q111_shared_span_removal",
+    "q112_temperature_mixture",
+    "q113_length_histogram",
+    # (c) the one changed-query slot: trained IVF codebook
+    "q63_ann_ivf_topk",
 )
 
 

@@ -4,14 +4,15 @@
 
 Prints the compact headline JSON as its own FINAL line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": "..."}
-and the per-query loadavg block as a SEPARATE preceding line (tagged
-"loadavg_detail").  Round 5 appended the loadavg map to the single
-final line, which grew it past the driver's tail-capture window —
-BENCH_r05.json came back `parsed: null` with the headline total
-truncated out.  The driver's tail always sees a short parseable
-summary now; the full detail (loads, errors) rides the earlier line
-and bench_partial.json.
+   "n_queries": N, "sf": "..."}
+(fixed keys, ≤200 bytes) and EVERYTHING bulky — the per-query timing
+map, per-query loadavg, errors — on the SEPARATE preceding detail
+line and in bench_partial.json / --out.  Rounds 5 AND 6 both came
+back `parsed: null` because the final line carried an unbounded map
+(loadavg in r5; after that fix, still the 71-query timing map in r6)
+and the driver's tail-capture truncated it mid-object.  The rule now
+enforced by final_line() + tests/test_bench_output.py: the final line
+contains NO per-query collection of any kind.
 
 Flags:
   --full        time EVERY registered query (the whole registry), not
@@ -123,11 +124,45 @@ HEADLINE = [
 ]
 
 
+def detail_line(payload: dict) -> dict:
+    """Everything bulky rides this SECOND-TO-LAST line: the per-query
+    timing map, loadavg detail, and errors.  BENCH_r05 and BENCH_r06
+    both came back ``parsed: null`` because the final line carried the
+    per-query map (71+ queries → multi-KB) and the driver's tail-capture
+    truncated it mid-object.  Nothing unbounded may ride the final line.
+    """
+    detail = {
+        "queries": payload["queries"],
+        "loadavg_detail": payload["loadavg"],
+    }
+    if payload.get("errors"):
+        detail["errors"] = payload["errors"]
+    return detail
+
+
+def final_line(payload: dict) -> dict:
+    """The compact FINAL line: fixed keys only, ≤200 bytes serialized
+    (asserted by tests/test_bench_output.py under 2 KB tail truncation).
+    """
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "n_queries": len(payload["queries"]),
+        "sf": payload["sf"],
+    }
+    assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
+    return compact
+
+
 def main() -> None:
     full = "--full" in sys.argv
     out_path = None
     if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+        idx = sys.argv.index("--out")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            sys.exit("usage: bench.py [--full] [--out PATH]")
+        out_path = sys.argv[idx + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from setu_spark.session import get_spark
 
@@ -240,14 +275,8 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     # Detail (loadavg, errors) on its OWN line; the compact headline
     # summary is the FINAL line so a tail-capture of any size parses.
-    detail = {"loadavg_detail": payload["loadavg"]}
-    if errors:
-        detail["errors"] = errors
-    print(json.dumps(detail))
-    compact = {
-        k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
-    }
-    print(json.dumps(compact))
+    print(json.dumps(detail_line(payload)))
+    print(json.dumps(final_line(payload)))
 
 
 if __name__ == "__main__":
