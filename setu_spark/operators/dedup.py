@@ -798,14 +798,20 @@ def exact_collapsed_components(docs: DataFrame) -> DataFrame:
     196s → 21s. At duplicate-sparse small scale the md5 group/join
     overhead buys no shrink (~+0.7s at sf0.1) — the right side of the
     trade."""
-    shingleable = (
+    # Null-safe: for NULL text the size(...) >= N predicate evaluates to
+    # NULL, and a bare filter(ok)/filter(~ok) split would drop the row
+    # from BOTH branches (round-6 ADVICE). NULL-text docs must land in
+    # short_full with their own singleton component, like the oracles
+    # (comp_full over ALL documents) and the pre-collapse left-join path.
+    shingleable = F.coalesce(
         F.size(
             F.filter(
                 F.split(F.col("text"), " ", -1),
                 lambda w: w != F.lit(""),
             )
         )
-        >= SHINGLE_N
+        >= SHINGLE_N,
+        F.lit(False),
     )
     keyed = docs.select(
         "doc_id", "text", F.md5("text").alias("k"), shingleable.alias("ok")

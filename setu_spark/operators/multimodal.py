@@ -197,18 +197,33 @@ def _synth_media(spark, sf_dir: str) -> DataFrame:
 @register(
     "q90_media_decode_stats",
     oracle="""
-    WITH m AS (
+    WITH h AS (
       SELECT doc_id AS media_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-             CAST(list_sum(list_transform(string_split(text, ''),
-                                          c -> ascii(c))) AS BIGINT)
-               AS sx,
-             CAST(list_sum(list_transform(string_split(text, ''),
-                                          c -> ascii(c) * ascii(c)))
-                  AS BIGINT) AS sx2
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents
+    ),
+    -- true UTF-8 byte values parsed from the blob's hex dump: the
+    -- Spark kernel folds the raw byte buffer, and per-char ascii()
+    -- only equals the byte for ASCII input (round-6 ADVICE) — this
+    -- form is exact for ANY payload
+    b AS (
+      SELECT media_id, kind, n_bytes,
+             list_transform(generate_series(1, n_bytes),
+               i -> 16 * (strpos('0123456789ABCDEF',
+                                 hx[2*i-1:2*i-1]) - 1)
+                    + (strpos('0123456789ABCDEF', hx[2*i:2*i]) - 1))
+               AS bs
+      FROM h
+    ),
+    m AS (
+      SELECT media_id, kind, n_bytes,
+             CAST(list_sum(bs) AS BIGINT) AS sx,
+             CAST(list_sum(list_transform(bs, v -> v * v)) AS BIGINT)
+               AS sx2
+      FROM b
     )
     SELECT media_id, kind, n_bytes,
            CASE WHEN n_bytes = 0 THEN 0.0
@@ -226,8 +241,8 @@ def q90_media_decode_stats(spark, sf_dir: str) -> DataFrame:
     the rows-only carve-out to a hash-checked row: the deterministic
     fake decode reads the payload as its byte buffer, so the per-item
     stats are exact integer moments the oracle replays byte-for-byte
-    (ASCII corpus: per-char ``ascii()`` == UTF-8 byte — the same
-    ASCII-only stance as the levenshtein oracle). A REAL codec
+    (the oracle parses true UTF-8 bytes from ``hex(encode(text))`` —
+    exact for ANY payload, not just ASCII). A REAL codec
     (``pip install .[media]``) replaces only ``_fake_decode``; that
     deployment path is inference-only by nature, exactly like q82's
     real-model tier."""

@@ -885,6 +885,27 @@ MINE_K = 4
 #: a production job can afford to broadcast; the big side streams).
 MINE_MOD, MINE_REM = 10, 1
 
+#: One live cached stage per mining function. The candidate stage
+#: (mapInPandas / cogroup BLAS) feeds three plan branches (cand, ax,
+#: ay) and MUST be cached or it recomputes per branch — but a bare
+#: .cache() is never unpersisted, so repeated calls outside bench.py's
+#: per-query clearCache() leaked executor storage across invocations
+#: (round-6 ADVICE). Each call now evicts the SAME function's previous
+#: cache; different functions keep theirs so composed plans (q140 runs
+#: exact + ann together) stay cached until materialized.
+_LIVE_CACHE: dict[str, DataFrame] = {}
+
+
+def _scoped_cache(key: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE_CACHE.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _LIVE_CACHE[key] = df
+    return df.cache()
+
 #: Margin + mutual-best selection over a ``pr(x_id, y_id, rcos)`` CTE —
 #: shared verbatim between q126 (pr = full |X|·|Y| cross product) and
 #: q138 (pr = IVF-bounded candidates) so the two contracts cannot
@@ -1062,13 +1083,13 @@ def margin_pairs_exact(emb: DataFrame) -> DataFrame:
                     }
                 )
 
-    rows = (
+    rows = _scoped_cache(
+        "exact",
         emb.filter(F.col("vec_id") % MINE_MOD != MINE_REM)
         .select("vec_id", "embedding")
         .mapInPandas(
             mine, "side string, x_id bigint, y_id bigint, rcos double"
-        )
-        .cache()
+        ),
     )
     cand = rows.filter(F.col("side") == "x").drop("side")
     ax = (
@@ -1091,7 +1112,9 @@ def margin_pairs_exact(emb: DataFrame) -> DataFrame:
     )
     scored = (
         cand.withColumn("axv", ax)
-        .join(F.broadcast(ay), "y_id")
+        .join(ay, "y_id")  # no broadcast hint: ay is one row per Y
+        # vector and grows linearly with the corpus — AQE picks the
+        # strategy (broadcast locally, shuffle at scale)
         .select(
             "x_id",
             "y_id",
@@ -1440,13 +1463,13 @@ def margin_pairs_ann(emb: DataFrame) -> DataFrame:
             }
         )
 
-    rows = (
+    rows = _scoped_cache(
+        "ann",
         xs.groupBy("cell")
         .cogroup(ys.groupBy("cell"))
         .applyInPandas(
             per_cell, "side string, x_id bigint, y_id bigint, rcos double"
-        )
-        .cache()
+        ),
     )
     wx = Window.partitionBy("x_id").orderBy(F.desc("rcos"), F.asc("y_id"))
     cand = (
@@ -1473,7 +1496,9 @@ def margin_pairs_ann(emb: DataFrame) -> DataFrame:
     )
     scored = (
         cand.withColumn("axv", ax)
-        .join(F.broadcast(ay), "y_id")
+        .join(ay, "y_id")  # no broadcast hint: ay is one row per Y
+        # vector and grows linearly with the corpus — AQE picks the
+        # strategy (broadcast locally, shuffle at scale)
         .select(
             "x_id",
             "y_id",

@@ -539,6 +539,38 @@ def test_funnel_collapse_equivalence_q56_q125(spark):
     assert any(c == 1 and s >= 3 for c, s, _ in got_q56)
 
 
+def test_collapsed_components_keeps_null_text_docs(spark):
+    """NULL text must NOT vanish from the collapse funnel (round-6
+    ADVICE medium): a bare ok/~ok filter split drops NULL-predicate rows
+    from both branches.  NULL-text docs take the short path — their own
+    singleton component, in_graph false — matching the oracles, which
+    run comp_full over ALL documents."""
+    import setu_spark.operators.dedup as dd
+    from pyspark.sql import types as T
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (7, None), (9, None), (3, "a b")],
+        schema,
+    )
+    got = {
+        r.doc_id: (r.component, r.in_graph)
+        for r in dd.exact_collapsed_components(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 7, 9}, "every input doc must survive"
+    # NULL-text docs: singleton components, never in the pair graph
+    assert got[7] == (7, False) and got[9] == (9, False)
+    # the exact pair still collapses to the min-id component
+    assert got[1] == (1, True) and got[2] == (1, True)
+    assert got[3] == (3, False)
+
+
 def test_component_source_purity_planted(spark):
     """q149 on planted provenance: a cross-source exact pair (mirror),
     an intra-source exact pair (repost), and singletons — the histogram

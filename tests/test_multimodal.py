@@ -37,6 +37,38 @@ def test_decode_stats(media):
     assert out[1].kind == "audio"
 
 
+def test_decode_stats_oracle_parity_non_ascii(spark):
+    """The q90 oracle must replay the Spark kernel's byte moments for
+    NON-ASCII payloads too (round-6 ADVICE: the old per-char ascii()
+    form silently assumed ASCII; the hex(encode(...)) form is exact for
+    any UTF-8 text)."""
+    import duckdb
+    import pandas as pd
+
+    from setu_spark.registry import ORACLES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["plain ascii", "héllo wörld", "नमस्ते दुनिया", ""],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        r.media_id: (r.n_bytes, r.byte_mean, r.byte_std)
+        for r in con.execute(ORACLES["q90_media_decode_stats"]).df().itertuples()
+    }
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r.media_id: (r.n_bytes, r.byte_mean, r.byte_std)
+        for r in decode_stats(synth_media_from_documents(docs)).collect()
+    }
+    assert got == want
+    # sanity: the non-ASCII rows really exercise multi-byte chars
+    assert got[1][0] > len("héllo wörld")
+
+
 def test_extract_features_deterministic(spark, media):
     a = {r.media_id: r.feature for r in extract_features(media).collect()}
     b = {r.media_id: r.feature for r in extract_features(media).collect()}
