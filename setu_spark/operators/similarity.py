@@ -415,144 +415,6 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- q63
-N_CENTROIDS = 8
-N_PROBE = 2
-IVF_TOPK = 10
-
-
-@register(
-    "q63_ann_ivf_topk",
-    oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-      WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
-    ),
-    vc AS (
-      SELECT vec_id, label, cell, {_COS_SQL} AS c
-      FROM (
-        SELECT v.vec_id, v.label, c.cell,
-               unnest(v.embedding) AS x, unnest(c.cvec) AS y
-        FROM embeddings v CROSS JOIN cent c WHERE v.vec_id >= 1
-      ) GROUP BY vec_id, label, cell
-    ),
-    assign AS (
-      SELECT vec_id, label, cell,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY c DESC, cell) AS rn
-      FROM vc
-    ),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    qc AS (
-      SELECT cell, {_COS_SQL} AS c
-      FROM (
-        SELECT c.cell, unnest(c.cvec) AS x, unnest(q.qe) AS y
-        FROM cent c CROSS JOIN q
-      ) GROUP BY cell
-    ),
-    probe AS (SELECT cell FROM qc ORDER BY c DESC, cell LIMIT {N_PROBE}),
-    vq AS (
-      SELECT vec_id, {_COS_SQL} AS sim
-      FROM (
-        SELECT v.vec_id, unnest(v.embedding) AS x, unnest(q.qe) AS y
-        FROM embeddings v CROSS JOIN q WHERE v.vec_id >= 1
-      ) GROUP BY vec_id
-    )
-    SELECT a.vec_id, a.label, a.cell, vq.sim AS cosine_sim
-    FROM assign a
-    JOIN probe p ON a.cell = p.cell
-    JOIN vq ON vq.vec_id = a.vec_id
-    WHERE a.rn = 1
-    ORDER BY vq.sim DESC, a.vec_id
-    LIMIT {IVF_TOPK}
-    """,
-)
-def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize every vector to its nearest of
-    {N_CENTROIDS} centroids (deterministically the embeddings of vec_id
-    1..{N_CENTROIDS}, standing in for a k-means codebook), then answer the
-    vec_id=0 query by probing only the {N_PROBE} nearest cells — the
-    inverted-file scale path where query cost is O(corpus/cells × nprobe)
-    instead of O(corpus). The codebook and query vector are collected once
-    driver-side ({N_CENTROIDS}+1 tiny rows) and shipped inside a
-    ``mapInPandas`` closure — the broadcast-variable form of the broadcast
-    join — so assignment + probe-filter + query scoring is a single narrow
-    pass with no shuffle before the final top-k. At 100 TB the cell becomes
-    the parquet partition key so a probe is a partition-pruned scan."""
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # The codebook and query vector are tiny (N_CENTROIDS+1 rows): collect
-    # once driver-side and ship them in the UDF closure — the broadcast-
-    # variable form of the broadcast join. Probe cells are picked from the
-    # same 8-row codebook (HOF cosine, oracle-identical rounding).
-    cent_rows = sorted(
-        emb.filter(F.col("vec_id").between(1, N_CENTROIDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)  # [k × d]
-    cells = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = np.array(qvec, dtype=np.float64)
-
-    # Score accumulation is element-wise multiply + np.sum — NOT a BLAS
-    # matvec: BLAS block/FMA accumulation diverges from a plain sum at ULP
-    # level, and the round-6 gate should not be asked to absorb more
-    # fold-order divergence than necessary (np.sum's pairwise reduction vs
-    # DuckDB's sequential fold is already absorbed by round-6; tested).
-    qc = round6_away(
-        (cmat * q).sum(axis=1)
-        / (np.sqrt((cmat * cmat).sum(axis=1)) * np.sqrt((q * q).sum()))
-    )
-    # top-N_PROBE cells by (cosine desc, cell asc); cells[] is already
-    # cell-ascending so stable argsort on -qc gives the tie-break free.
-    probe = set(cells[np.argsort(-qc, kind="stable")][:N_PROBE].tolist())
-
-    out_schema = (
-        "vec_id bigint, label int, cell bigint, cosine_sim double"
-    )
-
-    def assign_and_score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:  # some Arrow paths emit empty batches
-                continue
-            mat = np.stack(pdf["embedding"].values).astype(np.float64)
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            # assignment: argmax over round-6 cosines; ties → first index
-            # = lowest cell (cmat rows are cell-ascending), matching the
-            # oracle's ORDER BY c DESC, cell. Matmul is fine here: only
-            # the argmax ordering matters, not exact hash-gated values.
-            cs = round6_away(
-                (mat @ cmat.T)
-                / (norms[:, None] * np.sqrt((cmat * cmat).sum(axis=1)))
-            )
-            cell = cells[np.argmax(cs, axis=1)]
-            keep = np.isin(cell, list(probe))
-            if not keep.any():
-                continue
-            # final hash-gated score: element-wise + np.sum (see qc note)
-            sim = round6_away(
-                (mat * q).sum(axis=1) / (norms * np.sqrt((q * q).sum()))
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].values[keep],
-                    "label": pdf["label"].values[keep],
-                    "cell": cell[keep],
-                    "cosine_sim": sim[keep],
-                }
-            )
-
-    return (
-        emb.filter(F.col("vec_id") >= 1)
-        .select("vec_id", "label", "embedding")
-        .mapInPandas(assign_and_score, out_schema)
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-        .limit(IVF_TOPK)
-    )
-
-
 # -------------------------------------------------------------- k-means
 KM_K = 8
 KM_ITERS = 3
@@ -581,70 +443,13 @@ def kmeans_clusters(
     the final labeled pass. Iterative fixpoint → rows-only driver check
     (same contract carve-out as q56's connected components); planted-
     cluster recovery is pinned in tests/test_kmeans.py."""
-    import numpy as np
-
     src = df.select("vec_id", "label", "embedding").cache()
-    cents = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in src.orderBy("vec_id").limit(k).select("embedding").collect()
-        ]
-    )
-
-    def _cos_to(cents_snap):
-        cnorm = np.sqrt((cents_snap * cents_snap).sum(axis=1))
-        cnorm = np.maximum(cnorm, 1e-12)
-
-        def cos(mat):
-            mnorm = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
-            return (mat @ cents_snap.T) / (mnorm[:, None] * cnorm)
-
-        return cos
-
-    for _ in range(iters):
-        cos = _cos_to(cents)
-
-        def partials(batches, _cos=cos, _k=k):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.stack(pdf["embedding"].values).astype(np.float64)
-                # argmax over ROUND-6 cosines (q63's discipline): raw
-                # doubles differ between numpy's matmul and the oracle's
-                # per-dimension sums by ulps, and a near-tie flip here
-                # cascades through every later centroid update
-                assign = np.argmax(round6_away(_cos(mat)), axis=1)
-                out = []
-                for c in np.unique(assign):
-                    sel = mat[assign == c]
-                    out.append((int(c), len(sel), sel.sum(axis=0).tolist()))
-                yield pd.DataFrame(
-                    out, columns=["cluster", "cnt", "vsum"]
-                )
-
-        rows = src.mapInPandas(
-            partials, "cluster int, cnt long, vsum array<double>"
-        ).collect()
-        sums = np.zeros_like(cents)
-        cnts = np.zeros(k)
-        for r in rows:
-            sums[r["cluster"]] += np.asarray(r["vsum"])
-            cnts[r["cluster"]] += r["cnt"]
-        nonempty = cnts > 0
-        # New means are rounded to 6 digits (half-away, the cross-engine
-        # discipline): centroid updates become a deterministic function of
-        # the data instead of of float-summation order, so the DuckDB
-        # oracle's avg() replays them exactly. Kept (empty-cluster)
-        # centroids stay untouched.
-        cents = np.where(
-            nonempty[:, None],
-            round6_away(sums / np.maximum(cnts, 1)[:, None]),
-            cents,
-        )
-
+    cents = _lloyd_centroids(src, k, iters)
     cos = _cos_to(cents)
 
     def label_pass(batches, _cos=cos):
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -666,7 +471,108 @@ def kmeans_clusters(
     return src.mapInPandas(label_pass, KM_SCHEMA)
 
 
-def _kmeans_cte(k: int = KM_K, iters: int = KM_ITERS) -> str:
+def _cos_to(cents_snap):
+    import numpy as np
+
+    cnorm = np.sqrt((cents_snap * cents_snap).sum(axis=1))
+    cnorm = np.maximum(cnorm, 1e-12)
+
+    def cos(mat):
+        import numpy as np
+
+        mnorm = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+        return (mat @ cents_snap.T) / (mnorm[:, None] * cnorm)
+
+    return cos
+
+
+def _lloyd_centroids(src, k: int, iters: int):
+    """The Lloyd loop of :func:`kmeans_clusters`, factored out so the
+    IVF tiers can train their codebooks on the SAME oracle-replayable
+    trajectory (round-6 VERDICT task 4): init = embeddings of the k
+    lowest vec_ids, per-iteration assignment by round-6 cosine argmax,
+    update = member mean rounded to 6 digits, empty clusters keeping
+    the previous centroid.  Returns the final [k × d] float64 centroid
+    matrix — the ``c{iters}`` CTE of :func:`_kmeans_cte` row-for-row.
+
+    ``src`` must provide (vec_id, embedding) and should be cached by
+    the caller: each iteration is one narrow ``mapInPandas`` pass
+    emitting ≤k (cluster, count, vector-sum) rows per Arrow batch, so
+    the driver reduce is O(batches × k) metadata, never the corpus."""
+    import numpy as np
+
+    cents = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in src.orderBy("vec_id")
+            .limit(k)
+            .select("embedding")
+            .collect()
+        ]
+    )
+    for _ in range(iters):
+        cos = _cos_to(cents)
+
+        def partials(batches, _cos=cos):
+            import numpy as np
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["embedding"].values).astype(np.float64)
+                # argmax over ROUND-6 cosines (q63's discipline): raw
+                # doubles differ between numpy's matmul and the oracle's
+                # per-dimension sums by ulps, and a near-tie flip here
+                # cascades through every later centroid update
+                assign = np.argmax(round6_away(_cos(mat)), axis=1)
+                out = []
+                for c in np.unique(assign):
+                    sel = mat[assign == c]
+                    out.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(
+                    out, columns=["cluster", "cnt", "vsum"]
+                )
+
+        rows = src.select("vec_id", "embedding").mapInPandas(
+            partials, "cluster int, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(k)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            cnts[r["cluster"]] += r["cnt"]
+        nonempty = cnts > 0
+        # New means are rounded to 6 digits (half-away, the cross-engine
+        # discipline): centroid updates become a deterministic function of
+        # the data instead of of float-summation order, so the DuckDB
+        # oracle's avg() replays them exactly. Kept (empty-cluster)
+        # centroids stay untouched.
+        cents = np.where(
+            nonempty[:, None],
+            round6_away(sums / np.maximum(cnts, 1)[:, None]),
+            cents,
+        )
+    return cents
+
+
+def train_codebook(emb: DataFrame, k: int, iters: int = KM_ITERS):
+    """Train an IVF codebook with q85's spherical k-means instead of
+    taking the first-k embeddings verbatim: [k × d] float64 centroids,
+    cell id = row index (0-based).  On clustered corpora the trained
+    cells track the true clusters, which is what lifts q138's recall
+    and flattens q143's occupancy (pinned by tests/test_kmeans.py);
+    on structureless vectors it degrades gracefully to the pseudo-
+    codebook's behavior.  The training cost is ``iters`` narrow
+    passes over the corpus with O(batches × k) driver reduces — the
+    corpus projection is cached for the loop and released after."""
+    src = emb.select("vec_id", "embedding").cache()
+    try:
+        return _lloyd_centroids(src, k, iters)
+    finally:
+        src.unpersist(False)
+
+
+def _kmeans_cte(k: "int | str" = KM_K, iters: int = KM_ITERS) -> str:
     """DuckDB replay of :func:`kmeans_clusters` with the iterations
     UNROLLED as chained CTEs (fixed small iteration count makes the
     'iterative fixpoint' carve-out unnecessary here): identical init (the
@@ -682,7 +588,9 @@ def _kmeans_cte(k: int = KM_K, iters: int = KM_ITERS) -> str:
     Returns the CTE block (no WITH keyword, no final SELECT) ending in
     ``assign(vec_id, label, cluster, cosv)`` — shared by the q85 oracle
     and q123's SemDeDup oracle, which joins pairwise cosines onto the
-    same assignment trajectory."""
+    same assignment trajectory.  ``k`` may be an int literal or a SQL
+    subquery string (e.g. the ceil(sqrt(count)) sizing of the mining
+    codebook) — it only ever lands in the init LIMIT."""
     cos = "round(dotp / (greatest(na, 1e-12) * greatest(nc, 1e-12)), 6)"
     parts = [
         """e AS (
@@ -749,6 +657,18 @@ def _kmeans_cte(k: int = KM_K, iters: int = KM_ITERS) -> str:
     return ",\n    ".join(parts)
 
 
+def _codebook_cte(k: "int | str" = KM_K, iters: int = KM_ITERS) -> str:
+    """:func:`_kmeans_cte` extended with ``cent(cell, cvec)`` — the
+    TRAINED codebook as (cell, double-list) rows, cell = 0-based
+    cluster index: the shape q63/q138/q143's oracles score against,
+    exactly :func:`train_codebook`'s returned matrix row-for-row."""
+    return _kmeans_cte(k, iters) + f""",
+    cent AS (
+      SELECT CAST(c AS BIGINT) AS cell, list(cx ORDER BY i) AS cvec
+      FROM c{iters} GROUP BY c
+    )"""
+
+
 def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
     return (
         "WITH " + _kmeans_cte(k, iters) + """
@@ -756,6 +676,127 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS) -> str:
     FROM assign
     """
     )
+
+
+# ---------------------------------------------------------------- q63
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOPK = 10
+
+
+#: The q63 oracle replays the TRAINED codebook: the q85 k-means
+#: trajectory's final centroids (``_codebook_cte`` → ``cent``), the
+#: same trajectory whose assignment CTE labels every vector — so the
+#: oracle's cell choice IS the k-means assignment, and only the
+#: query-probe + scoring tail is q63-specific.
+_Q63_ORACLE_LAZY = lambda: f"""
+    WITH {_codebook_cte(N_CENTROIDS)},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qc AS (
+      SELECT cell, {_COS_SQL} AS c
+      FROM (
+        SELECT c.cell, unnest(c.cvec) AS x, unnest(q.qe) AS y
+        FROM cent c CROSS JOIN q
+      ) GROUP BY cell
+    ),
+    probe AS (SELECT cell FROM qc ORDER BY c DESC, cell LIMIT {N_PROBE}),
+    vq AS (
+      SELECT vec_id, {_COS_SQL} AS sim
+      FROM (
+        SELECT v.vec_id, unnest(v.embedding) AS x, unnest(q.qe) AS y
+        FROM embeddings v CROSS JOIN q WHERE v.vec_id >= 1
+      ) GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.label, CAST(a.cluster AS BIGINT) AS cell,
+           vq.sim AS cosine_sim
+    FROM assign a
+    JOIN probe p ON a.cluster = p.cell
+    JOIN vq ON vq.vec_id = a.vec_id
+    WHERE a.vec_id >= 1
+    ORDER BY vq.sim DESC, a.vec_id
+    LIMIT {IVF_TOPK}
+    """
+
+
+@register("q63_ann_ivf_topk", oracle=_Q63_ORACLE_LAZY())
+def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of
+    {N_CENTROIDS} TRAINED centroids (q85's spherical k-means trajectory
+    via :func:`train_codebook` — round-6 VERDICT task 4; cell id =
+    0-based cluster index), then answer the vec_id=0 query by probing
+    only the {N_PROBE} nearest cells — the inverted-file scale path
+    where query cost is O(corpus/cells × nprobe) instead of O(corpus).
+    The codebook and query vector are driver-sized and shipped inside a
+    ``mapInPandas`` closure — the broadcast-variable form of the broadcast
+    join — so assignment + probe-filter + query scoring is a single narrow
+    pass with no shuffle before the final top-k. At 100 TB the cell becomes
+    the parquet partition key so a probe is a partition-pruned scan."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Codebook: q85's Lloyd trajectory (oracle-shared CTE); cells are
+    # the 0-based cluster indices. The query vector is one extra row.
+    cmat = train_codebook(emb, N_CENTROIDS)  # [k × d]
+    cells = np.arange(N_CENTROIDS, dtype=np.int64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = np.array(qvec, dtype=np.float64)
+
+    # Score accumulation is element-wise multiply + np.sum — NOT a BLAS
+    # matvec: BLAS block/FMA accumulation diverges from a plain sum at ULP
+    # level, and the round-6 gate should not be asked to absorb more
+    # fold-order divergence than necessary (np.sum's pairwise reduction vs
+    # DuckDB's sequential fold is already absorbed by round-6; tested).
+    qc = round6_away(
+        (cmat * q).sum(axis=1)
+        / (np.sqrt((cmat * cmat).sum(axis=1)) * np.sqrt((q * q).sum()))
+    )
+    # top-N_PROBE cells by (cosine desc, cell asc); cells[] is already
+    # cell-ascending so stable argsort on -qc gives the tie-break free.
+    probe = set(cells[np.argsort(-qc, kind="stable")][:N_PROBE].tolist())
+
+    out_schema = (
+        "vec_id bigint, label int, cell bigint, cosine_sim double"
+    )
+
+    def assign_and_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:  # some Arrow paths emit empty batches
+                continue
+            mat = np.stack(pdf["embedding"].values).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            # assignment: argmax over round-6 cosines; ties → first index
+            # = lowest cell (cmat rows are cell-ascending), matching the
+            # oracle's ORDER BY c DESC, cell. Matmul is fine here: only
+            # the argmax ordering matters, not exact hash-gated values.
+            cs = round6_away(
+                (mat @ cmat.T)
+                / (norms[:, None] * np.sqrt((cmat * cmat).sum(axis=1)))
+            )
+            cell = cells[np.argmax(cs, axis=1)]
+            keep = np.isin(cell, list(probe))
+            if not keep.any():
+                continue
+            # final hash-gated score: element-wise + np.sum (see qc note)
+            sim = round6_away(
+                (mat * q).sum(axis=1) / (norms * np.sqrt((q * q).sum()))
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values[keep],
+                    "label": pdf["label"].values[keep],
+                    "cell": cell[keep],
+                    "cosine_sim": sim[keep],
+                }
+            )
+
+    return (
+        emb.filter(F.col("vec_id") >= 1)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(assign_and_score, out_schema)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVF_TOPK)
+    )
+
 
 
 @register("q85_kmeans_clusters", oracle=_kmeans_oracle())
@@ -1146,7 +1187,8 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q131_ann_recall_audit",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    WITH {_codebook_cte(N_CENTROIDS)},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     sims AS (
       SELECT vec_id, {_COS_SQL} AS cosine_sim
       FROM (
@@ -1160,24 +1202,6 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id FROM sims
       ORDER BY cosine_sim DESC, vec_id LIMIT {IVF_TOPK}
     ),
-    cent AS (
-      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-      WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
-    ),
-    vc AS (
-      SELECT vec_id, cell, {_COS_SQL} AS c
-      FROM (
-        SELECT v.vec_id, c.cell,
-               unnest(v.embedding) AS x, unnest(c.cvec) AS y
-        FROM embeddings v CROSS JOIN cent c WHERE v.vec_id >= 1
-      ) GROUP BY vec_id, cell
-    ),
-    assign AS (
-      SELECT vec_id, cell,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY c DESC, cell) AS rn
-      FROM vc
-    ),
     qc AS (
       SELECT cell, {_COS_SQL} AS c
       FROM (
@@ -1187,11 +1211,13 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (SELECT cell FROM qc ORDER BY c DESC, cell LIMIT {N_PROBE}),
     approx AS (
+      -- the k-means trajectory's assignment CTE replaces the old
+      -- first-N cell scoring: q63 now probes the TRAINED codebook
       SELECT a.vec_id
       FROM assign a
-      JOIN probe p ON a.cell = p.cell
+      JOIN probe p ON a.cluster = p.cell
       JOIN sims s ON s.vec_id = a.vec_id
-      WHERE a.rn = 1
+      WHERE a.vec_id >= 1
       ORDER BY s.cosine_sim DESC, a.vec_id
       LIMIT {IVF_TOPK}
     )
@@ -1252,10 +1278,7 @@ _MINE_CELLS_SQL = (
 )
 
 _Q138_ORACLE = f"""
-    WITH cent AS (
-      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-      WHERE vec_id BETWEEN 1 AND {_MINE_CELLS_SQL}
-    ),
+    WITH {_codebook_cte(_MINE_CELLS_SQL)},
     xs AS (
       SELECT vec_id AS x_id, embedding AS xe FROM embeddings
       WHERE vec_id % {MINE_MOD} <> {MINE_REM}
@@ -1312,7 +1335,7 @@ _Q138_ORACLE = f"""
     {_MARGIN_TAIL_SQL}"""
 
 
-def margin_pairs_ann(emb: DataFrame) -> DataFrame:
+def margin_pairs_ann(emb: DataFrame, codebook=None) -> DataFrame:
     """ANN-bounded margin pair mining — q126's contract with candidate
     generation routed through IVF cells instead of the exact |X|*|Y|
     kernel. The codebook is the embeddings of vec_id 1..ceil(sqrt(n))
@@ -1357,14 +1380,16 @@ def margin_pairs_ann(emb: DataFrame) -> DataFrame:
     import numpy as np
 
     n_cells = int(math.ceil(math.sqrt(float(emb.count()))))
-    cent_rows = sorted(
-        (r[0], r[1])
-        for r in emb.filter(F.col("vec_id").between(1, n_cells))
-        .select("vec_id", "embedding")
-        .collect()
+    # TRAINED codebook (q85's Lloyd trajectory at sqrt(n) cells, round-6
+    # VERDICT task 4): on clustered corpora the cells track the true
+    # clusters — higher q140 recall, flatter q143 occupancy — instead of
+    # whatever the first sqrt(n) vectors happened to be.  ``codebook``
+    # overrides for A/B tests (tests/test_kmeans.py pins trained ≥
+    # pseudo on the clustered fixture).
+    cmat = codebook if codebook is not None else train_codebook(
+        emb, n_cells
     )
-    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cells = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cells = np.arange(len(cmat), dtype=np.int64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     k = MINE_K
     #: |cos*1e6| <= 1e6 and ranks stay < 2^20 (cells ~ sqrt(n); per-
@@ -1703,27 +1728,13 @@ def q142_embedding_quant_audit(
 
 # ---------------------------------------------------------------- q143
 _Q143_ORACLE = f"""
-    WITH cent AS (
-      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-      WHERE vec_id BETWEEN 1 AND {_MINE_CELLS_SQL}
-    ),
-    vc AS (
-      SELECT vid, cell, {_COS_SQL} AS c
-      FROM (
-        SELECT v.vec_id AS vid, c.cell,
-               unnest(v.embedding) AS x, unnest(c.cvec) AS y
-        FROM embeddings v CROSS JOIN cent c
-      ) GROUP BY vid, cell
-    ),
-    assign AS (
-      SELECT vid, cell FROM (
-        SELECT vid, cell,
-               row_number() OVER (PARTITION BY vid
-                                  ORDER BY c DESC, cell) AS rn
-        FROM vc) WHERE rn = 1
-    ),
-    occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
-            FROM assign GROUP BY cell),
+    WITH {_codebook_cte(_MINE_CELLS_SQL)},
+    -- the k-means trajectory's own assignment CTE IS the nearest-cell
+    -- rule (round-6 cosine, ties to the lowest cell) — no second
+    -- scoring pass needed under the trained codebook
+    occ AS (SELECT CAST(cluster AS BIGINT) AS cell,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM assign GROUP BY cluster),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells
             FROM embeddings)
@@ -1760,14 +1771,10 @@ def q143_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     n_cells = int(math.ceil(math.sqrt(float(n))))
-    cent_rows = sorted(
-        (r[0], r[1])
-        for r in emb.filter(F.col("vec_id").between(1, n_cells))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cells = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    # the SAME trained codebook q138 mines through — the audit must
+    # measure the index that production uses, not a stand-in
+    cmat = train_codebook(emb, n_cells)
+    cells = np.arange(n_cells, dtype=np.int64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
     def assign(batches):

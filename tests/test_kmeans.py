@@ -168,6 +168,76 @@ def test_margin_ann_high_recall_on_clustered(spark):
     assert recall >= 0.9, (recall, sorted(exact - ann))
 
 
+def _clustered_fixture():
+    dim = 8
+    rows = []
+    for vid in range(100):
+        g = vid % 5
+        base = [0.0] * dim
+        base[g] = 1.0
+        base[(g + 5) % dim] = 0.05 * ((vid % 7) - 3) / 3.0
+        rows.append((vid, g, base))
+    return rows
+
+
+def test_trained_codebook_beats_pseudo_on_clustered(spark):
+    """Round-6 VERDICT task 4's 'measurably improve' contract: on the
+    clustered fixture the q85-trained codebook must (a) flatten cell
+    occupancy vs the first-N pseudo codebook — lower max load factor
+    AND lower std — and (b) not lose any of the pseudo codebook's
+    mutual-best recall.  Measured: max_lf 1.40 → 1.20, lf std 0.265 →
+    0.126, recall 1.0 → 1.0."""
+    import math
+
+    import numpy as np
+
+    from setu_spark.operators.similarity import (
+        margin_pairs_ann,
+        margin_pairs_exact,
+        round6_away,
+        train_codebook,
+    )
+
+    rows = _clustered_fixture()
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    k = int(math.ceil(math.sqrt(len(rows))))
+    pseudo = np.array(
+        [r[2] for r in sorted(rows)[1 : k + 1]], dtype=np.float64
+    )
+    trained = train_codebook(df, k)
+
+    def load_factors(cmat):
+        mat = np.array([r[2] for r in rows], dtype=np.float64)
+        cs = round6_away(
+            (mat @ cmat.T)
+            / (
+                np.sqrt((mat * mat).sum(1))[:, None]
+                * np.sqrt((cmat * cmat).sum(1))[None, :]
+            )
+        )
+        a = np.argmax(cs, axis=1)
+        occ = np.bincount(a, minlength=len(cmat)).astype(float)
+        return occ / (len(rows) / len(cmat))
+
+    lf_p, lf_t = load_factors(pseudo), load_factors(trained)
+    assert lf_t.max() < lf_p.max(), (lf_t.max(), lf_p.max())
+    assert lf_t.std() < lf_p.std(), (lf_t.std(), lf_p.std())
+
+    exact = {(r.x_id, r.y_id) for r in margin_pairs_exact(df).collect()}
+    assert exact
+    ann_p = {
+        (r.x_id, r.y_id)
+        for r in margin_pairs_ann(df, codebook=pseudo).collect()
+    }
+    ann_t = {(r.x_id, r.y_id) for r in margin_pairs_ann(df).collect()}
+    recall_p = len(exact & ann_p) / len(exact)
+    recall_t = len(exact & ann_t) / len(exact)
+    assert recall_t >= recall_p >= 0.0
+    assert recall_t >= 0.9
+
+
 def test_margin_pair_mining_planted_match(spark):
     """q126 on planted vectors: an exact clone across the X/Y split must
     be mined as a mutual-best pair, and the mutual-best filter yields at
@@ -241,4 +311,5 @@ def test_q143_cell_balance_accounts_every_vector(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r.load_factor - r.share * n_cells) < 1e-4
-        assert 1 <= r.cell <= n_cells
+        # trained codebook: cell ids are 0-based cluster indices
+        assert 0 <= r.cell < n_cells
