@@ -1714,20 +1714,26 @@ def q146_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-span removal pass (q111) and a dedup-threshold choice.
     Docs too short to shingle (< 3 words) report as decile -1.
 
-    Scale shape: shingle rows = O(corpus tokens); two shuffles (shingle
-    → df groupBy, then doc_id re-agg) plus the df join-back on the
-    shingle key — partial-agg'd and AQE-balanced (shingle keys are
-    near-unique, so no skew by construction). Both exchanges carry
-    xxhash64(shingle), never the shingle STRING (the q105 pattern —
-    fixed 8 bytes/key instead of ~20-char grams; measured 86s→60s at
-    the 100× corpus); df counts by hash equal counts by string absent
-    64-bit collisions, q64's standing argument, and the oracle counts
-    raw strings on the same grounds. The decile is computed in
-    INTEGER arithmetic ((n_unique·10) div n_sh) — no float boundary can
-    disagree between engines. At 100 TB the join-back is the big
-    exchange; the winnowed-fingerprint variant (q111's machinery,
-    sampling 1/w of shingles) is the documented cheaper estimate when
-    the exact histogram isn't required."""
+    Scale shape (round-6 VERDICT task 5's slimmed exchange, taken one
+    step further): ``n_sh`` is the distinct-shingle array's SIZE,
+    computed narrow in the scan projection — no join and no shuffle
+    carries it. ``n_unique`` needs NO join-back at all: a df=1 shingle
+    by definition has exactly one owning document, so the same
+    groupBy(sh) that counts document frequency also carries
+    min(doc_id) — for the df=1 survivors that IS the owner, and a
+    doc-sized re-aggregate finishes the count. The old plan's second
+    full-shingle exchange (the join-back of df onto every shingle
+    occurrence) is gone; ONE shingle exchange total, whose combiner
+    output shrinks with duplicate density exactly where the exact
+    histogram was expensive. The exchange carries xxhash64(shingle),
+    never the shingle STRING (the q105 pattern — fixed 8 bytes/key
+    instead of ~20-char grams); df counts by hash equal counts by
+    string absent 64-bit collisions, q64's standing argument, and the
+    oracle counts raw strings on the same grounds. The decile is
+    computed in INTEGER arithmetic ((n_unique·10) div n_sh) — no float
+    boundary can disagree between engines. The winnowed-fingerprint
+    variant (q148, sampling 1/w of shingles) remains the documented
+    cheaper estimate when the exact histogram isn't required."""
     from setu_spark.operators.dedup import distinct_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1737,26 +1743,29 @@ def q146_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(distinct_shingles(), lambda s: F.xxhash64(s))
         ).alias("sh"),
     )
-    dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    per = (
-        sh.join(dfc, "sh")
-        .groupBy("doc_id")
+    nu = (
+        sh.groupBy("sh")
         .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("doc_id"),
         )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_unique"))
+    )
+    base = docs.select(
+        "doc_id", F.size(distinct_shingles()).cast("long").alias("n_sh")
     )
     decile = F.least(
-        F.expr("(n_unique * 10) div n_sh"), F.lit(9).cast("long")
+        F.expr("(coalesce(n_unique, 0) * 10) div n_sh"),
+        F.lit(9).cast("long"),
     )
     bucket = F.when(
-        F.col("n_sh").isNull(), F.lit(-1).cast("long")
+        F.col("n_sh").isNull() | (F.col("n_sh") == 0),
+        F.lit(-1).cast("long"),
     ).otherwise(decile)
     return (
-        docs.select("doc_id")
-        .join(per, "doc_id", "left")
+        base.join(nu, "doc_id", "left")
         .select(bucket.alias("novelty_decile"))
         .groupBy("novelty_decile")
         .agg(F.count("*").alias("n_docs"))

@@ -34,6 +34,16 @@ TABLES = {
 FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 DIMS = ("customer", "supplier", "part", "nation", "region")
 
+#: Row-group size for the stress parquet: pyarrow's default writes ONE
+#: row group per table, and a single-row-group file is unsplittable --
+#: Spark's byte-range splits all resolve to the one task that owns the
+#: group midpoint, so CPU-heavy text kernels measured 1-way-parallel
+#: (q146 read 33s at 100x where the same plan runs 3s once the scan
+#: can fan out). Production 100 TB files always have many row groups;
+#: the fixture must too, or every stress number under-reports the
+#: engine.
+ROW_GROUP = 8192
+
 
 def replicate(src: str, dst: str, n: int) -> None:
     os.makedirs(dst, exist_ok=True)
@@ -52,7 +62,8 @@ def replicate(src: str, dst: str, n: int) -> None:
                     cols[c] = t[c]
             copies.append(pa.table(cols))
         out = pa.concat_tables(copies)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=ROW_GROUP)
         print(f"{name}: {len(t)} -> {len(out)} rows")
 
     # relational facts: one shared orderkey stride keeps orders⋈lineitem
@@ -71,11 +82,13 @@ def replicate(src: str, dst: str, n: int) -> None:
             }
             copies.append(pa.table(cols))
         out = pa.concat_tables(copies)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=ROW_GROUP)
         print(f"{name}: {len(t)} -> {len(out)} rows")
     for name in DIMS:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=ROW_GROUP)
         print(f"{name}: copied verbatim ({len(t)} rows)")
 
 
