@@ -62,6 +62,21 @@ def path_scheme(path: str) -> str | None:
     return head if sep else None
 
 
+def register_object_store_profile(
+    scheme: str, conf: dict[str, str]
+) -> None:
+    """Register (or override) the Hadoop conf profile for a URI scheme —
+    the deployment hook for stores beyond the built-in gs/s3a profiles
+    (an abfs account, an on-prem MinIO's fs.s3a.endpoint override, a
+    viewfs mount table). ``load_table`` applies the profile on first
+    touch of a path with that scheme; keys may carry the
+    ``spark.hadoop.`` prefix or be raw Hadoop keys.  The end-to-end
+    path (scheme detect → conf apply → real spark.read through a
+    non-file filesystem) is exercised in pytest via a viewfs mount
+    (tests/test_object_store.py) — no cloud needed."""
+    OBJECT_STORE_PROFILES[scheme] = dict(conf)
+
+
 def configure_object_store(spark: SparkSession, scheme: str) -> dict[str, str]:
     """Apply the Hadoop conf profile for an object-store scheme to the
     session's Hadoop configuration (runtime-settable, unlike spark.* core

