@@ -22,6 +22,16 @@ Flags:
                 bench records: pass a fresh name per run, e.g.
                 bench_clean_r06_1.json — never overwrite a claimed
                 number's file).
+  --funnel-shared
+                after the main sweep, re-time the collapse-funnel
+                family (q56/q125/q144/q149/q150) with the shared
+                exact_collapsed_components stage cached ONCE across
+                them (dedup.FUNNEL_SHARED). The standalone numbers in
+                the main sweep are untouched (each registered query
+                must stand alone for the oracle); the shared-once
+                timings ride the detail line under "funnel_shared" —
+                per-query regression signal without 5× redundant
+                funnel wall. See PERF.md.
 
 Each query is materialized through the ``noop`` datasource sink — every
 column is computed (no count()-style projection pruning) and nothing is
@@ -135,6 +145,8 @@ def detail_line(payload: dict) -> dict:
         "queries": payload["queries"],
         "loadavg_detail": payload["loadavg"],
     }
+    if payload.get("funnel_shared"):
+        detail["funnel_shared"] = payload["funnel_shared"]
     if payload.get("errors"):
         detail["errors"] = payload["errors"]
     return detail
@@ -270,6 +282,37 @@ def main() -> None:
             _checkpoint()
 
     payload = _checkpoint()
+    if "--funnel-shared" in sys.argv:
+        import setu_spark.operators.dedup as dedup
+
+        FUNNEL_FAMILY = [
+            "q56_dedup_components",
+            "q125_dedup_impact_audit",
+            "q144_leak_free_split",
+            "q149_component_source_purity",
+            "q150_quality_survivor_delta",
+        ]
+        shared: dict[str, float] = {}
+        dedup.FUNNEL_SHARED = True
+        try:
+            t_all = time.perf_counter()
+            for name in FUNNEL_FAMILY:
+                # no clearCache between family members — sharing the
+                # cached funnel is the point of this pass
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                shared[name] = round(time.perf_counter() - t0, 3)
+            shared["_family_total"] = round(
+                time.perf_counter() - t_all, 3
+            )
+        finally:
+            dedup.FUNNEL_SHARED = False
+            dedup.clear_funnel_memo()
+            spark.catalog.clearCache()
+        payload["funnel_shared"] = shared
+        print(f"[bench] funnel-shared: {shared}", file=sys.stderr)
     if out_path:
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1)

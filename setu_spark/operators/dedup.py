@@ -768,7 +768,40 @@ def connected_components(
     return labels
 
 
+#: Opt-in cross-query sharing of the collapse funnel (bench.py
+#: --funnel-shared): q56/q125/q144/q149/q150 all run the IDENTICAL
+#: exact_collapsed_components stage on the same documents scan, so a
+#: bench sweep of the family pays it five times (~14s of the round-6
+#: 60s headline). With the flag on, the first call caches the funnel
+#: result keyed by the input plan's semantic hash and the family
+#: reuses it — the regression signal per query stays (each query's own
+#: aggregate is still timed) without 5× redundant funnel wall. OFF by
+#: default: registered queries must stand alone for the oracle gate.
+FUNNEL_SHARED = False
+_FUNNEL_MEMO: dict[int, DataFrame] = {}
+
+
+def clear_funnel_memo() -> None:
+    for df in _FUNNEL_MEMO.values():
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+    _FUNNEL_MEMO.clear()
+
+
 def exact_collapsed_components(docs: DataFrame) -> DataFrame:
+    """See :func:`_collapsed_components` (the plan); this wrapper adds
+    the opt-in :data:`FUNNEL_SHARED` cross-query cache."""
+    if FUNNEL_SHARED:
+        key = docs.semanticHash()
+        if key not in _FUNNEL_MEMO:
+            _FUNNEL_MEMO[key] = _collapsed_components(docs).cache()
+        return _FUNNEL_MEMO[key]
+    return _collapsed_components(docs)
+
+
+def _collapsed_components(docs: DataFrame) -> DataFrame:
     """(doc_id, component, in_graph) for EVERY document — the LSH/CC
     funnel run in production order: exact-duplicate groups (min doc_id
     per md5(text)) collapse to one representative, the rep graph goes
