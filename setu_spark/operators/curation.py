@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from setu_spark.functions.hashes import hash64, hash64_sql
+from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -270,8 +271,8 @@ def q29_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .cache()
     )
+    local = scoped_cache("q29_token_budget_sample", local)
     # Tiny metadata collect (≤ PREFIX_PARTS rows): per-partition totals →
     # exclusive prefix offsets. Range partitions are key-ordered, so
     # ascending pid IS ascending key range.
@@ -1311,8 +1312,8 @@ def q102_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .cache()
     )
+    local = scoped_cache("q102_quality_tiers", local)
     totals = sorted(
         local.groupBy("pid").agg(F.max("local_rn").alias("tot")).collect()
     )

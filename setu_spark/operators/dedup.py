@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from setu_spark.functions.hashes import hash64, hash64_sql
+from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -410,7 +411,7 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the signature table feeds four plan branches (two band sides, two
     # verify joins) — cache it so signatures are computed once
-    sig = minhash_signatures(docs).cache()
+    sig = scoped_cache("q52_minhash_lsh_pairs", minhash_signatures(docs))
     return pair_est_jaccard(sig, lsh_candidate_pairs(sig))
 
 
@@ -567,7 +568,9 @@ def q53_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = toks0.groupBy("tok").agg(F.count("*").alias("df")).filter(
         F.col("df") <= TOK_MAX_DF
     )
-    toks = toks0.join(rare.select("tok"), "tok").cache()
+    toks = scoped_cache(
+        "q53_token_jaccard_pairs", toks0.join(rare.select("tok"), "tok")
+    )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -1139,9 +1142,12 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the (doc_id, simhash) projection: the band self-join reads it
     # twice, and without the cache the pandas fingerprint UDF re-hashes the
     # full corpus once per side — fine at sf0.1, dominant at larger corpora
-    sim = docs.select(
-        "doc_id", _weighted_simhash_udf("text").alias("simhash")
-    ).cache()
+    sim = scoped_cache(
+        "q57_simhash_neardup_pairs",
+        docs.select(
+            "doc_id", _weighted_simhash_udf("text").alias("simhash")
+        ),
+    )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     # Band rows CARRY the fingerprint, so verification (bit_count of the
     # xor — a codegen'd scalar) happens inline in the band self-join and
@@ -1224,7 +1230,7 @@ def q58_lsh_then_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive exact measure touches |candidates| pairs, and candidates are
     O(docs × bands) by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).cache()
+    sig = scoped_cache("q58_lsh_then_exact_jaccard", minhash_signatures(docs))
     cand = lsh_candidate_pairs(sig)
     toks = docs.select(
         "doc_id", distinct_tokens().alias("ts")
@@ -1324,7 +1330,7 @@ def q93_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides and both verify joins."""
     docs = load_table(spark, sf_dir, "documents")
     side = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    sig = minhash_signatures(docs).cache()
+    sig = scoped_cache("q93_cross_corpus_neardup", minhash_signatures(docs))
     new_b = band_table(sig.filter(side > CROSS_EXIST_MAX_HEX)).alias("n")
     ex_b = band_table(sig.filter(side <= CROSS_EXIST_MAX_HEX)).alias("e")
     cand = (
@@ -1520,7 +1526,7 @@ def q133_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit collapses to ONE row via a map-combined global aggregate.
     MAE terms go through DECIMAL(28,12) (the ln-sum discipline)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).cache()
+    sig = scoped_cache("q133_lsh_precision_audit", minhash_signatures(docs))
     cand = lsh_candidate_pairs(sig)
     toks = docs.select("doc_id", distinct_tokens().alias("ts"))
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from setu_spark.functions.hashes import hash64_sql
+from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -262,7 +263,8 @@ def q115_quality_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(t).cast("double"),
             6,
         ).alias("stopword_frac"),
-    ).cache()
+    )
+    sig = scoped_cache("q115_quality_sketch_gate", sig)
     thresholds = sig.groupBy("lang").agg(
         F.expr(
             f"approx_percentile(stopword_frac, {PCTL_FLOOR}, {PCT_ACCURACY})"

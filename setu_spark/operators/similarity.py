@@ -387,13 +387,16 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates exactly. The banded projection is cached: both join sides
     read it, and the bucket UDF would otherwise run twice."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bands = emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(_band_buckets_udf()("embedding")).alias(
-            "band", "bucket"
+    bands = _scoped_cache(
+        "q55_embedding_neardup",
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(_band_buckets_udf()("embedding")).alias(
+                "band", "bucket"
+            ),
         ),
-    ).cache()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     sim = F.round(
         cosine_pairs_udf()(F.col("a.embedding"), F.col("b.embedding")), 6
@@ -443,7 +446,13 @@ def kmeans_clusters(
     the final labeled pass. Iterative fixpoint → rows-only driver check
     (same contract carve-out as q56's connected components); planted-
     cluster recovery is pinned in tests/test_kmeans.py."""
-    src = df.select("vec_id", "label", "embedding").cache()
+    # scoped cache (round-6 ADVICE class): the projection feeds every
+    # Lloyd pass + the label pass, but a bare .cache() would leak
+    # executor storage across repeated calls — evict the previous
+    # kmeans call's cache on re-entry
+    src = _scoped_cache(
+        "kmeans", df.select("vec_id", "label", "embedding")
+    )
     cents = _lloyd_centroids(src, k, iters)
     cos = _cos_to(cents)
 
@@ -926,26 +935,16 @@ MINE_K = 4
 #: a production job can afford to broadcast; the big side streams).
 MINE_MOD, MINE_REM = 10, 1
 
-#: One live cached stage per mining function. The candidate stage
-#: (mapInPandas / cogroup BLAS) feeds three plan branches (cand, ax,
-#: ay) and MUST be cached or it recomputes per branch — but a bare
-#: .cache() is never unpersisted, so repeated calls outside bench.py's
-#: per-query clearCache() leaked executor storage across invocations
-#: (round-6 ADVICE). Each call now evicts the SAME function's previous
-#: cache; different functions keep theirs so composed plans (q140 runs
-#: exact + ann together) stay cached until materialized.
-_LIVE_CACHE: dict[str, DataFrame] = {}
-
-
-def _scoped_cache(key: str, df: DataFrame) -> DataFrame:
-    prev = _LIVE_CACHE.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist(False)
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _LIVE_CACHE[key] = df
-    return df.cache()
+#: One live cached stage per mining function (setu_spark.caching): the
+#: candidate stage (mapInPandas / cogroup BLAS) feeds three plan
+#: branches (cand, ax, ay) and MUST be cached or it recomputes per
+#: branch — but a bare .cache() is never unpersisted, so repeated
+#: calls outside bench.py's per-query clearCache() leaked executor
+#: storage across invocations (round-6 ADVICE). Each call evicts the
+#: SAME function's previous cache; different functions keep theirs so
+#: composed plans (q140 runs exact + ann together) stay cached until
+#: materialized.
+from setu_spark.caching import scoped_cache as _scoped_cache  # noqa: E402
 
 #: Margin + mutual-best selection over a ``pr(x_id, y_id, rcos)`` CTE —
 #: shared verbatim between q126 (pr = full |X|·|Y| cross product) and

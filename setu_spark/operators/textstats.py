@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from setu_spark.functions.hashes import hash64, hash64_sql
+from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -939,12 +940,11 @@ def q37_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one numpy pass for the fingerprint arrays; cache because the fp table
     # feeds three plan branches (both self-join sides + the DF-cap filter)
     # and would otherwise be recomputed per branch
-    fp = (
+    fp = scoped_cache(
+        "q37_fingerprint_containment",
         docs.select(
             "doc_id", F.explode(_fp_list_udf("text")).alias("f")
-        )
-        .distinct()
-        .cache()
+        ).distinct(),
     )
     rare = fp.groupBy("f").agg(F.count("*").alias("df")).filter(
         F.col("df") <= FP_MAX_DF

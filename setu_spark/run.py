@@ -121,9 +121,14 @@ def stage_dedup(spark, inp: str, out: str, cfg: dict) -> str:
 
     df = _read(spark, inp)
     sig = minhash_signatures(df).cache()
-    write_parquet(sig, os.path.join(out, "minhash_signatures"))
-    dst = os.path.join(out, "near_dup_pairs")
-    write_parquet(lsh_candidate_pairs(sig), dst)
+    try:
+        write_parquet(sig, os.path.join(out, "minhash_signatures"))
+        dst = os.path.join(out, "near_dup_pairs")
+        write_parquet(lsh_candidate_pairs(sig), dst)
+    finally:
+        # both sinks are materialized by now — release the stage cache
+        # (the CLI chains stages in one session; round-6 ADVICE class)
+        sig.unpersist(False)
     return dst
 
 
