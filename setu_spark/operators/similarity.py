@@ -564,6 +564,21 @@ def _lloyd_centroids(src, k: int, iters: int):
     return cents
 
 
+#: Trained codebooks memoized by (input plan semantic hash, k, iters):
+#: an IVF index trains its codebook ONCE and persists it alongside the
+#: index — composed queries (q131 audits q63, q140 audits q138) and
+#: repeated invocations over the same corpus reuse the trajectory
+#: instead of re-running the Lloyd passes. Deterministic, so values
+#: are identical either way; entries are driver-sized (k × d float64)
+#: and bounded to the last few corpora.
+_CODEBOOK_MEMO: dict[tuple, "object"] = {}
+_CODEBOOK_MEMO_MAX = 8
+
+
+def clear_codebook_memo() -> None:
+    _CODEBOOK_MEMO.clear()
+
+
 def train_codebook(emb: DataFrame, k: int, iters: int = KM_ITERS):
     """Train an IVF codebook with q85's spherical k-means instead of
     taking the first-k embeddings verbatim: [k × d] float64 centroids,
@@ -573,12 +588,21 @@ def train_codebook(emb: DataFrame, k: int, iters: int = KM_ITERS):
     on structureless vectors it degrades gracefully to the pseudo-
     codebook's behavior.  The training cost is ``iters`` narrow
     passes over the corpus with O(batches × k) driver reduces — the
-    corpus projection is cached for the loop and released after."""
+    corpus projection is cached for the loop and released after; the
+    result is memoized per corpus plan (see :data:`_CODEBOOK_MEMO`)."""
+    key = (emb.semanticHash(), k, iters)
+    hit = _CODEBOOK_MEMO.get(key)
+    if hit is not None:
+        return hit
     src = emb.select("vec_id", "embedding").cache()
     try:
-        return _lloyd_centroids(src, k, iters)
+        cents = _lloyd_centroids(src, k, iters)
     finally:
         src.unpersist(False)
+    while len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_MAX:
+        _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
+    _CODEBOOK_MEMO[key] = cents
+    return cents
 
 
 def _kmeans_cte(k: "int | str" = KM_K, iters: int = KM_ITERS) -> str:

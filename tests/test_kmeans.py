@@ -238,6 +238,31 @@ def test_trained_codebook_beats_pseudo_on_clustered(spark):
     assert recall_t >= 0.9
 
 
+def test_codebook_memo_identity_and_bound(spark):
+    """train_codebook memoizes per (corpus plan, k, iters) — an IVF
+    index trains once and persists its codebook, so composed audits
+    (q131/q140) must not re-run the Lloyd passes — and the memo stays
+    bounded and value-identical."""
+    import numpy as np
+
+    import setu_spark.operators.similarity as sim
+
+    rows = _clustered_fixture()
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    sim.clear_codebook_memo()
+    a = sim.train_codebook(df, 5)
+    b = sim.train_codebook(df, 5)
+    assert a is b, "second call must hit the memo"
+    c = sim.train_codebook(df, 6)
+    assert c is not a and len(sim._CODEBOOK_MEMO) == 2
+    sim.clear_codebook_memo()
+    d = sim.train_codebook(df, 5)
+    assert d is not a and np.array_equal(d, a), "retrain is deterministic"
+    sim.clear_codebook_memo()
+
+
 def test_margin_pair_mining_planted_match(spark):
     """q126 on planted vectors: an exact clone across the X/Y split must
     be mined as a mutual-best pair, and the mutual-best filter yields at
