@@ -90,6 +90,105 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+# ------------------------------------------------------ real codec tier
+# Two media formats are decodable with the STANDARD LIBRARY alone, so
+# the "decode step" stops being environment-blocked for them: BMP
+# (struct-parsed uncompressed 24-bit BI_RGB — the interchange baseline)
+# and WAV (PCM via the stdlib ``wave`` module). Everything else goes
+# through the PIL seam when installed, else the deterministic fake.
+# q90's byte-moment contract is untouched — these decoders serve the
+# pixel/sample-level operators (resize codec="auto", feature extract
+# deployments), not the byte-stats audit.
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB .bmp → uint8 array [h, w, 3] (RGB).
+    Raises ValueError on any other BMP variant — callers fall back."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    flip = h > 0
+    h = abs(h)
+    row = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    if data_off + row * h > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    buf = np.frombuffer(payload, np.uint8, count=row * h, offset=data_off)
+    img = buf.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if flip:  # positive height = bottom-up row order
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR → RGB
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM .wav → sample array [n_frames, n_channels] (uint8 for 8-bit,
+    little-endian signed ints for 16/32-bit), via the stdlib ``wave``
+    module. Raises on non-PCM/esoteric widths — callers fall back."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    dtype = {1: np.dtype(np.uint8), 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    arr = np.frombuffer(raw, dtype)
+    return arr.reshape(-1, ch)
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte format sniff: 'bmp' | 'wav' | 'unknown'."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
+    """Best-effort real decode: (format, samples). BMP/WAV decode with
+    the stdlib; other formats try the PIL seam when installed; anything
+    unparseable falls back to ('raw', byte buffer) — same corpora-are-
+    dirty stance as the cleaning stages (a payload claiming to be a BMP
+    but truncated must not kill the batch)."""
+    b = bytes(payload)
+    fmt = sniff_format(b)
+    try:
+        if fmt == "bmp":
+            return "bmp", decode_bmp(b)
+        if fmt == "wav":
+            return "wav", decode_wav(b)
+        if _real_codec_available():  # pragma: no cover - no PIL here
+            import io
+
+            import PIL.Image
+
+            return "pil", np.asarray(PIL.Image.open(io.BytesIO(b)))
+    except Exception:
+        pass
+    return "raw", _fake_decode(b)
+
+
+def resize_pixels(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an [h, w, c] (or [h, w]) image to
+    [height, width, c] — index arithmetic only, no interpolation libs."""
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """Decode each payload and emit per-item stats. Arrow-batched; payloads
     never leave the executor as anything but summary numbers.
@@ -322,26 +421,39 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(
-    media: DataFrame, width: int = 32, height: int = 24
+    media: DataFrame, width: int = 32, height: int = 24,
+    codec: str = "fake",
 ) -> DataFrame:
     """Image resize over the binary payload column (the preprocessing step
     every vision-training pipeline runs). Plumbing is real — image rows
     filtered relationally, payload crosses to Python once per Arrow batch,
-    output is a new binary column sized for the model; the pixel kernel is
-    a deterministic fake (payload truncation/tiling to the target byte
-    count). Installing Pillow does NOT auto-swap the kernel: the corpus
-    payloads may not be decodable images at all, so a codec swap is a
-    deliberate deployment change — replace only the marked lines
-    (``_real_codec_available`` exists for the extras smoke test, not as
-    a behavior switch)."""
+    output is a new binary column sized for the model.
+
+    ``codec="fake"`` (default): deterministic payload truncation/tiling
+    to the target byte count — the corpus payloads may not be decodable
+    images at all, so a codec swap is a deliberate deployment change,
+    never an import-sniffing side effect (round-5 review stance).
+    ``codec="auto"``: REAL decode through :func:`decode_payload`
+    (stdlib BMP today, PIL formats when installed) + nearest-neighbor
+    resample; payloads that don't parse fall back to the fake kernel —
+    dirty corpora must not kill the batch."""
     target = width * height  # fake: 1 byte per pixel
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                # -- fake resample: tile/truncate payload to target size --
                 b = bytes(p)
+                if codec == "auto":
+                    fmt, img = decode_payload(b)
+                    if fmt != "raw" and img.ndim >= 2:
+                        out.append(
+                            resize_pixels(img, width, height)
+                            .astype(np.uint8)
+                            .tobytes()
+                        )
+                        continue
+                # -- fake resample: tile/truncate payload to target size --
                 reps = (target // max(len(b), 1)) + 1
                 out.append((b * reps)[:target])
                 # ---------------------------------------------------------
