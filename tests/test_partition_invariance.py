@@ -43,7 +43,21 @@ SENSITIVE = [
     # streaming covariance)
     "q144_leak_free_split",
     "q145_quality_signal_correlation",
+    # round 7: the trained-codebook queries (Lloyd batch partials feed
+    # the codebook both engines share) and the one-exchange novelty
+    # rewrite (df=1 owner via min(doc_id) inside the df groupBy)
+    "q63_ann_ivf_topk",
+    "q146_ngram_novelty",
 ]
+
+
+def _fresh_state():
+    """The codebook memo must not mask layout sensitivity: a second run
+    that reuses the first run's trained centroids would be trivially
+    identical instead of re-deriving them under the hostile layout."""
+    from setu_spark.operators.similarity import clear_codebook_memo
+
+    clear_codebook_memo()
 
 
 @pytest.mark.parametrize("name", SENSITIVE)
@@ -52,8 +66,10 @@ def test_shuffle_width_invariance(name, spark):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     try:
+        _fresh_state()
         base = canonicalize(qs[name](spark, SF_ORACLE).toPandas())
         spark.conf.set(key, "3")
+        _fresh_state()
         narrow = canonicalize(qs[name](spark, SF_ORACLE).toPandas())
     finally:
         spark.conf.set(key, prev)
