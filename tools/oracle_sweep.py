@@ -1,0 +1,79 @@
+"""Full-registry Spark-vs-DuckDB oracle sweep at an arbitrary SF dir.
+
+Replays the driver's t2 correctness comparison (hash of canonicalized
+values, schema, row counts) for EVERY oracled query in
+__spark_entry__.py — the same harness tests/test_oracle_parity.py runs
+at sf0.001, lifted to a CLI so end-of-round sweeps at sf0.1 are one
+command instead of an ad-hoc snippet.
+
+Usage: python tools/oracle_sweep.py [sf_dir] [--only q146,q63,...]
+Prints one line per query (MATCH / MISMATCH / ERROR) and a final
+summary line; exits non-zero if any query mismatches or errors.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from setu_spark.session import get_spark  # noqa: E402
+from tests.oracle_utils import compare_frames, register_views  # noqa: E402
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        if i + 1 >= len(argv):
+            sys.exit("usage: oracle_sweep.py [sf_dir] [--only q1,q2]")
+        only = {p.strip() for p in argv[i + 1].split(",") if p.strip()}
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sorted(oracles)
+    if only:
+        names = [n for n in names if any(n == o or n.startswith(o + "_") or n.split("_")[0] == o for o in only)]
+
+    spark = get_spark("oracle-sweep")
+    duck = duckdb.connect()
+    register_views(duck, sf_dir)
+
+    n_match = n_mismatch = n_err = 0
+    t_start = time.time()
+    for name in names:
+        t0 = time.time()
+        try:
+            spark_pdf = queries[name](spark, sf_dir).toPandas()
+            oracle_pdf = duck.execute(oracles[name]).df()
+            problems = compare_frames(spark_pdf, oracle_pdf)
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            n_err += 1
+            print(f"ERROR    {name}  {time.time()-t0:6.2f}s  {type(exc).__name__}: {exc}", flush=True)
+            continue
+        if problems:
+            n_mismatch += 1
+            print(f"MISMATCH {name}  {time.time()-t0:6.2f}s  " + "; ".join(problems), flush=True)
+        else:
+            n_match += 1
+            print(f"MATCH    {name}  {time.time()-t0:6.2f}s", flush=True)
+    total = len(names)
+    print(
+        f"SWEEP {n_match}/{total} MATCH, {n_mismatch} mismatch, {n_err} error, "
+        f"{time.time()-t_start:.1f}s, sf_dir={sf_dir}",
+        flush=True,
+    )
+    spark.stop()
+    return 1 if (n_mismatch or n_err) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
