@@ -58,9 +58,11 @@ SF0001 = "/root/testdata/sf0.001"
 #: (c) ONE slot (the 50th) for this round's only changed query family:
 #: q63_ann_ivf_topk moves from the first-N pseudo-codebook to the
 #: q85-k-means-trained codebook (round-6 VERDICT task 4).  q138/q140/
-#: q142/q143 share the same trained-codebook helper + oracle CTE, so a
-#: green q63 driver row validates the shared change; all four are
-#: r06-green and re-enter with the r05 block in round 8.
+#: q143 share the same trained-codebook helper + oracle CTE (q142's
+#: scalar-quantization audit uses no codebook), so a green q63 driver
+#: row validates the shared change; the three codebook queries are
+#: r06-green and re-enter at the FRONT of the round-8 window
+#: (tools/staleness.py fronts them as `changed`).
 #: The 48 r05-stale queries rotate in round 8 (see tools/staleness.py
 #: --plan, committed as ROTATION.md).
 _FRONT = (

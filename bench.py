@@ -156,12 +156,17 @@ def final_line(payload: dict) -> dict:
     """The compact FINAL line: fixed keys only, ≤200 bytes serialized
     (asserted by tests/test_bench_output.py under 2 KB tail truncation).
     """
+    # `sf` is an env-controlled path of unbounded length; only its basename
+    # (e.g. "sf0.1") rides the final line, clamped so a pathological name
+    # can never push the line past the driver's tail-capture window. The
+    # size guard is a hard invariant over the FIXED keys, so it cannot be
+    # tripped by user input — never by the sf path.
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
         "n_queries": len(payload["queries"]),
-        "sf": payload["sf"],
+        "sf": os.path.basename(str(payload["sf"]).rstrip("/"))[:32],
     }
     assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
     return compact
@@ -298,12 +303,21 @@ def main() -> None:
             t_all = time.perf_counter()
             for name in FUNNEL_FAMILY:
                 # no clearCache between family members — sharing the
-                # cached funnel is the point of this pass
+                # cached funnel is the point of this pass. Same failure
+                # isolation as the main sweep: one throwing family member
+                # must not lose the whole run's --out dump and final line.
                 t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                shared[name] = round(time.perf_counter() - t0, 3)
+                try:
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    shared[name] = round(time.perf_counter() - t0, 3)
+                except Exception as exc:
+                    errors[f"funnel_shared:{name}"] = repr(exc)[:500]
+                    print(
+                        f"[bench] funnel-shared {name}: ERROR {exc!r}",
+                        file=sys.stderr,
+                    )
             shared["_family_total"] = round(
                 time.perf_counter() - t_all, 3
             )
@@ -312,6 +326,8 @@ def main() -> None:
             dedup.clear_funnel_memo()
             spark.catalog.clearCache()
         payload["funnel_shared"] = shared
+        if errors:  # funnel errors land after the final checkpoint
+            payload["errors"] = errors
         print(f"[bench] funnel-shared: {shared}", file=sys.stderr)
     if out_path:
         with open(out_path, "w") as fh:

@@ -446,7 +446,17 @@ def resize_images(
                 b = bytes(p)
                 if codec == "auto":
                     fmt, img = decode_payload(b)
-                    if fmt != "raw" and img.ndim >= 2:
+                    # Only pixel formats resample as pixels: a WAV sniffed in
+                    # the image column must not be "resized" as int16 pixels,
+                    # and a decodable-but-empty frame (zero-length axis) would
+                    # crash the index arithmetic — both fall back to the fake
+                    # kernel, same dirty-corpus stance as decode_payload.
+                    if (
+                        fmt in ("bmp", "pil")
+                        and img.ndim >= 2
+                        and img.shape[0] > 0
+                        and img.shape[1] > 0
+                    ):
                         out.append(
                             resize_pixels(img, width, height)
                             .astype(np.uint8)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import os
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -579,6 +580,35 @@ def clear_codebook_memo() -> None:
     _CODEBOOK_MEMO.clear()
 
 
+def _corpus_fingerprint(emb: DataFrame) -> tuple:
+    """Data-aware component of the codebook memo key. The plan's
+    ``semanticHash`` alone is PLAN-based: it does not change when the
+    underlying parquet files are rewritten in place (e.g. a fixture
+    regenerated at the same path mid-session), so a hash-only key could
+    serve centroids trained on vanished data. Folding in the scan's file
+    list with per-file (size, mtime) for local files makes an in-place
+    rewrite a memo MISS; non-file schemes fall back to path identity
+    (object stores version by key, not in-place mutation)."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = sorted(emb.inputFiles())
+    except Exception:
+        return ("no-input-files",)
+    sig = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme in ("", "file"):
+            try:
+                st = os.stat(unquote(u.path))
+                sig.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                sig.append((f, -1, -1))
+        else:
+            sig.append((f, 0, 0))
+    return tuple(sig)
+
+
 def train_codebook(emb: DataFrame, k: int, iters: int = KM_ITERS):
     """Train an IVF codebook with q85's spherical k-means instead of
     taking the first-k embeddings verbatim: [k × d] float64 centroids,
@@ -590,7 +620,7 @@ def train_codebook(emb: DataFrame, k: int, iters: int = KM_ITERS):
     passes over the corpus with O(batches × k) driver reduces — the
     corpus projection is cached for the loop and released after; the
     result is memoized per corpus plan (see :data:`_CODEBOOK_MEMO`)."""
-    key = (emb.semanticHash(), k, iters)
+    key = (emb.semanticHash(), _corpus_fingerprint(emb), k, iters)
     hit = _CODEBOOK_MEMO.get(key)
     if hit is not None:
         return hit
@@ -722,7 +752,7 @@ IVF_TOPK = 10
 #: same trajectory whose assignment CTE labels every vector — so the
 #: oracle's cell choice IS the k-means assignment, and only the
 #: query-probe + scoring tail is q63-specific.
-_Q63_ORACLE_LAZY = lambda: f"""
+_Q63_ORACLE = f"""
     WITH {_codebook_cte(N_CENTROIDS)},
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     qc AS (
@@ -751,7 +781,7 @@ _Q63_ORACLE_LAZY = lambda: f"""
     """
 
 
-@register("q63_ann_ivf_topk", oracle=_Q63_ORACLE_LAZY())
+@register("q63_ann_ivf_topk", oracle=_Q63_ORACLE)
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest of
     {N_CENTROIDS} TRAINED centroids (q85's spherical k-means trajectory

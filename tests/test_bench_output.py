@@ -67,6 +67,23 @@ def test_final_line_parses_after_2kb_tail_truncation():
     assert parsed["n_queries"] == 500
 
 
+def test_final_line_survives_pathological_sf_path():
+    # SPARK_GRAFT_SF_DIR is env-controlled and unbounded; a long path must
+    # not trip the size invariant at the END of an hour-long sweep (the
+    # exact parsed-null failure mode the final-line contract exists to
+    # prevent). Only the basename rides the line, clamped to 32 chars.
+    p = _payload(150)
+    p["sf"] = (
+        "/mnt/shared-data/benchmarks/spark-graft/testdata/regenerated/"
+        "2026-08-15/stress-100x/sf0.1-with-rowgroups-and-a-very-long-name/"
+    )
+    compact = bench.final_line(p)
+    assert len(json.dumps(compact)) <= 200
+    assert compact["sf"] == "sf0.1-with-rowgroups-and-a-very-"
+    # the common case stays human-readable
+    assert bench.final_line(_payload(3))["sf"] == "sf0.1"
+
+
 def test_detail_line_carries_the_bulk():
     detail = bench.detail_line(_payload(120))
     assert len(detail["queries"]) == 120

@@ -209,6 +209,32 @@ def test_resize_images_auto_codec_real_bmp(spark):
     assert out[3] == b"not "
 
 
+def test_resize_images_auto_codec_non_pixel_payloads_fall_back(spark):
+    """codec='auto' must route DECODABLE-but-non-pixel payloads to the
+    fake kernel, not the pixel resampler: a zero-frame WAV decodes to a
+    (0, 1) array that would crash the index arithmetic, and a non-empty
+    WAV sniffed in the image column would otherwise be 'resized' as
+    int16 pixels with wraparound. Dirty corpora must not kill the batch."""
+    from setu_spark.operators.multimodal import resize_images
+
+    empty_wav = _make_wav([], width=2)  # valid RIFF/WAVE, zero frames
+    tone_wav = _make_wav([0, 1000, -1000, 32767], width=2)
+    rows = [
+        (0, "image", bytearray(empty_wav)),
+        (1, "image", bytearray(tone_wav)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {
+        r.media_id: bytes(r.payload)
+        for r in resize_images(media, width=2, height=2, codec="auto").collect()
+    }
+    # both rows survive and take the fake tile/truncate path (4 bytes)
+    assert out[0] == bytes(empty_wav)[:4]
+    assert out[1] == bytes(tone_wav)[:4]
+
+
 def test_resize_images_shapes_and_determinism(spark, media):
     from setu_spark.operators.multimodal import resize_images
 

@@ -17,15 +17,17 @@ Usage: python tools/make_tiny_lid.py   (writes the .npz; idempotent)
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 
-#: FNV-1a 32-bit over UTF-8 bytes — fasttext's dictionary hash.
-def fnv1a(word: str) -> int:
-    h = 2166136261
-    for b in word.encode("utf-8"):
-        h = (h ^ b) * 16777619 & 0xFFFFFFFF
-    return h
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+# The generator MUST hash with the loader's own function: a private copy
+# here would silently desync the artifact's stopword rows from the
+# loader's bucket ids if either side ever changed variants.
+from setu_spark.stages.lid import _fnv1a as fnv1a  # noqa: E402
 
 
 LABELS = ("de", "en", "es", "fr")  # sorted; row i of `output` scores LABELS[i]

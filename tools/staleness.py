@@ -77,8 +77,9 @@ def rotation_plan(
                 in the round-7 window (they hit the 3-round staleness
                 ceiling at r8) + the oldest-registered remainder of the
                 r06 block up to 50 — fronting the trained-codebook
-                queries q138/q140/q142, whose shared helper changed in
-                round 7 with only q63 re-checked.
+                queries q138/q140/q143, whose shared helper (and, for
+                q143, emitted cell ids) changed in round 7 with only
+                q63 re-checked.
       round 9 = everything else (the rest of the r06 block), ≤50 —
                 the spare slots are round 8/9's changed-query budget.
     """
@@ -88,7 +89,7 @@ def rotation_plan(
     changed = [q for q in (
         "q138_margin_pair_mining_ann",
         "q140_margin_ann_recall_audit",
-        "q142_embedding_quant_audit",
+        "q143_ivf_cell_balance",
     ) if q in names and q not in in_front]
     overdue = sorted(
         q for q in names
@@ -140,7 +141,7 @@ def main() -> None:
         print("# ROTATION — committed driver-window schedule")
         print(f"#\n# {len(names)} registered queries, {WINDOW}-slot driver")
         print("# window, 3-round cycle → max staleness ≤3 rounds")
-        print("# (asserted by tests/test_cli.py::test_rotation_plan_*).\n")
+        print("# (asserted by tests/test_rotation_plan.py).\n")
         print(f"round 7 (current _FRONT, {len(front_list)}):")
         for q in front_list:
             print(f"  {q}")
