@@ -79,6 +79,17 @@ def q28_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combines into a few KB per group regardless of cardinality,
     where exact countDistinct shuffles every distinct (group, value) pair.
 
+    Plan shape: the exact-distinct leg is a two-level aggregate —
+    groupBy (flag, partkey) first, then count the pairs — NOT
+    ``countDistinct`` next to ``approx_count_distinct`` in one agg:
+    that mix plans a multi-stage distinct aggregation that carries the
+    HLL++ partial buffer as hundreds of long columns PER ROW through
+    the first exchange (measured 3.13s → 1.23s idle min-of-3 at sf0.1,
+    2.55×). The HLL sketch
+    is built on the deduped pairs instead; HLL registers keep maxima of
+    hashed values, so feeding each distinct value once is bit-identical
+    to feeding every duplicate.
+
     Bounded-witness check: ``approx_ok`` asserts the HLL estimate is
     within {DISTINCT_REL_BOUND:.0%} of the exact count (5× the rsd=0.01
     standard error) — computed Spark-side, hash-matched against the
@@ -86,10 +97,13 @@ def q28_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-visible failure, while the raw engine-specific estimate stays
     out of the hashed output."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    pairs = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count("*").alias("cnt")
+    )
+    agg = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.count("*").alias("n_items"),
+        F.count("*").alias("exact_parts"),
+        F.sum("cnt").alias("n_items"),
     )
     rel_err = F.abs(F.col("approx") - F.col("exact_parts")) / F.col(
         "exact_parts"

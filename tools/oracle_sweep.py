@@ -34,6 +34,14 @@ def main() -> int:
             sys.exit("usage: oracle_sweep.py [sf_dir] [--only q1,q2]")
         only = {p.strip() for p in argv[i + 1].split(",") if p.strip()}
         argv = argv[:i] + argv[i + 2 :]
+    # a stray flag must not be mistaken for the sf dir (duckdb would fail
+    # later with a confusing "no files match --sf/region.parquet")
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        sys.exit(
+            f"unknown flags {unknown}; usage: oracle_sweep.py [sf_dir] "
+            "[--only q1,q2]"
+        )
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     queries = entrymod.queries()
