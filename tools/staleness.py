@@ -152,6 +152,23 @@ def main() -> None:
         worst = simulate_staleness(names, front_list, last, plan)
         print(f"\nsimulated max staleness under schedule: {worst} rounds")
         return
+    if "--front" in sys.argv:
+        # Print the planned round's window as a paste-ready Python tuple
+        # for __spark_entry__._FRONT — the swap at each round boundary is
+        # mechanical, so it should be a copy, not a retyping.
+        i = sys.argv.index("--front")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: staleness.py --front ROUND")
+        rnd = int(sys.argv[i + 1])
+        plan = rotation_plan(names, front_list, last)
+        if rnd not in plan:
+            sys.exit(f"no planned window for round {rnd}; have {sorted(plan)}")
+        print(f"# _FRONT for round {rnd} ({len(plan[rnd])} queries):")
+        print("_FRONT = (")
+        for q in plan[rnd]:
+            print(f'    "{q}",')
+        print(")")
+        return
     by_round: dict[int, list[str]] = {}
     for n in names:
         by_round.setdefault(last.get(n, 0), []).append(n)
