@@ -694,11 +694,55 @@ def simhash_column(
 
 # ------------------------------------------------------- survivor selection
 
+#: Edge count at or below which connected_components finishes the graph
+#: driver-locally (union-find over a bounded collect) instead of paying
+#: the iterative loop's per-round job overhead. 500k undirected edges ≈
+#: tens of MB of driver tuples — far under driver.maxResultSize — while
+#: the iterative path costs ~1s of scheduler overhead PER ROUND even on
+#: a 366-edge graph (measured at sf0.1). The same hybrid shape as the
+#: large-star/small-star CC literature: distributed rounds only while
+#: the graph is genuinely big.
+LOCAL_CC_MAX_EDGES = 500_000
+
+
+def _local_components(und_edges, spark, dtype: str) -> DataFrame:
+    """Union-find finish for a small pair graph: exact min-id component
+    labels, one collect + one createDataFrame — no iterative jobs.
+    ``und_edges`` is a collected list of (u, v) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in und_edges:
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    label: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in label or node < label[r]:
+            label[r] = node
+    rows = [(n, label[find(n)]) for n in parent]
+    return spark.createDataFrame(
+        rows, schema=f"doc_id {dtype}, component {dtype}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    local_edge_bound: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative
     min-label propagation: every doc starts as its own component; each
@@ -711,10 +755,26 @@ def connected_components(
     the iteration count is bounded by the longest path in the duplicate
     graph — near-dup clusters are dense and shallow, so 3-5 rounds in
     practice. ``localCheckpoint`` cuts lineage each round (iterative
-    DataFrame plans otherwise grow exponentially)."""
-    edges = (
+    DataFrame plans otherwise grow exponentially). Small graphs
+    (≤ ``local_edge_bound`` undirected edges — counted by the job the
+    loop needs anyway) skip the loop entirely and finish with a
+    driver-local union-find: label-identical by construction, and it
+    replaces ~3 scheduler-bound jobs per round with one bounded collect
+    (2.8s → 0.1s on the 366-edge sf0.1 graph). Set
+    ``local_edge_bound=0`` to force the distributed path (tests pin the
+    two paths label-equal)."""
+    und = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if und.count() <= local_edge_bound:
+        dtype = und.schema["u"].dataType.simpleString()
+        return _local_components(
+            und.collect(), pairs.sparkSession, dtype
+        )
+    edges = (
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )

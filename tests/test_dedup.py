@@ -206,13 +206,22 @@ def test_connected_components_planted_clusters(spark):
          (20, 21)],
         ["id_a", "id_b"],
     )
-    got = {
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                10: 10, 11: 10, 12: 10,
+                20: 20, 21: 20}
+    # both execution paths must produce identical labels: the default
+    # (small graph → driver-local union-find) and the distributed
+    # min-label loop (forced with local_edge_bound=0)
+    got_local = {
         r.doc_id: r.component
         for r in connected_components(pairs).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 12: 10,
-                   20: 20, 21: 20}
+    got_dist = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, local_edge_bound=0).collect()
+    }
+    assert got_local == expected
+    assert got_dist == expected
 
 
 def test_dedup_removed_docs_on_planted_dupes(spark):
@@ -319,10 +328,14 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
     )
+    # force the distributed loop: the union-find fast path has no
+    # iteration count to exhaust
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
+        connected_components(chain, max_iterations=2, local_edge_bound=0)
     # and with room to converge, the whole chain is one component
-    labels = connected_components(chain, max_iterations=15).collect()
+    labels = connected_components(
+        chain, max_iterations=15, local_edge_bound=0
+    ).collect()
     assert {r.component for r in labels} == {0}
 
 
