@@ -1,0 +1,59 @@
+"""Property test for the q116 sentence-split cross-engine parity.
+
+The U1 delimiter-keeping split is the one operator whose oracle is a
+nontrivial REGEX TRANSLATION rather than the same formula: Spark splits
+on a lookbehind pattern (`(?<=T)(?=[^\\n])|(?<=T)\\n+`), while DuckDB's
+RE2 has no lookbehind and replays it as the `[^T]*T|[^T]+` chunk
+decomposition with leading-newline strip on follower chunks
+(textstats._sentence_sql documents the equivalence argument). The
+sf-corpus oracle parity checks exercise real text; this fuzzes the
+adversarial space the argument actually hinges on — terminator runs,
+newline runs, terminators at string edges, digit-only chunks — over the
+full (doc_id, sent_idx, sentence, terminal_ok, is_digits) output.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import setu_spark.operators.textstats as ts
+
+#: terminators (ascii + Devanagari danda), newlines, and the quirk
+#: characters of terminal_valid ("...", "####", trailing ,;:)"')
+ALPHABET = st.sampled_from(list("a.!?\n #,१") + ["।"])
+TEXTS = st.lists(
+    st.text(alphabet=ALPHABET, min_size=0, max_size=24),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _duck_rows(texts: list[str]) -> set:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    rows = con.execute(ts._sentence_sql()).fetchall()
+    con.close()
+    return set(rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_sentence_split_matches_duckdb_decomposition(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = ts.load_table
+    ts.load_table = lambda sp, d, n: df
+    try:
+        got = {
+            (r.doc_id, r.sent_idx, r.sentence, r.terminal_ok, r.is_digits)
+            for r in ts.q116_sentence_explode(spark, "ignored").collect()
+        }
+    finally:
+        ts.load_table = orig
+    assert got == _duck_rows(texts)
