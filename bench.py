@@ -265,6 +265,16 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - t0)
+            # Adaptive third sample: two runs disagreeing by >1.5× means a
+            # co-tenant burst hit one of them (a plan doesn't cost 1.5×
+            # itself run-to-run); one more sample lets min() shed the
+            # poisoned one. Bounded: at most +1 run, only on noisy queries.
+            if max(runs) > 1.5 * min(runs):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
             retries = 0
             while min(runs) > SLOW_FLOOR and retries < 2:
                 retries += 1
