@@ -224,6 +224,17 @@ def test_connected_components_planted_clusters(spark):
     assert got_dist == expected
 
 
+def test_connected_components_empty_graph(spark):
+    """Zero candidate pairs (tiny or all-unique corpora) must yield an
+    empty labeling on both execution paths, not a schema error from the
+    local path's empty createDataFrame."""
+    from setu_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+    assert connected_components(pairs, local_edge_bound=0).count() == 0
+
+
 def test_dedup_removed_docs_on_planted_dupes(spark):
     """q59's anti-join semantics on planted exact duplicates: lower id
     survives, higher-id copies are listed as removed."""
