@@ -52,3 +52,31 @@ def scan_schemas(df: DataFrame) -> list[str]:
 def has_partial_aggregate(df: DataFrame) -> bool:
     """True when the plan contains a map-side partial aggregation."""
     return "partial_" in plan_string(df)
+
+
+def exchange_widths(df: DataFrame) -> list[int]:
+    """Column arity of every shuffle exchange's input — the width audit.
+
+    A plan can look cheap at test scale while shipping a pathologically
+    WIDE exchange that grows linearly with rows (the q28 lesson: mixing
+    countDistinct with approx_count_distinct carried the HLL++ buffer
+    as ~200 long columns per row through the first shuffle — 3s at
+    sf0.1, ~195s at 60M rows). Formatted explain lists each node's
+    ``Input [N]``; this returns N for every Exchange node so audits can
+    flag outliers mechanically."""
+    plan = plan_string(df, "formatted")
+    widths: list[int] = []
+    # formatted sections: "(k) Exchange[ ...]\nInput [N]: [...]"
+    for m in re.finditer(
+        r"\(\d+\) Exchange[^\n]*\nInput \[(\d+)\]", plan
+    ):
+        widths.append(int(m.group(1)))
+    return widths
+
+
+def has_expand(df: DataFrame) -> bool:
+    """True when the plan contains an Expand node (multi-distinct
+    aggregates, rollup/cube/grouping-sets) — each Expand multiplies the
+    pre-shuffle row count by its projection count, so its presence on a
+    hot path deserves a width/row-volume look."""
+    return bool(re.search(r"\(\d+\) Expand\b|\bExpand\b", plan_string(df, "simple")))

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Mechanical plan-shape audit over the whole registry.
+
+The q28 lesson: a scale-killer can cost 3s at sf0.1 and 195s at 60M
+rows, so wall-clock at test scale does not catch it — plan shape does.
+For every registered query this prints (shuffles, widest exchange
+input arity, Expand present) and flags outliers, so the q28 class
+(a wide aggregation buffer riding a per-row exchange) is a one-command
+sweep instead of a lucky explain.
+
+Usage: python tools/plan_audit.py [sf_dir] [--wide N]   (flag width > N,
+default 24 — wide enough that honest multi-metric aggregates pass and
+a 200-column sketch buffer cannot)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    wide = 24
+    if "--wide" in argv:
+        i = argv.index("--wide")
+        wide = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        sys.exit(f"unknown flags {unknown}; usage: plan_audit.py [sf_dir] [--wide N]")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entrymod
+    from setu_spark.plans.inspect import (
+        exchange_widths,
+        has_expand,
+        shuffle_count,
+    )
+    from setu_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flagged = []
+    rows = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            widths = exchange_widths(df)
+            # Flag on the FIRST exchange (plan order = leaf-to-root):
+            # that is the one whose row volume scales with the corpus.
+            # Downstream exchanges over already-aggregated rows may be
+            # legitimately wide (q28's final 5-group HLL merge is 1642
+            # columns over ~160 rows — fine; the same width over raw
+            # rows was the 50x scale-killer).
+            w = widths[0] if widths else 0
+            n = shuffle_count(df)
+            ex = has_expand(df)
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {type(exc).__name__}: {exc}", flush=True)
+            flagged.append(name)
+            continue
+        finally:
+            spark.catalog.clearCache()
+        mark = " <-- WIDE FIRST EXCHANGE" if w > wide else ""
+        if w > wide:
+            flagged.append(name)
+        rows.append((w, n, ex, name, mark, widths))
+    for w, n, ex, name, mark, widths in sorted(rows, reverse=True):
+        print(
+            f"first_width={w:3d} all={widths} shuffles={n:2d} "
+            f"expand={'Y' if ex else 'n'}  {name}{mark}"
+        )
+    print(f"\nAUDIT {len(rows)} queries, {len(flagged)} flagged (width > {wide})")
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
