@@ -794,6 +794,10 @@ def connected_components(
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("v_comp").alias("neighbor_comp"))
         )
+        # convergence flag computed IN the update projection (a label
+        # only ever decreases, so changed ⇔ neighbor min < current) —
+        # the check is then a scan of the checkpoint we just wrote, not
+        # a second labels join per round
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -802,17 +806,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("neighbor_comp", F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce("neighbor_comp", F.col("component"))
+                    < F.col("component")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").limit(1).count()
+        labels = updated.select("doc_id", "component")
         if changed == 0:
             break
     else:
