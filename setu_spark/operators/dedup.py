@@ -917,7 +917,13 @@ def _collapsed_components(docs: DataFrame) -> DataFrame:
     long_docs = keyed.filter(F.col("ok"))
     # texts within an md5(text) group are byte-identical, so min(text)
     # carries the rep's text through the SAME shuffle that picks the
-    # rep id — no second join over the full corpus to recover it
+    # rep id — no second join over the full corpus to recover it.
+    # DELIBERATELY uncached although reps feeds multiple branches: an
+    # interleaved A/B at sf0.1 AND the 100× corpus measured no win from
+    # scope-caching it (the funnel's cost lives in the signature kernel
+    # and checkpoint, not this groupBy), and at real scale caching a
+    # unique-text-sized table trades a cheap scan+shuffle recompute for
+    # corpus-scale executor storage pressure (PERF.md negative result).
     reps = long_docs.groupBy("k").agg(
         F.min("doc_id").alias("rep_id"),
         F.min("text").alias("text"),
