@@ -56,8 +56,14 @@ def tokenize(col: Column | str, sep: str = " ") -> Column:
 def is_number(col: Column | str) -> Column:
     """line.isdigit() (U5, reference filters.py:773-775). ``\\d`` in Java
     regex is ASCII-only; the reference's ``str.isdigit`` accepts any Unicode
-    decimal digit, so we use the ``\\p{Nd}`` class for parity."""
-    return _c(col).rlike(r"^\p{Nd}+$")
+    decimal digit, so we use the ``\\p{Nd}`` class for parity.
+
+    Anchored with ``\\z``, not ``$``: Java's ``$`` matches *before* a final
+    line terminator, so ``'१\\n'.rlike('^\\p{Nd}+$')`` would be True while
+    Python ``str.isdigit()`` and DuckDB's RE2 both say False. ``\\z`` matches
+    only at the true end of input, restoring parity on digit-text ending in
+    a newline (reachable: U1 keeps delimiters attached to sentences)."""
+    return _c(col).rlike(r"^\p{Nd}+\z")
 
 
 TERMINAL_PUNCTUATIONS = (".", "!", "?", ":", ",", ";", ")", '"', "'")

@@ -547,7 +547,11 @@ def q137_props_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is bounded at 18 so every admitted integer fits BIGINT in
     # BOTH engines by construction: on a wider payload Spark from_json
     # NULLs (counted unparsed) but DuckDB CAST(... AS BIGINT) THROWS.
-    shaped = F.col("props").rlike('^\\{"k": -?[0-9]{1,18}\\}$')
+    # Anchor with \z, not $: Java's $ matches before a trailing '\n'
+    # (a payload ending '}\n' would be shaped here but unshaped under
+    # DuckDB's RE2 $, which only matches at true end-of-text). \z pins
+    # both engines to the same end-of-input semantics.
+    shaped = F.col("props").rlike('^\\{"k": -?[0-9]{1,18}\\}\\z')
     parsed = ev.select(
         "event_type",
         F.when(

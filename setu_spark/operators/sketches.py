@@ -100,9 +100,14 @@ def q28_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = li.groupBy("l_returnflag", "l_partkey").agg(
         F.count("*").alias("cnt")
     )
+    # exact_parts counts NON-NULL partkey pairs (F.count(col) skips the
+    # NULL group) so the exact leg matches count(DISTINCT ...) and HLL's
+    # NULL-ignoring semantics even on a nullable key; n_items stays
+    # sum(cnt) over ALL groups = count(*). (l_partkey is NOT NULL in
+    # TPC-H, but the invariant is now explicit, not schema-implied.)
     agg = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
-        F.count("*").alias("exact_parts"),
+        F.count("l_partkey").alias("exact_parts"),
         F.sum("cnt").alias("n_items"),
     )
     rel_err = F.abs(F.col("approx") - F.col("exact_parts")) / F.col(
@@ -123,7 +128,6 @@ def _q84_oracle() -> str:
            CAST({p} AS DOUBLE) AS probe,
            count(*) AS n_orders,
            round(quantile_cont(o_totalprice, {p}), 6) AS exact_q,
-           round(quantile_disc(o_totalprice, {p}), 6) AS approx_q,
            TRUE AS approx_ok
     FROM orders GROUP BY o_orderpriority"""
         for p in QUANTILES
@@ -139,16 +143,19 @@ def q84_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     every value of the group on one reducer (exact twin is oracle-scale
     semantics only; production drops it).
 
-    One scalar row per (priority, probe). Both value columns hash-check:
+    One scalar row per (priority, probe). The EXACT value hash-checks:
     Spark ``percentile`` interpolates identically to DuckDB
-    ``quantile_cont`` (bit-equal doubles, verified at sf0.01/sf0.001);
-    and because n per group ≪ accuracy={PCT_ACCURACY} at driver scale,
-    the GK summary is rank-exact and returns precisely the element
-    DuckDB's ``quantile_disc`` picks (rank = ceil(p·n), same tie
-    behavior — verified element-for-element). ``approx_ok`` additionally
-    pins the relative error ≤ {QUANTILE_REL_BOUND:.0%} Spark-side (the
-    bound that remains meaningful at 100 TB where n ≫ accuracy and
-    rank-exactness no longer holds)."""
+    ``quantile_cont`` (bit-equal doubles, verified at sf0.01/sf0.001).
+    The sketch estimate itself rides the q28 witness pattern — the raw
+    ``approx_q`` VALUE stays OUT of the hashed output (QuantileSummaries
+    is only rank-exact while n per group ≪ accuracy={PCT_ACCURACY}, so
+    hashing the value made the check scale-BOUND: green at sf0.01, a
+    permanent 146/147 at sf0.1). What hashes is the bounded
+    ``approx_ok`` witness: relative error ≤ {QUANTILE_REL_BOUND:.0%}
+    vs the exact value, computed Spark-side against the oracle's
+    literal TRUE — the invariant that holds at EVERY scale.
+    tests/test_sketches.py still pins the rank-error bound of the raw
+    estimate at oracle scale."""
     orders = load_table(spark, sf_dir, "orders")
     probes = "array(" + ", ".join(str(q) for q in QUANTILES) + ")"
     agg = orders.groupBy("o_orderpriority").agg(
@@ -174,7 +181,6 @@ def q84_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe",
         "n_orders",
         F.round(exact_q, 6).alias("exact_q"),
-        F.round(approx_q, 6).alias("approx_q"),
         (rel_err <= QUANTILE_REL_BOUND).alias("approx_ok"),
     )
 

@@ -71,7 +71,12 @@ def chunk_predicates(df: DataFrame, cfg: CleanConfig) -> DataFrame:
     out = df.withColumn("symbol_ratio", symbol_ratio(c))
     out = out.withColumn(
         "is_num_or_punc_only",
-        c.rlike(r"^[\p{Nd}\p{P}\p{S}\s]+$") & (F.length(F.trim(c)) > 0),
+        # \z anchor for end-of-input discipline (house rule after the U5
+        # bug). This site was coincidentally safe with $ — a trailing
+        # '\n' is itself inside the [...\s] class so the pre-newline $
+        # match gives the same verdict — but we anchor hard anyway so
+        # the invariant doesn't depend on \s membership.
+        c.rlike(r"^[\p{Nd}\p{P}\p{S}\s]+\z") & (F.length(F.trim(c)) > 0),
     )
     out = out.withColumn("is_terminal_valid", terminal_valid(c))
     out = out.withColumn(

@@ -154,9 +154,13 @@ class FasttextStyleModel:
         return pd.DataFrame({"lang": langs, "prob": probs})
 
 
-#: vendored few-KB model artifact (tools/make_tiny_lid.py regenerates)
+#: vendored few-KB model artifact (tools/make_tiny_lid.py regenerates).
+#: Resolved PACKAGE-relative like every other data file (wordlists.py
+#: DATA_ROOT convention) so [tool.setuptools.package-data]'s
+#: setu_spark = ["data/**/*"] ships it on pip install — a repo-root
+#: data/ path exists only in the source checkout.
 TINY_LID_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data", "lid_models", "tiny_lid.npz",
 )
 

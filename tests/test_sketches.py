@@ -28,10 +28,30 @@ def test_q28_witness_booleans_true(spark):
 def test_q84_witness_booleans_and_rank_error(spark):
     from setu_spark.sources.io import load_table
 
+    from pyspark.sql import functions as F
+
+    from setu_spark.operators.sketches import PCT_ACCURACY, QUANTILES
+
     rows = entrymod.queries()["q84_approx_quantiles"](
         spark, SF_ORACLE
     ).collect()
     assert rows
+    # The raw sketch estimate is no longer a hashed output column (q28
+    # witness pattern: the value is scale-bound, the bounded approx_ok
+    # witness is not) — recompute it here to pin the rank bound.
+    probes = "array(" + ", ".join(str(q) for q in QUANTILES) + ")"
+    approx = {
+        (r.o_orderpriority, i): v
+        for r in load_table(spark, SF_ORACLE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"approx_percentile(o_totalprice, {probes}, {PCT_ACCURACY})"
+            ).alias("aq")
+        )
+        .collect()
+        for i, v in enumerate(r.aq)
+    }
     # approx_percentile returns an ACTUAL data value (no interpolation),
     # so the right bound is on its RANK: rank error ≤ 1/accuracy plus
     # the 1/n discreteness of small groups.
@@ -47,7 +67,8 @@ def test_q84_witness_booleans_and_rank_error(spark):
         group = sorted(vals[r.o_orderpriority])
         n = len(group)
         assert r.n_orders == n
-        rank = sum(1 for v in group if v <= r.approx_q) / n
+        aq = approx[(r.o_orderpriority, QUANTILES.index(r.probe))]
+        rank = sum(1 for v in group if v <= aq) / n
         assert abs(rank - r.probe) <= 2 / n + 1e-3, r
 
 

@@ -233,6 +233,15 @@ def test_lid_real_model_file_path(spark):
     # the artifact is a real committed file, not a test-generated temp
     assert os.path.isfile(TINY_LID_PATH)
     assert 0 < os.path.getsize(TINY_LID_PATH) < 64 * 1024
+    # and it must live INSIDE the installed package tree so
+    # [tool.setuptools.package-data] setu_spark = ["data/**/*"] ships it
+    # on pip install (a repo-root data/ path only exists in a checkout)
+    import setu_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(setu_spark.__file__))
+    assert os.path.commonpath(
+        [pkg_dir, os.path.abspath(TINY_LID_PATH)]
+    ) == pkg_dir
 
     docs = spark.createDataFrame(
         [

@@ -62,6 +62,14 @@ def test_char_and_byte_count(spark):
         ("12a", False),
         ("", False),
         ("12.5", False),
+        # \z-anchor regression vectors: Java's $ matches BEFORE a final
+        # line terminator, so these were True under the old ^...$ form
+        # while Python str.isdigit() and the DuckDB oracle say False.
+        ("१\n", False),
+        ("123\n", False),
+        ("१", True),
+        ("123\r\n", False),
+        ("12\n3", False),
     ],
 )
 def test_is_number(spark, text, expected):

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Build the vendored tiny LID model fixture (data/lid_models/tiny_lid.npz).
+"""Build the vendored tiny LID model fixture (setu_spark/data/lid_models/tiny_lid.npz).
 
 The artifact is a real on-disk model in the fasttext *supervised*
 architecture (reference lid.py:435-583 runs exactly this shape through
@@ -52,9 +52,10 @@ def main() -> None:
         for w in SEEDS[lang]:
             inp[fnv1a(w) % BUCKETS, li] += ALPHA
     out = np.eye(dim, dtype=np.float32)
+    # write INSIDE the package data tree so package-data ships it
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data", "lid_models", "tiny_lid.npz",
+        "setu_spark", "data", "lid_models", "tiny_lid.npz",
     )
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     np.savez_compressed(
