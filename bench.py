@@ -143,10 +143,14 @@ def detail_line(payload: dict) -> dict:
     """
     detail = {
         "queries": payload["queries"],
-        "loadavg_detail": payload["loadavg"],
+        "loadavg_detail": payload.get("loadavg", {}),
     }
     if payload.get("funnel_shared"):
         detail["funnel_shared"] = payload["funnel_shared"]
+    if payload.get("extra_samples"):
+        detail["extra_samples"] = payload["extra_samples"]
+    if payload.get("sources"):
+        detail["sources"] = payload["sources"]
     if payload.get("errors"):
         detail["errors"] = payload["errors"]
     return detail
@@ -172,6 +176,35 @@ def final_line(payload: dict) -> dict:
     return compact
 
 
+def composite(record_paths: list[str]) -> dict:
+    """Merge per-query MINS across a round's clean bench records into
+    one payload with the same keys as a clean record — the number every
+    round-end analysis recomputed by hand (round-7 VERDICT task 7): the
+    per-query min across spaced runs is the engine's actual cost on a
+    co-tenant box, burst-free by construction. Only queries present in
+    EVERY record ride the composite (a query added mid-round has no
+    cross-record min)."""
+    records = []
+    for p in record_paths:
+        with open(p) as fh:
+            records.append(json.load(fh))
+    common = set(records[0]["queries"])
+    for r in records[1:]:
+        common &= set(r["queries"])
+    queries = {
+        name: round(min(r["queries"][name] for r in records), 3)
+        for name in sorted(common)
+    }
+    return {
+        "metric": records[0]["metric"].replace("_wall", "_min_composite"),
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": records[0]["sf"],
+        "sources": [os.path.basename(p) for p in record_paths],
+    }
+
+
 def main() -> None:
     full = "--full" in sys.argv
     out_path = None
@@ -180,6 +213,32 @@ def main() -> None:
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
             sys.exit("usage: bench.py [--full] [--out PATH]")
         out_path = sys.argv[idx + 1]
+    if "--composite" in sys.argv:
+        # pure file merge — no Spark session
+        idx = sys.argv.index("--composite")
+        paths = []
+        for a in sys.argv[idx + 1 :]:
+            if a.startswith("--"):  # next flag (e.g. --out) ends the list
+                break
+            paths.append(a)
+        if not paths:
+            sys.exit("usage: bench.py --composite rec1.json rec2.json ...")
+        payload = composite(paths)
+        if out_path:
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=1)
+        print(json.dumps(detail_line(payload)))
+        print(json.dumps(final_line(payload)))
+        return
+    ab_names = None
+    if "--ab" in sys.argv:
+        idx = sys.argv.index("--ab")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --ab qA,qB[,reps]")
+        parts = sys.argv[idx + 1].split(",")
+        if len(parts) < 2:
+            sys.exit("usage: bench.py --ab qA,qB[,reps]")
+        ab_names = (parts[0], parts[1], int(parts[2]) if len(parts) > 2 else 3)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from setu_spark.session import get_spark
 
@@ -204,6 +263,40 @@ def main() -> None:
     except Exception as exc:  # warm-up failure must not kill the run
         print(f"[bench] warm-up failed: {exc!r}", file=sys.stderr)
 
+    if ab_names:
+        # Interleaved A/B (PERF.md methodology, promoted to a flag per
+        # round-7 VERDICT task 7): alternate the two arms run-by-run so
+        # a co-tenant burst hits BOTH, making the per-arm min/median a
+        # trustworthy delta where sequential single artifacts are not.
+        qa, qb, reps = ab_names
+        runs_ab: dict[str, list[float]] = {qa: [], qb: []}
+        for _ in range(reps):
+            for name in (qa, qb):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs_ab[name].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                spark.catalog.clearCache()
+        payload = {
+            "metric": "interleaved_ab_min",
+            "value": round(
+                min(runs_ab[qa]) + min(runs_ab[qb]), 3
+            ),
+            "unit": "sec",
+            "queries": {n: min(r) for n, r in runs_ab.items()},
+            "sf": sf_dir,
+            "ab_runs": runs_ab,
+        }
+        if out_path:
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=1)
+        print(json.dumps({"ab_runs": runs_ab}))
+        print(json.dumps(final_line(payload)))
+        return
+
     # min of 2 runs per query: the machine hosting the bench also hosts
     # other work, and single-shot numbers swing ±40% with background load;
     # the min is the engine's actual cost. A co-tenant burst can span
@@ -221,6 +314,11 @@ def main() -> None:
     # leaves numbers on disk.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # queries where MORE than the baseline 2 samples ran (adaptive
+    # third on >1.5× disagreement, or SLOW_FLOOR retries) — recorded so
+    # cross-round deltas stay interpretable: min over more samples is
+    # biased low, and PERF.md methodology references this key
+    extra_samples: dict[str, int] = {}
     # Host load around each query (1-min loadavg): this machine is
     # co-tenant and single-shot numbers swing ±40% under bursts —
     # BENCH_r04 read 1.10x vs r01 while the same-day idle run read
@@ -246,6 +344,8 @@ def main() -> None:
                 "per_query": loads,
             },
         }
+        if extra_samples:
+            payload["extra_samples"] = extra_samples
         if errors:
             payload["errors"] = errors
         try:
@@ -284,6 +384,8 @@ def main() -> None:
                 ).save()
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 3)
+            if len(runs) > 2:
+                extra_samples[name] = len(runs)
             print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:
             errors[name] = repr(exc)[:500]

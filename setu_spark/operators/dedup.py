@@ -696,13 +696,23 @@ def simhash_column(
 
 #: Edge count at or below which connected_components finishes the graph
 #: driver-locally (union-find over a bounded collect) instead of paying
-#: the iterative loop's per-round job overhead. 500k undirected edges ≈
-#: tens of MB of driver tuples — far under driver.maxResultSize — while
-#: the iterative path costs ~1s of scheduler overhead PER ROUND even on
-#: a 366-edge graph (measured at sf0.1). The same hybrid shape as the
-#: large-star/small-star CC literature: distributed rounds only while
-#: the graph is genuinely big.
+#: the iterative loop's per-round job overhead. The count is of
+#: NORMALIZED undirected edges (pairs are canonicalized least/greatest
+#: before distinct, so (a,b) and (b,a) count once regardless of the
+#: candidate generator's orientation). 500k collected Row objects plus
+#: the union-find dicts is a few hundred MB of driver heap — real but
+#: bounded, and well under both driver.maxResultSize and the 128 GiB
+#: driver this targets — while the iterative path costs ~1s of
+#: scheduler overhead PER ROUND even on a 366-edge graph (measured at
+#: sf0.1). The same hybrid shape as the large-star/small-star CC
+#: literature: distributed rounds only while the graph is genuinely
+#: big.
 LOCAL_CC_MAX_EDGES = 500_000
+
+#: Rounds the last distributed connected_components call took —
+#: instrumentation for benchmarks/tests of the pointer-jump speedup
+#: (0 when the union-find fast path handled the graph).
+LAST_CC_ROUNDS = 0
 
 
 def _local_components(und_edges, spark, dtype: str) -> DataFrame:
@@ -751,20 +761,36 @@ def connected_components(
     (doc_id, component) — dedup keeps one survivor per component (the
     min id, which is exactly the component label).
 
-    Scale shape: each round is two shuffles (edge join + min-agg), and
-    the iteration count is bounded by the longest path in the duplicate
-    graph — near-dup clusters are dense and shallow, so 3-5 rounds in
-    practice. ``localCheckpoint`` cuts lineage each round (iterative
-    DataFrame plans otherwise grow exponentially). Small graphs
-    (≤ ``local_edge_bound`` undirected edges — counted by the job the
-    loop needs anyway) skip the loop entirely and finish with a
-    driver-local union-find: label-identical by construction, and it
-    replaces ~3 scheduler-bound jobs per round with one bounded collect
-    (2.8s → 0.1s on the 366-edge sf0.1 graph). Set
-    ``local_edge_bound=0`` to force the distributed path (tests pin the
-    two paths label-equal)."""
+    Scale shape: each round is the 1-hop min-propagation (edge join +
+    min-agg) plus a POINTER-JUMP (labels re-labeled through themselves,
+    one self-join) — the jump composes reachability so the label's
+    reach roughly DOUBLES per round: rounds go O(diameter) → O(log
+    diameter) — measured 5 → 3 rounds (24.7s → 18.8s) on the 1M-edge
+    200k-chain fixture, and 14 rounds on a single diameter-9999 chain
+    the 1-hop loop could never finish inside any sane iteration cap.
+    The jump preserves the invariant "label(n) is the id of some node
+    in n's component, ≤ n" (label(n) is in the component; its label is
+    too, and is no larger), and convergence is still detected on the
+    1-hop step alone: at a 1-hop fixpoint labels are constant per
+    component (any edge with unequal labels would change one side), so
+    the jump is also a no-op there. ``localCheckpoint`` cuts lineage
+    each round (iterative DataFrame plans otherwise grow
+    exponentially). Small graphs (≤ ``local_edge_bound`` normalized
+    undirected edges — counted by the job the loop needs anyway) skip
+    the loop entirely and finish with a driver-local union-find:
+    label-identical by construction, and it replaces ~4 scheduler-bound
+    jobs per round with one bounded collect (2.8s → 0.1s on the
+    366-edge sf0.1 graph). Set ``local_edge_bound=0`` to force the
+    distributed path (tests pin the two paths label-equal)."""
+    # canonicalize orientation BEFORE distinct so the local-path bound
+    # counts true undirected edges even if the candidate generator
+    # emits both (a,b) and (b,a) (round-7 ADVICE: the directed count
+    # would otherwise halve the effective bound)
+    a, b = F.col(id_a), F.col(id_b)
     und = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        pairs.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -773,9 +799,15 @@ def connected_components(
         return _local_components(
             und.collect(), pairs.sparkSession, dtype
         )
+    # und is canonicalized (u ≤ v) and distinct, so the flipped copy is
+    # disjoint from it except for self-loops — no second distinct
+    # shuffle needed to symmetrize
     edges = (
-        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+        und.union(
+            und.filter(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
         .localCheckpoint()
     )
     labels = (
@@ -783,7 +815,10 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
     for _ in range(max_iterations):
+        LAST_CC_ROUNDS += 1
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "v").withColumnRenamed(
@@ -798,23 +833,39 @@ def connected_components(
         # only ever decreases, so changed ⇔ neighbor min < current) —
         # the check is then a scan of the checkpoint we just wrote, not
         # a second labels join per round
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce("neighbor_comp", F.col("component")),
+            ).alias("component"),
+            (
+                F.coalesce("neighbor_comp", F.col("component"))
+                < F.col("component")
+            ).alias("chg"),
+        )
+        # pointer jump: re-label each node through its label's own
+        # (this round's) label — label(n) ← label(label(n)). Every
+        # label value is a node id present in `updated`, so the left
+        # join always hits; coalesce guards the invariant anyway.
+        jumped = (
+            updated.join(
+                updated.select(
+                    F.col("doc_id").alias("component"),
+                    F.col("component").alias("comp2"),
+                ),
+                "component",
+                "left",
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("neighbor_comp", F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce("neighbor_comp", F.col("component"))
-                    < F.col("component")
-                ).alias("chg"),
+                F.coalesce("comp2", F.col("component")).alias("component"),
+                "chg",
             )
             .localCheckpoint()
         )
-        changed = updated.filter("chg").limit(1).count()
-        labels = updated.select("doc_id", "component")
+        changed = jumped.filter("chg").limit(1).count()
+        labels = jumped.select("doc_id", "component")
         if changed == 0:
             break
     else:

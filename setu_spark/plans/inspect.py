@@ -74,6 +74,80 @@ def exchange_widths(df: DataFrame) -> list[int]:
     return widths
 
 
+#: node names that BOUND the row volume flowing up through them — below
+#: one of these, corpus-size rows have already been reduced to
+#: group-count / top-k rows, so a wide exchange above is not the q28
+#: class. Partial (map-side) aggregates count: they emit one row per
+#: (group × partition).
+_ROW_BOUNDING = re.compile(
+    r"HashAggregate|ObjectHashAggregate|SortAggregate|"
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+)
+
+_TREE_NODE = re.compile(r"^([ :+\-*]*)\*?\s*([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$")
+
+
+def corpus_exchange_widths(df: DataFrame) -> list[int]:
+    """Widths of every shuffle exchange whose input DESCENDS FROM A RAW
+    SCAN with no row-bounding node (aggregate / limit) in between — the
+    exchanges whose row count scales with the corpus, in ANY branch of
+    the plan (round-7 ADVICE: gating only the first detail-section
+    exchange missed a q28-class buffer riding the SECOND branch of a
+    join).
+
+    Parses the formatted-explain tree: indentation gives parent/child,
+    detail sections give each exchange's ``Input [N]`` arity.
+    ``BroadcastExchange`` / ``ReusedExchange`` are not shuffle volume
+    and are skipped."""
+    plan = plan_string(df, "formatted")
+    # node id → Input arity, from the detail sections
+    widths = {
+        int(m.group(1)): int(m.group(2))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange[^\n]*\nInput \[(\d+)\]", plan
+        )
+    }
+    # parse the tree section: (depth, name, id) per line
+    nodes: list[tuple[int, str, int]] = []
+    for line in plan.splitlines():
+        if line.startswith("=="):
+            if nodes:  # tree section ended (subqueries repeat trees)
+                break
+            continue
+        m = _TREE_NODE.match(line)
+        if not m:
+            if nodes and not line.strip():
+                break
+            continue
+        prefix, name, nid = m.groups()
+        nodes.append((len(prefix) // 3, name.strip(), int(nid)))
+    out: list[int] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if nid not in widths or not re.match(r"Exchange\b", name):
+            continue
+        # walk the subtree (strictly deeper lines until depth returns);
+        # corpus-fed ⇔ some scan reachable without a row-bounding node.
+        # A bounding node shields its OWN subtree: fast-forward past
+        # every line deeper than it.
+        corpus_fed = False
+        j = i + 1
+        while j < len(nodes):
+            d2, n2, _ = nodes[j]
+            if d2 <= depth:
+                break
+            if _ROW_BOUNDING.search(n2):
+                j += 1
+                while j < len(nodes) and nodes[j][0] > d2:
+                    j += 1
+                continue
+            if n2.startswith("Scan") or "FileScan" in n2:
+                corpus_fed = True
+            j += 1
+        if corpus_fed:
+            out.append(widths[nid])
+    return out
+
+
 def has_expand(df: DataFrame) -> bool:
     """True when the plan contains an Expand node (multi-distinct
     aggregates, rollup/cube/grouping-sets) — each Expand multiplies the

@@ -89,3 +89,34 @@ def test_detail_line_carries_the_bulk():
     assert len(detail["queries"]) == 120
     assert "per_query" in detail["loadavg_detail"]
     assert "errors" in detail
+
+
+def test_composite_merges_per_query_mins(tmp_path):
+    """--composite: per-query min across records, only queries present
+    in EVERY record, same payload keys as a clean record (so final_line
+    and detail_line both accept it)."""
+    import json as _json
+
+    r1 = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0, "q2": 2.0, "q_only_in_r1": 9.0},
+        "sf": "/root/testdata/sf0.1",
+    }
+    r2 = {
+        "metric": "headline_query_total_wall",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q1": 0.5, "q2": 2.5},
+        "sf": "/root/testdata/sf0.1",
+    }
+    p1, p2 = tmp_path / "a.json", tmp_path / "b.json"
+    p1.write_text(_json.dumps(r1))
+    p2.write_text(_json.dumps(r2))
+    comp = bench.composite([str(p1), str(p2)])
+    assert comp["queries"] == {"q1": 0.5, "q2": 2.0}
+    assert comp["value"] == 2.5
+    assert comp["metric"] == "headline_query_total_min_composite"
+    assert bench.final_line(comp)["n_queries"] == 2
+    assert bench.detail_line(comp)["sources"] == ["a.json", "b.json"]

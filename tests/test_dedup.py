@@ -350,6 +350,38 @@ def test_connected_components_nonconvergence_raises(spark):
     assert {r.component for r in labels} == {0}
 
 
+def test_connected_components_pointer_jump_depth(spark):
+    """Pointer jumping makes rounds O(log diameter): a 128-hop chain
+    must converge well inside 10 rounds (the plain 1-hop loop needs
+    128), and still label every node with the chain's min id. Also
+    pins that mirrored-duplicate pair input ((a,b) AND (b,a)) is
+    normalized before the local-path edge count and changes nothing."""
+    import setu_spark.operators.dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(128)], ["id_a", "id_b"]
+    )
+    labels = dd.connected_components(
+        chain, max_iterations=10, local_edge_bound=0
+    ).collect()
+    assert {r.component for r in labels} == {0}
+    assert len(labels) == 129
+    assert 0 < dd.LAST_CC_ROUNDS <= 10
+
+    # mirrored orientation: same labels, and the canonicalized edge
+    # count keeps the graph eligible for whichever path the bound picks
+    both = chain.union(
+        chain.select(
+            chain.id_b.alias("id_a"), chain.id_a.alias("id_b")
+        )
+    )
+    labels2 = dd.connected_components(
+        both, max_iterations=10, local_edge_bound=0
+    ).collect()
+    assert {r.component for r in labels2} == {0}
+    assert len(labels2) == 129
+
+
 def test_dedup_impact_audit_planted_clusters(spark):
     """q125's histogram on planted exact duplicates: a 3-cluster, a
     2-cluster, and a singleton roll up with exact removed-char sums

@@ -3,31 +3,35 @@
 A scale-killer can cost 3s at sf0.1 and ~195s at 60M rows (q28's
 mixed-distinct aggregate carried the HLL++ buffer as ~1600 columns per
 row through its FIRST exchange), so test-scale wall-clock cannot catch
-the class; plan shape can. This asserts every registered query's first
-exchange — the one whose row volume scales with the corpus — stays
-narrow. Downstream exchanges over already-aggregated rows may be
-legitimately wide and are not gated (tools/plan_audit.py prints the
-full per-query width profile for humans).
+the class; plan shape can. This asserts EVERY corpus-volume exchange
+of every registered query — any shuffle whose input descends from a
+raw scan with no row-bounding node (aggregate / limit) in between, in
+ANY branch of the plan — stays narrow. (Round-7 ADVICE: gating only
+the first detail-section exchange would let a q28-class buffer ride
+the second branch of a join unchecked.) Exchanges over
+already-aggregated rows may be legitimately wide and are not gated
+(tools/plan_audit.py prints the full per-query width profile for
+humans).
 """
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
-from setu_spark.plans.inspect import exchange_widths
+from setu_spark.plans.inspect import corpus_exchange_widths
 
 SF_DIR = "/root/testdata/sf0.001"
 
 #: wide enough for honest multi-metric aggregates; a sketch buffer
 #: riding a per-row exchange is two orders of magnitude past it
-MAX_FIRST_EXCHANGE_WIDTH = 24
+MAX_CORPUS_EXCHANGE_WIDTH = 24
 
 
-def test_every_first_exchange_is_narrow(spark):
+def test_every_corpus_volume_exchange_is_narrow(spark):
     offenders = {}
     for name, fn in sorted(entrymod.queries().items()):
-        widths = exchange_widths(fn(spark, SF_DIR))
+        widths = corpus_exchange_widths(fn(spark, SF_DIR))
         spark.catalog.clearCache()
-        if widths and widths[0] > MAX_FIRST_EXCHANGE_WIDTH:
+        if widths and max(widths) > MAX_CORPUS_EXCHANGE_WIDTH:
             offenders[name] = widths
     assert not offenders, (
         "corpus-volume exchanges carrying wide buffers (q28 class): "
