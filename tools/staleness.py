@@ -27,6 +27,24 @@ import sys
 
 WINDOW = 50  # entries of queries() the driver checks per round
 
+#: the round whose window _FRONT currently pins (bump at each rotation)
+THIS_ROUND = 8
+
+#: queries materially CHANGED in the current round that are NOT in the
+#: current window — they take the next round's first free slots so a
+#: behavior change never waits a full cycle for its driver hash row.
+#: Round 8: q137's shape guard moved to the \z anchor (same output on
+#: driver testdata — verified by oracle sweep — but the semantics
+#: changed); q144/q149/q150 ride the pointer-jump CC rewrite (dual-path
+#: tests prove labels identical; fronted anyway as the belt to that
+#: suspender).
+CHANGED = (
+    "q137_props_schema_parse",
+    "q144_leak_free_split",
+    "q149_component_source_purity",
+    "q150_quality_survivor_delta",
+)
+
 
 def last_green(root: str = ".") -> dict[str, int]:
     last: dict[str, int] = {}
@@ -65,7 +83,7 @@ def registry_and_front() -> tuple[list[str], list[str]]:
 
 def rotation_plan(
     names: list[str], front: list[str], last: dict[str, int],
-    this_round: int = 7,
+    this_round: int = THIS_ROUND,
 ) -> dict[int, list[str]]:
     """Deterministic 3-phase rotation: with ~147 registered queries and
     a 50-slot driver window, a strict 3-round cycle is the only shape
@@ -73,41 +91,37 @@ def rotation_plan(
     this_round+1 and +2, assuming the CURRENT window (_FRONT) goes
     green this round:
 
-      round 8 = every query whose last green is ≤ r05 and that is not
-                in the round-7 window (they hit the 3-round staleness
-                ceiling at r8) + the oldest-registered remainder of the
-                r06 block up to 50 — fronting the trained-codebook
-                queries q138/q140/q143, whose shared helper (and, for
-                q143, emitted cell ids) changed in round 7 with only
-                q63 re-checked.
-      round 9 = everything else (the rest of the r06 block), ≤50 —
-                the spare slots are round 8/9's changed-query budget.
+      next round  = every query not in the current window whose last
+                    green is ≤ this_round-2 (they hit the 3-round
+                    staleness ceiling next round), plus the CHANGED
+                    queries fronted, topped up to 50 in registration
+                    order from the remainder.
+      round after = everything else, ≤50 — the spare slots are the
+                    changed-query budget for new work.
     """
     in_front = set(front)
-    # changed in round 7 (trained IVF codebook) but not re-checked by
-    # the round-7 window — they take round 8's first free slots
-    changed = [q for q in (
-        "q138_margin_pair_mining_ann",
-        "q140_margin_ann_recall_audit",
-        "q143_ivf_cell_balance",
-    ) if q in names and q not in in_front]
+    changed = [
+        q for q in CHANGED if q in names and q not in in_front
+    ]
     overdue = sorted(
         q for q in names
         if q not in in_front and last.get(q, 0) <= this_round - 2
     )
-    r8 = overdue + [q for q in changed if q not in overdue]
-    rest = [q for q in names if q not in in_front and q not in set(r8)]
+    nxt = [q for q in changed if q not in overdue] + overdue
+    rest = [q for q in names if q not in in_front and q not in set(nxt)]
     # registration order = family order; keep it for the tail block
-    while len(r8) < WINDOW and rest:
-        r8.append(rest.pop(0))
-    r9 = rest
-    assert len(r8) <= WINDOW and len(r9) <= WINDOW, (len(r8), len(r9))
-    return {this_round + 1: r8, this_round + 2: r9}
+    while len(nxt) < WINDOW and rest:
+        nxt.append(rest.pop(0))
+    later = rest
+    assert len(nxt) <= WINDOW and len(later) <= WINDOW, (
+        len(nxt), len(later),
+    )
+    return {this_round + 1: nxt, this_round + 2: later}
 
 
 def simulate_staleness(
     names: list[str], front: list[str], last: dict[str, int],
-    plan: dict[int, list[str]], this_round: int = 7,
+    plan: dict[int, list[str]], this_round: int = THIS_ROUND,
 ) -> int:
     """Max rounds-without-a-green-row any query reaches under the plan
     (window goes green each round; cycle repeats after the plan)."""
@@ -142,7 +156,7 @@ def main() -> None:
         print(f"#\n# {len(names)} registered queries, {WINDOW}-slot driver")
         print("# window, 3-round cycle → max staleness ≤3 rounds")
         print("# (asserted by tests/test_rotation_plan.py).\n")
-        print(f"round 7 (current _FRONT, {len(front_list)}):")
+        print(f"round {THIS_ROUND} (current _FRONT, {len(front_list)}):")
         for q in front_list:
             print(f"  {q}")
         for rnd in sorted(plan):
