@@ -131,6 +131,9 @@ HEADLINE = [
     "q148_winnowed_novelty",
     "q149_component_source_purity",
     "q150_quality_survivor_delta",
+    # round 8: joint text↔embedding dedup agreement, ANN ingest gate
+    "q151_joint_dedup_agreement",
+    "q152_ann_admission",
 ]
 
 

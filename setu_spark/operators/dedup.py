@@ -1915,3 +1915,349 @@ def q150_quality_survivor_delta(
         .cast("long")
         .alias("chars_gained"),
     )
+
+
+# ---------------------------------------------------------------- q151
+# Joint text↔embedding dedup agreement (round-7 VERDICT task 5: the
+# gap-filling new query, not a variant). similarity.py is imported
+# before this module by __spark_entry__, so the module-level import
+# adds no registration reordering.
+from setu_spark.operators.similarity import (  # noqa: E402
+    DIM as _EMB_DIM,
+    ND_BAND_ROWS as _ND_BAND_ROWS,
+    ND_PLANES as _ND_PLANES,
+    ND_THRESHOLD as _ND_THRESHOLD,
+    _COS_SQL,
+    _band_buckets_udf,
+    _sgn_sql,
+    cosine_pairs_udf,
+    q55_embedding_neardup,
+)
+
+
+def _emb_pairs_ctes() -> str:
+    """The q55 oracle's candidate CTE chain (planes → projections →
+    band buckets), verbatim semantics, parameterized for reuse by the
+    joint-agreement and ANN-admission oracles."""
+    return f"""planes AS (
+      SELECT j, i, {_sgn_sql('j', 'i')} AS sgn
+      FROM unnest(range(0, {_ND_PLANES})) AS uj(j),
+           unnest(range(1, {_EMB_DIM + 1})) AS ui(i)
+    ),
+    comps AS (
+      SELECT e.vec_id, p.j,
+             sum(p.sgn * CAST(e.x AS DOUBLE)) AS proj
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) e
+      JOIN planes p ON e.i = p.i
+      GROUP BY e.vec_id, p.j
+    ),
+    ebands AS (
+      SELECT vec_id, j // {_ND_BAND_ROWS} AS band,
+             CAST(sum(CASE WHEN proj > 0
+                      THEN CAST(1 AS BIGINT) << (j % {_ND_BAND_ROWS})
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM comps GROUP BY vec_id, j // {_ND_BAND_ROWS}
+    )"""
+
+
+def _joint_agreement_sql() -> str:
+    eq_terms = " + ".join(
+        f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(NUM_PERM)
+    )
+    sig_cols = ", ".join(_minhash_sql_cols())
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    tbands AS ({_bands_sql()}),
+    tcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tbands a JOIN tbands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    tp AS (
+      SELECT c.id_a, c.id_b
+      FROM tcand c
+      JOIN sig sa ON c.id_a = sa.doc_id
+      JOIN sig sb ON c.id_b = sb.doc_id
+      WHERE ({eq_terms}) / {NUM_PERM}.0 >= {MINHASH_EST_THRESHOLD}
+    ),
+    {_emb_pairs_ctes()},
+    ecand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ebands a JOIN ebands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    ever AS (
+      SELECT c.id_a, c.id_b, {_COS_SQL} AS cosine_sim
+      FROM (
+        SELECT c.id_a, c.id_b,
+               unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        FROM ecand c
+        JOIN embeddings ea ON c.id_a = ea.vec_id
+        JOIN embeddings eb ON c.id_b = eb.vec_id
+      ) c
+      GROUP BY c.id_a, c.id_b
+    ),
+    ep AS (SELECT id_a, id_b FROM ever WHERE cosine_sim >= {_ND_THRESHOLD}),
+    u AS (
+      SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+             COALESCE(t.id_b, e.id_b) AS id_b,
+             t.id_a IS NOT NULL AS in_text,
+             e.id_a IS NOT NULL AS in_emb
+      FROM tp t FULL OUTER JOIN ep e
+        ON t.id_a = e.id_a AND t.id_b = e.id_b
+    ),
+    uest AS (
+      SELECT u.id_a, u.id_b,
+             round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+      FROM u
+      JOIN sig sa ON u.id_a = sa.doc_id
+      JOIN sig sb ON u.id_b = sb.doc_id
+    ),
+    ucos AS (
+      SELECT c.id_a, c.id_b, {_COS_SQL} AS cosine_sim
+      FROM (
+        SELECT u.id_a, u.id_b,
+               unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        FROM u
+        JOIN embeddings ea ON u.id_a = ea.vec_id
+        JOIN embeddings eb ON u.id_b = eb.vec_id
+      ) c
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT CASE WHEN u.in_text AND u.in_emb THEN 'both'
+                WHEN u.in_text THEN 'text_only'
+                ELSE 'embedding_only' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(ue.est_jaccard) AS BIGINT) AS n_est,
+           round(CAST(sum(CAST(ue.est_jaccard AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(ue.est_jaccard), 6) AS avg_est_jaccard,
+           CAST(count(uc.cosine_sim) AS BIGINT) AS n_cos,
+           round(CAST(sum(CAST(uc.cosine_sim AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(uc.cosine_sim), 6) AS avg_cosine
+    FROM u
+    LEFT JOIN uest ue ON u.id_a = ue.id_a AND u.id_b = ue.id_b
+    LEFT JOIN ucos uc ON u.id_a = uc.id_a AND u.id_b = uc.id_b
+    GROUP BY 1
+    """
+
+
+@register("q151_joint_dedup_agreement", oracle=_joint_agreement_sql())
+def q151_joint_dedup_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Text↔embedding JOINT dedup agreement matrix — which tier catches
+    what the other misses: the MinHash tier's verified pair set (q52
+    semantics: LSH bands + signature agreement ≥ {MINHASH_EST_THRESHOLD})
+    FULL-OUTER-joined with the embedding tier's verified pair set (q55
+    semantics: hyperplane bands + cosine ≥ {_ND_THRESHOLD}), bucketed
+    'both' / 'text_only' / 'embedding_only'. For EVERY pair in the union
+    both metrics are recomputed (signature agreement from the signature
+    table; exact cosine from the embeddings), so each tier's rows also
+    report the OTHER tier's view of its exclusive catches — the number a
+    dedup-policy decision actually needs (are text_only pairs near the
+    cosine threshold, or semantically unrelated boilerplate?).
+
+    ids join doc_id = vec_id (the testdata contract: embeddings are
+    per-document; at sf0.1 only a doc prefix carries vectors, so cosine
+    is NULL — and counted by ``n_cos`` — on pairs outside it).
+
+    Scale shape: both pair generators are the banded LSH paths (never
+    all-pairs); the union of verified pairs is duplicate-count-bounded,
+    so the metric attach joins and the final groupBy move pair-volume
+    rows, not corpus rows. Reference basis: the reference dedupes on
+    text alone (MinHash, dedup lsh.py); the agreement audit is the
+    beyond-reference composition that justifies (or kills) adding an
+    embedding tier at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = scoped_cache(
+        "q151_joint_dedup_agreement", minhash_signatures(docs)
+    )
+    tp = pair_est_jaccard(sig, lsh_candidate_pairs(sig)).select(
+        "id_a", "id_b", F.lit(True).alias("in_text")
+    )
+    ep = q55_embedding_neardup(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(True).alias("in_emb")
+    )
+    u = (
+        tp.join(ep, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("in_text", F.lit(False)).alias("in_text"),
+            F.coalesce("in_emb", F.lit(False)).alias("in_emb"),
+        )
+    )
+    uest = pair_est_jaccard(
+        sig, u.select("id_a", "id_b"), threshold=0.0
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    ucos = (
+        u.select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_pairs_udf()(F.col("ea"), F.col("eb")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    tier = (
+        F.when(F.col("in_text") & F.col("in_emb"), "both")
+        .when(F.col("in_text"), "text_only")
+        .otherwise("embedding_only")
+    )
+    joined = u.join(uest, ["id_a", "id_b"], "left").join(
+        ucos, ["id_a", "id_b"], "left"
+    )
+    return joined.groupBy(tier.alias("tier")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count("est_jaccard").cast("long").alias("n_est"),
+        F.round(
+            F.sum(F.col("est_jaccard").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("est_jaccard"),
+            6,
+        ).alias("avg_est_jaccard"),
+        F.count("cosine_sim").cast("long").alias("n_cos"),
+        F.round(
+            F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("cosine_sim"),
+            6,
+        ).alias("avg_cosine"),
+    )
+
+
+# ---------------------------------------------------------------- q152
+def _ann_admission_sql() -> str:
+    side = "substr(md5(CAST({id} AS VARCHAR)), 1, 1)"
+    return f"""
+    WITH {_emb_pairs_ctes()},
+    inc AS (
+      SELECT vec_id FROM embeddings
+      WHERE {side.format(id="vec_id")} > '{CROSS_EXIST_MAX_HEX}'
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS ex_id
+      FROM ebands a
+      JOIN ebands b ON a.band = b.band AND a.bucket = b.bucket
+      JOIN inc i ON a.vec_id = i.vec_id
+      WHERE {side.format(id="b.vec_id")} <= '{CROSS_EXIST_MAX_HEX}'
+    ),
+    ver AS (
+      SELECT c.new_id, c.ex_id, {_COS_SQL} AS sim
+      FROM (
+        SELECT c.new_id, c.ex_id,
+               unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        FROM cand c
+        JOIN embeddings ea ON c.new_id = ea.vec_id
+        JOIN embeddings eb ON c.ex_id = eb.vec_id
+      ) c
+      GROUP BY c.new_id, c.ex_id
+    ),
+    agg AS (
+      SELECT new_id, max(sim) AS best,
+             CAST(count(*) AS BIGINT) AS ncand
+      FROM ver GROUP BY new_id
+    )
+    SELECT i.vec_id,
+           CASE WHEN a.best >= {_ND_THRESHOLD} THEN 'near_dup'
+                ELSE 'novel' END AS status,
+           a.best AS best_cosine,
+           COALESCE(a.ncand, 0) AS n_candidates
+    FROM inc i LEFT JOIN agg a ON i.vec_id = a.new_id
+    """
+
+
+def ann_admission(
+    incoming: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """The ANN admission stage shared VERBATIM by the batch gate (q152
+    below) and the streaming ingest twin
+    (streaming/jobs.py ``ann_admission_decisions``): INCOMING
+    ``(vec_id, embedding)`` rows probe the EXISTING corpus's hyperplane
+    band index — a new vector is ``near_dup`` when some same-bucket
+    existing vector verifies at cosine ≥ {_ND_THRESHOLD}, else
+    ``novel``. Returns (vec_id, status, best_cosine, n_candidates);
+    best_cosine is NULL (and n_candidates 0) when no bucket collision
+    produced a candidate at all.
+
+    Scale shape: the existing band table is the precomputed, bucketed
+    ANN index (built once per corpus snapshot); each admission batch
+    does work proportional to the NEW vectors × their bucket
+    collisions, never an all-pairs or full-corpus pass. Stream-safe by
+    construction: the stream side is a projection + equi-join against
+    the static index + one keyed aggregation (max/count per new vec)."""
+    bb = _band_buckets_udf()
+    ib = incoming.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(bb("embedding")).alias("band", "bucket"),
+    )
+    xb = existing.select(
+        F.col("vec_id").alias("ex_id"),
+        F.col("embedding").alias("ex_emb"),
+        F.posexplode(bb("embedding")).alias("band", "bucket"),
+    )
+    sim = F.round(
+        cosine_pairs_udf()(F.col("embedding"), F.col("ex_emb")), 6
+    )
+    cand = (
+        ib.join(xb, ["band", "bucket"])
+        .select("vec_id", "ex_id", sim.alias("sim"))
+        .distinct()
+    )
+    agg = cand.groupBy("vec_id").agg(
+        F.max("sim").alias("best_cosine"),
+        F.count("*").cast("long").alias("n_candidates"),
+    )
+    return (
+        incoming.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("best_cosine") >= _ND_THRESHOLD, "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+            "best_cosine",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+        )
+    )
+
+
+@register("q152_ann_admission", oracle=_ann_admission_sql())
+def q152_ann_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-side ingest gate — q122's admission contract over the
+    EMBEDDING column: every incoming vector (q93's deterministic
+    md5-hex corpus split, reused so the text and vector gates partition
+    identically) probes the existing corpus's hyperplane-band ANN index
+    and is admitted ``novel`` or flagged ``near_dup`` (best verified
+    cosine ≥ {_ND_THRESHOLD}). The streaming twin
+    (streaming/jobs.py ``ann_admission_decisions``) runs this exact
+    function on a stream — pinned stream≡batch by
+    tests/test_streaming.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    incoming = emb.filter(side > CROSS_EXIST_MAX_HEX).select(
+        "vec_id", "embedding"
+    )
+    existing = emb.filter(side <= CROSS_EXIST_MAX_HEX).select(
+        "vec_id", "embedding"
+    )
+    return ann_admission(incoming, existing)

@@ -294,6 +294,39 @@ def admission_decisions(
     return exact_admission(new_docs, existing_hashes)
 
 
+def ann_admission_decisions(
+    new_vecs: DataFrame, existing: DataFrame, out_dir: str
+) -> None:
+    """Streaming ANN ingest admission — q152's gate as a STREAM: each
+    micro-batch of incoming ``(vec_id, embedding)`` rows probes the
+    static existing-corpus hyperplane band index and appends
+    (vec_id, status, best_cosine, n_candidates) decisions as parquet.
+
+    Runs ``operators/dedup.ann_admission`` — the EXACT function the
+    batch gate q152 registers — inside ``foreachBatch``: the banded
+    verify is distinct + keyed-agg work (a batch-only shape by
+    Structured Streaming's multi-aggregation rules), and admission is
+    per-row independent against a static index, so the union of
+    per-micro-batch decisions IS the batch result — pinned by
+    tests/test_streaming.py. At 100 TB the static side is the
+    precomputed bucketed ANN index every crawl batch probes; per-batch
+    work is proportional to the new vectors × their bucket collisions."""
+    from setu_spark.operators.dedup import ann_admission
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ann_admission(batch_df, existing).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        new_vecs.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- streaming heavy hitters (bounded-state frequent keys) --------------
 
 #: Shards for the streaming Misra–Gries sketch: state is bounded at

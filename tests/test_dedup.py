@@ -717,3 +717,74 @@ def test_quality_survivor_delta_planted(spark):
     assert r.n_clusters == 3
     assert r.n_changed == 1
     assert r.chars_gained == (len(big) - len(base))
+
+
+def test_joint_dedup_agreement_planted(spark):
+    """q151 on planted tiers: an identical-text pair with ORTHOGONAL
+    embeddings must land text_only, an identical-embedding pair with
+    disjoint texts embedding_only, and a pair identical in both lands
+    both — with the recomputed cross-metrics exposing each tier's view
+    (text_only avg cosine 0.0; embedding_only est_jaccard 0.0)."""
+    import setu_spark.operators.dedup as dd
+    import setu_spark.operators.similarity as sim
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    t3 = "red orange yellow green blue indigo violet pink brown black"
+    t4 = "mon tue wed thu fri sat sun jan feb mar apr may jun jul aug"
+    ax = lambda i: [1.0 if j == i else 0.0 for j in range(64)]
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1),        # text-dup, orthogonal vectors
+         (3, t2), (4, t3),        # disjoint texts, identical vectors
+         (6, t4), (7, t4)],       # identical in both
+        ["doc_id", "text"],
+    )
+    embs = spark.createDataFrame(
+        [(1, ax(0)), (2, ax(1)),
+         (3, ax(2)), (4, ax(2)),
+         (6, ax(3)), (7, ax(3))],
+        "vec_id long, embedding array<float>",
+    )
+
+    def fake_load(sp, d, name):
+        return embs if name == "embeddings" else docs
+
+    orig_d, orig_s = dd.load_table, sim.load_table
+    dd.load_table = sim.load_table = fake_load
+    try:
+        rows = {
+            r.tier: r
+            for r in dd.q151_joint_dedup_agreement(spark, "x").collect()
+        }
+    finally:
+        dd.load_table, sim.load_table = orig_d, orig_s
+    assert rows["text_only"].n_pairs == 1
+    assert rows["text_only"].avg_est_jaccard == 1.0
+    assert rows["text_only"].avg_cosine == 0.0
+    assert rows["embedding_only"].n_pairs == 1
+    assert rows["embedding_only"].avg_cosine == 1.0
+    assert rows["embedding_only"].avg_est_jaccard == 0.0
+    assert rows["both"].n_pairs == 1
+    assert rows["both"].avg_est_jaccard == 1.0
+    assert rows["both"].avg_cosine == 1.0
+
+
+def test_ann_admission_fn_planted(spark):
+    """The shared ann_admission stage: an incoming copy of an existing
+    vector is near_dup at cosine 1.0; an orthogonal newcomer is novel
+    (any accidental band collision verifies below threshold)."""
+    import setu_spark.operators.dedup as dd
+
+    ax = lambda i: [1.0 if j == i else 0.0 for j in range(64)]
+    existing = spark.createDataFrame(
+        [(100, ax(0))], "vec_id long, embedding array<float>"
+    )
+    incoming = spark.createDataFrame(
+        [(1, ax(0)), (2, ax(7))], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.status, r.best_cosine)
+        for r in dd.ann_admission(incoming, existing).collect()
+    }
+    assert got[1] == ("near_dup", 1.0)
+    assert got[2][0] == "novel"

@@ -383,6 +383,50 @@ def test_stream_admission_matches_batch_exact_stage(spark, tmp_path):
             assert got[doc_id] == "novel"
 
 
+def test_stream_ann_admission_matches_batch_gate(spark, tmp_path):
+    """The streaming ANN ingest gate (foreachBatch over the SAME
+    ann_admission function) must emit exactly the batch q152 gate's
+    decisions: admission is per-row independent against the static band
+    index, so micro-batching cannot change any row."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from setu_spark.operators.dedup import CROSS_EXIST_MAX_HEX
+    from setu_spark.sources.io import load_table
+    from setu_spark.streaming.jobs import ann_admission_decisions
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    side = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    incoming_dir = str(tmp_path / "incoming_vecs")
+    out_dir = str(tmp_path / "decisions")
+    emb.filter(side > CROSS_EXIST_MAX_HEX).select(
+        "vec_id", "embedding"
+    ).repartition(4).write.parquet(incoming_dir)
+    existing = emb.filter(side <= CROSS_EXIST_MAX_HEX).select(
+        "vec_id", "embedding"
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(incoming_dir)
+    )
+    ann_admission_decisions(stream, existing, out_dir)
+    got = {
+        r.vec_id: (r.status, r.best_cosine, r.n_candidates)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.vec_id: (r.status, r.best_cosine, r.n_candidates)
+        for r in entrymod.queries()["q152_ann_admission"](
+            spark, sf
+        ).collect()
+    }
+    assert got == want
+    assert want, "split must leave a non-empty incoming side"
+
+
 def test_streaming_heavy_hitters_bounded_state_finds_hitters(spark):
     """Misra-Gries frequent-keys monitor: state stays hard-bounded at
     m counters per shard, yet every key whose true count exceeds the

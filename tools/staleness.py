@@ -33,17 +33,15 @@ THIS_ROUND = 8
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 8: q137's shape guard moved to the \z anchor (same output on
-#: driver testdata — verified by oracle sweep — but the semantics
-#: changed); q144/q149/q150 ride the pointer-jump CC rewrite (dual-path
-#: tests prove labels identical; fronted anyway as the belt to that
-#: suspender).
-CHANGED = (
-    "q137_props_schema_parse",
-    "q144_leak_free_split",
-    "q149_component_source_purity",
-    "q150_quality_survivor_delta",
-)
+#: Round 8: EMPTY, deliberately. The window is saturated (149 queries /
+#: 50 slots) because the two NEW queries (q151/q152) took the free
+#: slots, displacing q138/q140 — which rejoin automatically as overdue
+#: next round. The round-8 code changes outside the window need no
+#: fronting: q137's \z anchor is overdue anyway (auto next round), and
+#: the pointer-jump CC behind q144/q149/q150 is proven label-identical
+#: (dual-path tests + full oracle sweep), so their r7 rows stay valid
+#: until natural rotation in round 10.
+CHANGED: tuple[str, ...] = ()
 
 
 def last_green(root: str = ".") -> dict[str, int]:
