@@ -2196,48 +2196,63 @@ def ann_admission(
     best_cosine is NULL (and n_candidates 0) when no bucket collision
     produced a candidate at all.
 
-    Scale shape: the existing band table is the precomputed, bucketed
-    ANN index (built once per corpus snapshot); each admission batch
-    does work proportional to the NEW vectors × their bucket
-    collisions, never an all-pairs or full-corpus pass. Stream-safe by
-    construction: the stream side is a projection + equi-join against
-    the static index + one keyed aggregation (max/count per new vec)."""
+    Scale shape — COLLAPSE-FIRST (the funnel lesson applied to
+    admission): every output column is a pure function of the incoming
+    EMBEDDING (buckets, cosine, and candidate multiplicity are all
+    vector-determined — bit-identical copies share every bucket and
+    every similarity), so both sides are grouped to DISTINCT vectors
+    before any band work: the existing index keeps one row per distinct
+    vector with its id-multiplicity, each distinct incoming vector
+    probes once, and decisions fan back out to vec_ids by one
+    equi-join. Probe work scales with distinct vectors, not copies —
+    on the duplicate-dense 100× stress corpus (100 bit-identical copies
+    per vector) that is the difference between ~10⁶ banded pairs and
+    ~10² per batch. ``n_candidates`` stays exact: a colliding distinct
+    existing vector contributes its id-multiplicity. Stream-safe by
+    construction: projections + equi-joins against the static index +
+    keyed aggregations, run per micro-batch in foreachBatch."""
     bb = _band_buckets_udf()
-    ib = incoming.select(
-        "vec_id",
+    inc_d = incoming.groupBy("embedding").agg(
+        F.count("*").alias("_n_in")
+    )
+    ex_d = existing.groupBy("embedding").agg(
+        F.count("*").cast("long").alias("mult")
+    )
+    ib = inc_d.select(
         "embedding",
         F.posexplode(bb("embedding")).alias("band", "bucket"),
     )
-    xb = existing.select(
-        F.col("vec_id").alias("ex_id"),
+    xb = ex_d.select(
         F.col("embedding").alias("ex_emb"),
+        "mult",
         F.posexplode(bb("embedding")).alias("band", "bucket"),
     )
     sim = F.round(
         cosine_pairs_udf()(F.col("embedding"), F.col("ex_emb")), 6
     )
+    # distinct collapses the ≤ n_bands repeats of a colliding vector
+    # pair; sim and mult are vector-determined, so they ride the key
     cand = (
         ib.join(xb, ["band", "bucket"])
-        .select("vec_id", "ex_id", sim.alias("sim"))
+        .select("embedding", "ex_emb", "mult", sim.alias("sim"))
         .distinct()
     )
-    agg = cand.groupBy("vec_id").agg(
+    agg = cand.groupBy("embedding").agg(
         F.max("sim").alias("best_cosine"),
-        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("mult").cast("long").alias("n_candidates"),
     )
-    return (
-        incoming.select("vec_id")
-        .join(agg, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.when(F.col("best_cosine") >= _ND_THRESHOLD, "near_dup")
-            .otherwise("novel")
-            .alias("status"),
-            "best_cosine",
-            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
-                "n_candidates"
-            ),
-        )
+    decisions = inc_d.join(agg, "embedding", "left").select(
+        "embedding",
+        F.when(F.col("best_cosine") >= _ND_THRESHOLD, "near_dup")
+        .otherwise("novel")
+        .alias("status"),
+        "best_cosine",
+        F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+            "n_candidates"
+        ),
+    )
+    return incoming.join(decisions, "embedding").select(
+        "vec_id", "status", "best_cosine", "n_candidates"
     )
 
 

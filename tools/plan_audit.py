@@ -35,6 +35,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from setu_spark.plans.inspect import (
+        corpus_exchange_widths,
         exchange_widths,
         has_expand,
         shuffle_count,
@@ -50,13 +51,15 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             widths = exchange_widths(df)
-            # Flag on the FIRST exchange (plan order = leaf-to-root):
-            # that is the one whose row volume scales with the corpus.
-            # Downstream exchanges over already-aggregated rows may be
-            # legitimately wide (q28's final 5-group HLL merge is 1642
-            # columns over ~160 rows — fine; the same width over raw
-            # rows was the 50x scale-killer).
-            w = widths[0] if widths else 0
+            # Flag on the widest CORPUS-VOLUME exchange (any shuffle
+            # descending from a raw scan with no row-bounding node in
+            # between, in ANY branch — round-7 ADVICE upgraded this
+            # from widths[0]). Exchanges over already-aggregated rows
+            # may be legitimately wide (q28's final 5-group HLL merge
+            # is 1642 columns over ~160 rows — fine; the same width
+            # over raw rows was the 50x scale-killer).
+            cw = corpus_exchange_widths(df)
+            w = max(cw) if cw else 0
             n = shuffle_count(df)
             ex = has_expand(df)
         except Exception as exc:  # noqa: BLE001
@@ -65,13 +68,13 @@ def main() -> int:
             continue
         finally:
             spark.catalog.clearCache()
-        mark = " <-- WIDE FIRST EXCHANGE" if w > wide else ""
+        mark = " <-- WIDE CORPUS EXCHANGE" if w > wide else ""
         if w > wide:
             flagged.append(name)
         rows.append((w, n, ex, name, mark, widths))
     for w, n, ex, name, mark, widths in sorted(rows, reverse=True):
         print(
-            f"first_width={w:3d} all={widths} shuffles={n:2d} "
+            f"corpus_width={w:3d} all={widths} shuffles={n:2d} "
             f"expand={'Y' if ex else 'n'}  {name}{mark}"
         )
     print(f"\nAUDIT {len(rows)} queries, {len(flagged)} flagged (width > {wide})")
