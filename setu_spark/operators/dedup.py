@@ -2045,33 +2045,15 @@ def _joint_agreement_sql() -> str:
     """
 
 
-@register("q151_joint_dedup_agreement", oracle=_joint_agreement_sql())
-def q151_joint_dedup_agreement(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Text↔embedding JOINT dedup agreement matrix — which tier catches
-    what the other misses: the MinHash tier's verified pair set (q52
-    semantics: LSH bands + signature agreement ≥ {MINHASH_EST_THRESHOLD})
-    FULL-OUTER-joined with the embedding tier's verified pair set (q55
-    semantics: hyperplane bands + cosine ≥ {_ND_THRESHOLD}), bucketed
-    'both' / 'text_only' / 'embedding_only'. For EVERY pair in the union
-    both metrics are recomputed (signature agreement from the signature
-    table; exact cosine from the embeddings), so each tier's rows also
-    report the OTHER tier's view of its exclusive catches — the number a
-    dedup-policy decision actually needs (are text_only pairs near the
-    cosine threshold, or semantically unrelated boilerplate?).
-
-    ids join doc_id = vec_id (the testdata contract: embeddings are
-    per-document; at sf0.1 only a doc prefix carries vectors, so cosine
-    is NULL — and counted by ``n_cos`` — on pairs outside it).
-
-    Scale shape: both pair generators are the banded LSH paths (never
-    all-pairs); the union of verified pairs is duplicate-count-bounded,
-    so the metric attach joins and the final groupBy move pair-volume
-    rows, not corpus rows. Reference basis: the reference dedupes on
-    text alone (MinHash, dedup lsh.py); the agreement audit is the
-    beyond-reference composition that justifies (or kills) adding an
-    embedding tier at 100 TB."""
+def _q151_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-PAIR twin of q151 (the oracle's literal shape): materializes
+    every verified ID pair of both tiers and aggregates. Kept
+    unregistered as the dual-path witness — tests pin it row-identical
+    to the collapsed production form below, exactly the CC
+    union-find/distributed pattern. Do NOT use at scale: on the
+    duplicate-dense 100× corpus this materializes ~47M pairs (>10 min)
+    where the collapsed form computes the same three rows from ~10³
+    class pairs."""
     docs = load_table(spark, sf_dir, "documents")
     sig = scoped_cache(
         "q151_joint_dedup_agreement", minhash_signatures(docs)
@@ -2276,3 +2258,364 @@ def q152_ann_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return ann_admission(incoming, existing)
+
+
+# q151 production form: collapse-first joint agreement ------------------
+def _eid_col(emb: Column) -> Column:
+    """Deterministic embedding-class key: md5 over the comma-joined
+    float renderings (CAST(float AS STRING) is deterministic in Spark;
+    identical arrays ⇒ identical key, distinct arrays ⇒ distinct key up
+    to md5 collision — the same trust q50 places in content md5).
+    NULL embedding ⇒ NULL key."""
+    return F.when(
+        emb.isNotNull(),
+        F.md5(F.concat_ws(",", F.transform(emb, lambda x: x.cast("string")))),
+    )
+
+
+#: Joint-class duplicate fraction above which q151 switches from the
+#: raw-pair composition to the collapsed combinatorial form. Below it,
+#: collapsing buys ~nothing (distinct classes ≈ docs) and the collapsed
+#: plan's extra enumeration joins cost ~3× wall (7.4s vs 2.3s at the
+#: duplicate-sparse sf0.1); above it, pair volume grows with the square
+#: of copy counts and the raw form dies (>10 min vs 40s at the
+#: duplicate-dense 100× corpus). Either branch is row-identical
+#: (dual-path test) — the bound is pure plan selection, the CC
+#: local/distributed hybrid pattern.
+JOINT_COLLAPSE_DUP_FRAC = 0.05
+
+
+@register("q151_joint_dedup_agreement", oracle=_joint_agreement_sql())
+def q151_joint_dedup_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid dispatcher for the joint dedup agreement audit: one cheap
+    aggregate measures the joint-class duplicate fraction
+    (1 − distinct (text, embedding) classes / docs), then the corpus
+    runs the raw-pair composition (duplicate-sparse: fewer stages) or
+    the collapsed combinatorial form (duplicate-dense: class-volume
+    work) — see :data:`JOINT_COLLAPSE_DUP_FRAC` and the two
+    implementations below."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id", "left")
+    n_docs, n_classes = base.select(
+        F.count("*"),
+        # approx is plenty for a plan-choice threshold (both branches
+        # are row-identical; ±2% at the 5% boundary just picks the
+        # other equally-correct plan) and keeps the chooser map-side
+        # combined instead of planning a distinct shuffle.
+        # Sentinel-coalesced so NULL-text / no-vector docs still count.
+        F.approx_count_distinct(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.md5("text"), F.lit("~t~")),
+                F.coalesce(_eid_col(F.col("embedding")), F.lit("~e~")),
+            )
+        ),
+    ).first()
+    dup_frac = 1.0 - (n_classes / n_docs) if n_docs else 0.0
+    if dup_frac < JOINT_COLLAPSE_DUP_FRAC:
+        return _q151_pairs_raw(spark, sf_dir)
+    return _q151_collapsed(spark, sf_dir)
+
+
+def _q151_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text↔embedding JOINT dedup agreement matrix — which tier catches
+    what the other misses: the MinHash tier's verified pair set (q52
+    semantics: LSH bands + signature agreement ≥ {MINHASH_EST_THRESHOLD})
+    unioned with the embedding tier's verified pair set (q55 semantics:
+    hyperplane bands + cosine ≥ {_ND_THRESHOLD}), bucketed 'both' /
+    'text_only' / 'embedding_only', with BOTH metrics reported for
+    every pair in the union — the number a dedup-policy decision
+    actually needs (are text_only pairs near the cosine threshold, or
+    semantically unrelated boilerplate?). ids join doc_id = vec_id (the
+    testdata contract; docs without vectors count into ``n_cos``'s
+    complement as NULL cosine).
+
+    Scale shape — COLLAPSE-FIRST over JOINT classes: every per-pair
+    quantity (band collision, signature agreement, cosine, tier) is a
+    pure function of the two documents' (text-class, embedding-class)
+    pair, so the audit runs entirely on DISTINCT classes — candidate
+    generation on distinct texts / distinct vectors, union-pair
+    enumeration on joint classes, and each ID-pair multiplicity restored
+    combinatorially (m₁·m₂ cross, C(m,2) diagonal). The duplicate-dense
+    100× corpus needs ~10³ class pairs instead of the ~47M ID pairs the
+    raw composition materializes (>10 min → seconds); output is
+    row-identical to :func:`_q151_pairs_raw` (dual-path test, the CC
+    pattern). Reference basis: the reference dedupes on text alone
+    (MinHash, dedup lsh.py); this audit is the beyond-reference
+    composition that justifies (or kills) adding an embedding tier at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id", "left")
+    tkey = F.md5("text")
+    eid = _eid_col(F.col("embedding"))
+    jc = base.groupBy(
+        tkey.alias("tkey"), eid.alias("eid")
+    ).agg(
+        F.count("*").cast("long").alias("m"),
+        F.first("text").alias("text"),
+        F.first("embedding").alias("embedding"),
+    )
+    jid = F.md5(
+        F.concat_ws(
+            "|", F.coalesce("tkey", F.lit("~t~")), F.coalesce("eid", F.lit("~e~"))
+        )
+    )
+    # distinct text classes with signatures; distinct embedding classes
+    tcl = jc.select("tkey", "text").filter(F.col("tkey").isNotNull()).distinct()
+    tsig = scoped_cache(
+        "q151_tsig",
+        minhash_signatures(tcl, id_col="tkey").withColumnRenamed(
+            "tkey", "doc_id"
+        ),
+    )
+    ecl = (
+        jc.select("eid", "embedding")
+        .filter(F.col("eid").isNotNull())
+        .distinct()
+    )
+    # J: joint classes + shingle-ability flag (sig of the class's text)
+    J = scoped_cache(
+        "q151_joint",
+        jc.select(jid.alias("jid"), "tkey", "eid", "m").join(
+            tsig.select(
+                F.col("doc_id").alias("tkey"),
+                F.col("m0").isNotNull().alias("shingleable"),
+            ),
+            "tkey",
+            "left",
+        ).select(
+            "jid",
+            "tkey",
+            "eid",
+            "m",
+            F.coalesce("shingleable", F.lit(False)).alias("shingleable"),
+        ),
+    )
+    # verified INTER-class pair sets, both tiers (class-volume work)
+    tp = (
+        pair_est_jaccard(tsig, lsh_candidate_pairs(tsig))
+        .select(
+            F.col("id_a").alias("tk_a"), F.col("id_b").alias("tk_b")
+        )
+        .withColumn("tp_flag", F.lit(True))
+    )
+    bb = _band_buckets_udf()
+    ebnd = ecl.select(
+        "eid", "embedding", F.posexplode(bb("embedding")).alias("band", "bucket")
+    )
+    ea, eb2 = ebnd.alias("a"), ebnd.alias("b")
+    esim = F.round(
+        cosine_pairs_udf()(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    ep = (
+        ea.join(
+            eb2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.eid") < F.col("b.eid")),
+        )
+        .select(
+            F.col("a.eid").alias("ek_a"),
+            F.col("b.eid").alias("ek_b"),
+            esim.alias("sim"),
+        )
+        .filter(F.col("sim") >= _ND_THRESHOLD)
+        .select("ek_a", "ek_b")
+        .distinct()
+        .withColumn("ep_flag", F.lit(True))
+    )
+    # ---- union-pair enumeration over joint classes (all bounded) ----
+    Ja, Jb = J.alias("ja"), J.alias("jb")
+    pair_cols = [
+        F.least(F.col("ja.jid"), F.col("jb.jid")).alias("jlo"),
+        F.greatest(F.col("ja.jid"), F.col("jb.jid")).alias("jhi"),
+    ]
+    from_tp = (
+        tp.join(Ja, F.col("ja.tkey") == F.col("tk_a"))
+        .join(Jb, F.col("jb.tkey") == F.col("tk_b"))
+        .select(*pair_cols)
+    )
+    intra_t = (
+        Ja.join(
+            Jb,
+            (F.col("ja.tkey") == F.col("jb.tkey"))
+            & (F.col("ja.jid") < F.col("jb.jid"))
+            & F.col("ja.shingleable"),
+        )
+        .select(F.col("ja.jid").alias("jlo"), F.col("jb.jid").alias("jhi"))
+    )
+    from_ep = (
+        ep.join(Ja, F.col("ja.eid") == F.col("ek_a"))
+        .join(Jb, F.col("jb.eid") == F.col("ek_b"))
+        .select(*pair_cols)
+    )
+    intra_e = (
+        Ja.join(
+            Jb,
+            (F.col("ja.eid") == F.col("jb.eid"))
+            & (F.col("ja.jid") < F.col("jb.jid")),
+        )
+        .select(F.col("ja.jid").alias("jlo"), F.col("jb.jid").alias("jhi"))
+    )
+    diag = (
+        J.filter(
+            (F.col("m") >= 2)
+            & (F.col("shingleable") | F.col("eid").isNotNull())
+        )
+        .select(F.col("jid").alias("jlo"), F.col("jid").alias("jhi"))
+    )
+    U = (
+        from_tp.union(intra_t)
+        .union(from_ep)
+        .union(intra_e)
+        .union(diag)
+        .distinct()
+    )
+    # ---- attach classes, flags, metrics; expand counts ----
+    J1 = J.select(
+        F.col("jid").alias("jlo"),
+        F.col("tkey").alias("tk1"),
+        F.col("eid").alias("ei1"),
+        F.col("m").alias("m1"),
+        F.col("shingleable").alias("sh1"),
+    )
+    J2 = J.select(
+        F.col("jid").alias("jhi"),
+        F.col("tkey").alias("tk2"),
+        F.col("eid").alias("ei2"),
+        F.col("m").alias("m2"),
+    )
+    up = U.join(J1, "jlo").join(J2, "jhi")
+    tk_lo, tk_hi = F.least("tk1", "tk2"), F.greatest("tk1", "tk2")
+    ek_lo, ek_hi = F.least("ei1", "ei2"), F.greatest("ei1", "ei2")
+    up = (
+        up.join(
+            tp,
+            (tk_lo == F.col("tk_a")) & (tk_hi == F.col("tk_b")),
+            "left",
+        )
+        .join(
+            ep,
+            (ek_lo == F.col("ek_a")) & (ek_hi == F.col("ek_b")),
+            "left",
+        )
+        .select(
+            "jlo",
+            "jhi",
+            "tk1",
+            "tk2",
+            "ei1",
+            "ei2",
+            F.coalesce(
+                ((F.col("tk1") == F.col("tk2")) & F.col("sh1"))
+                | F.coalesce("tp_flag", F.lit(False)),
+                F.lit(False),
+            ).alias("in_text"),
+            F.coalesce(
+                (F.col("ei1") == F.col("ei2"))
+                | F.coalesce("ep_flag", F.lit(False)),
+                F.lit(False),
+            ).alias("in_emb"),
+            F.when(
+                F.col("jlo") == F.col("jhi"),
+                (F.col("m1") * (F.col("m1") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("m1") * F.col("m2"))
+            .alias("cnt"),
+        )
+    )
+    # est from the class signatures (NULL when either side unshingleable
+    # or NULL-text — matching the raw path's dropped rows)
+    s1 = tsig.select(
+        F.col("doc_id").alias("tk1"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(NUM_PERM)],
+    )
+    s2 = tsig.select(
+        F.col("doc_id").alias("tk2"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(NUM_PERM)],
+    )
+    eq_terms = [
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        for j in range(NUM_PERM)
+    ]
+    est = F.round(
+        functools.reduce(operator.add, eq_terms) / float(NUM_PERM), 6
+    )
+    up = (
+        up.join(s1, "tk1", "left")
+        .join(s2, "tk2", "left")
+        .withColumn("est_jaccard", est)
+        .drop(*[f"a{j}" for j in range(NUM_PERM)])
+        .drop(*[f"b{j}" for j in range(NUM_PERM)])
+    )
+    # cosine from the class vectors, attached by inner-join + join-back
+    # (a pandas UDF under CASE WHEN still sees the NULL rows of the
+    # Arrow batch — np.stack would throw on a missing vector)
+    v1 = ecl.select(
+        F.col("eid").alias("ei1"), F.col("embedding").alias("va")
+    )
+    v2 = ecl.select(
+        F.col("eid").alias("ei2"), F.col("embedding").alias("vb")
+    )
+    ucos = (
+        up.select("jlo", "jhi", "ei1", "ei2")
+        .join(v1, "ei1")
+        .join(v2, "ei2")
+        .select(
+            "jlo",
+            "jhi",
+            F.round(
+                cosine_pairs_udf()(F.col("va"), F.col("vb")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    up = up.join(ucos, ["jlo", "jhi"], "left")
+    tier = (
+        F.when(F.col("in_text") & F.col("in_emb"), "both")
+        .when(F.col("in_text"), "text_only")
+        .otherwise("embedding_only")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return up.groupBy(tier.alias("tier")).agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("est_jaccard").isNotNull(), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_est"),
+        F.round(
+            F.sum(dec("est_jaccard") * F.col("cnt")).cast("double")
+            / F.sum(
+                F.when(
+                    F.col("est_jaccard").isNotNull(), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ),
+            6,
+        ).alias("avg_est_jaccard"),
+        F.sum(
+            F.when(F.col("cosine_sim").isNotNull(), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_cos"),
+        F.round(
+            F.sum(dec("cosine_sim") * F.col("cnt")).cast("double")
+            / F.sum(
+                F.when(
+                    F.col("cosine_sim").isNotNull(), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ),
+            6,
+        ).alias("avg_cosine"),
+    )

@@ -788,3 +788,58 @@ def test_ann_admission_fn_planted(spark):
     }
     assert got[1] == ("near_dup", 1.0)
     assert got[2][0] == "novel"
+
+
+def test_joint_agreement_collapsed_equals_raw(spark):
+    """Dual-path witness (the CC pattern): the collapsed production
+    q151 must be row-identical to the raw-pair composition on a corpus
+    with real duplicate structure — exact text copies, exact embedding
+    copies, misaligned cliques, docs without embeddings, and NULL/too-
+    short texts."""
+    import setu_spark.operators.dedup as dd
+    import setu_spark.operators.similarity as sim
+
+    texts = {
+        "A": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "B": "one two three four five six seven eight nine ten eleven",
+        "C": "red orange yellow green blue indigo violet pink brown grey",
+        "D": "mon tue wed thu fri sat sun jan feb mar apr may jun julx",
+    }
+    ax = lambda i: [1.0 if j == i else 0.0 for j in range(64)]
+    # doc: (id, text, embedding-or-None) — cliques deliberately misaligned
+    spec = [
+        (1, texts["A"], ax(0)), (2, texts["A"], ax(1)),   # text clique
+        (3, texts["A"], None),                            # copy w/o vector
+        (4, texts["B"], ax(2)), (5, texts["C"], ax(2)),   # emb clique
+        (6, texts["D"], ax(3)), (7, texts["D"], ax(3)),   # both clique
+        (8, "tiny", ax(4)), (9, "tiny", ax(4)),           # unshingleable text dup + emb dup
+        (10, None, ax(5)), (11, None, ax(5)),             # NULL text, emb dup
+        (12, texts["B"], ax(6)),                          # text dup of 4 across emb classes
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in spec], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(i, v) for i, _, v in spec if v is not None],
+        "vec_id long, embedding array<float>",
+    )
+
+    def fake_load(sp, d, name):
+        return embs if name == "embeddings" else docs
+
+    orig_d, orig_s = dd.load_table, sim.load_table
+    dd.load_table = sim.load_table = fake_load
+    try:
+        collapsed = {
+            r.tier: tuple(r)
+            for r in dd.q151_joint_dedup_agreement(spark, "x").collect()
+        }
+        raw = {
+            r.tier: tuple(r)
+            for r in dd._q151_pairs_raw(spark, "x").collect()
+        }
+    finally:
+        dd.load_table, sim.load_table = orig_d, orig_s
+    assert collapsed == raw
+    # the fixture must exercise all three tiers
+    assert set(collapsed) == {"both", "text_only", "embedding_only"}
