@@ -26,6 +26,18 @@ SF_DIR = "/root/testdata/sf0.001"
 MAX_CORPUS_EXCHANGE_WIDTH = 24
 
 
+def test_q151_collapsed_branch_is_narrow(spark):
+    """q151's registered plan dispatches on duplicate density; every
+    testdata SF is duplicate-free so the main gate only ever sees the
+    raw branch. Gate the collapsed branch explicitly — it is the one
+    that runs on the corpora where width matters."""
+    from setu_spark.operators.dedup import _q151_collapsed
+
+    widths = corpus_exchange_widths(_q151_collapsed(spark, SF_DIR))
+    spark.catalog.clearCache()
+    assert not widths or max(widths) <= MAX_CORPUS_EXCHANGE_WIDTH, widths
+
+
 def test_every_corpus_volume_exchange_is_narrow(spark):
     offenders = {}
     for name, fn in sorted(entrymod.queries().items()):
