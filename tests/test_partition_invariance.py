@@ -48,6 +48,14 @@ SENSITIVE = [
     # rewrite (df=1 owner via min(doc_id) inside the df groupBy)
     "q63_ann_ivf_topk",
     "q146_ngram_novelty",
+    # round 8: the joint-agreement audit (full-outer pair union + LSH
+    # candidate generation on both tiers; at dup-dense densities the
+    # collapsed combinatorial branch runs instead — the dispatcher's
+    # chooser count must not flip, and the class enumeration must be
+    # layout-free) and the ANN admission gate (distinct-vector collapse
+    # + banded probe + per-vector keyed agg)
+    "q151_joint_dedup_agreement",
+    "q152_ann_admission",
 ]
 
 
