@@ -160,3 +160,90 @@ def test_language_mappings_agree():
     langs = {r["language"] for r in load_language_mapping()}
     iso = load_iso_mapping()
     assert langs <= set(iso)
+
+
+# ------------------------------------------------- flashtext boundary branch
+
+def test_indic_keywords_match_boundary_branch():
+    """Round-8 U6/U7 parity fix: every non-ASCII char is OUTSIDE
+    flashtext's word-char set, so Indic keywords live entirely in the
+    automaton's boundary branch — the previous word-start scanner could
+    never match them at all. Vectors hand-derived from flashtext's
+    control flow."""
+    from setu_spark.functions.keywords import KeywordMatcher
+
+    m = KeywordMatcher(["क", "कख"])
+    assert m.extract("क") == [("क", 0, 1)]
+    # longest wins through the boundary branch
+    assert m.extract("कख") == [("कख", 0, 2)]
+    # prefix completes when the continuation dies
+    assert m.extract("कग") == [("क", 0, 1)]
+    # substring matching in running Indic text (no word-start rule:
+    # every char is a boundary char)
+    m2 = KeywordMatcher(["बाल"])
+    assert m2.extract("ननबालनन") == [("बाल", 2, 5)]
+    # mixed-script text: word-char keywords keep their boundary rules
+    m3 = KeywordMatcher(["slow", "बाल"])
+    assert m3.extract("बाल slow बाल") == [
+        ("बाल", 0, 3),
+        ("slow", 4, 8),
+        ("बाल", 9, 12),
+    ]
+    # and the dist shape rides the same path
+    assert m3.dist("बाल slow बाल") == {"बाल": 2, "slow": 1}
+
+
+def test_flashtext_quirks_replayed():
+    """flashtext's two scan quirks, replayed deliberately (byte parity
+    beats tidiness — the reference_vote_compat philosophy):
+    (a) a failed word-char descent skips past the word AND its
+    terminating boundary char, so a boundary-char keyword immediately
+    after the failed word is missed; (b) after a boundary-branch match
+    the scan resumes one PAST the match end, skipping an adjacent
+    boundary-char keyword."""
+    from setu_spark.functions.keywords import KeywordMatcher
+
+    # (a) 'a' descends (prefix of 'abc'), dies at 'q', skip jumps past क
+    m = KeywordMatcher(["abc", "क"])
+    assert m.extract("aqक") == []
+    # ...but with a space between, the keyword matches
+    assert m.extract("aq क") == [("क", 3, 4)]
+    # partial descent dying AT the boundary char also misses it (the
+    # boundary is examined against the deep node, not the root)
+    assert m.extract("abक") == []
+    # (b) adjacent boundary-char keyword after a match is skipped
+    m2 = KeywordMatcher(["क", "ग"])
+    assert m2.extract("कग") == [("क", 0, 1)]
+    # non-adjacent: both match
+    assert m2.extract("क ग") == [("क", 0, 1), ("ग", 2, 3)]
+
+
+def test_differential_fuzz_against_real_flashtext():
+    """Differential check against the real flashtext package — the
+    ground truth this module reimplements. Gated as an extra: the
+    container has no flashtext; environments that do get the full
+    randomized comparison."""
+    flashtext = pytest.importorskip("flashtext")
+    import random
+
+    from setu_spark.functions.keywords import KeywordMatcher
+
+    rng = random.Random(8)
+    alphabet = list("ab _.क ख१slow")
+    for trial in range(200):
+        kws = list(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4))).strip()
+                for _ in range(rng.randint(1, 5))
+            }
+            - {""}
+        )
+        if not kws:
+            continue
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        kp = flashtext.KeywordProcessor(case_sensitive=False)
+        for k in kws:
+            kp.add_keyword(k.lower())
+        want = kp.extract_keywords(text.lower(), span_info=True)
+        got = KeywordMatcher(kws).extract(text)
+        assert got == [tuple(w) for w in want], (kws, text)
