@@ -110,3 +110,33 @@ def test_pillow_decodes_via_seam():
     buf = io.BytesIO()
     Image.fromarray(np.zeros((4, 4, 3), dtype=np.uint8)).save(buf, "PNG")
     assert np.asarray(Image.open(io.BytesIO(buf.getvalue()))).shape == (4, 4, 3)
+
+
+def test_indicnlp_differential_normalization():
+    """Differential check against the real IndicNLP normalizer — the
+    library the reference wraps (filters.py:388-446). Gated as an
+    extra: this container has no indicnlp; environments that do get a
+    direct comparison on the rule subset this repo implements (zero-
+    width strip, NBSP fold, nukta decomposition) over Devanagari text."""
+    import pytest as _pytest
+
+    indicnlp = _pytest.importorskip("indicnlp")
+    import unicodedata
+
+    from indicnlp.normalize.indic_normalize import IndicNormalizerFactory
+
+    from setu_spark.functions.normalize import DevanagariNormalizer
+
+    real = IndicNormalizerFactory().get_normalizer("hi")
+    ours = DevanagariNormalizer(form="NFKC")
+    vectors = [
+        "क‍ख",               # ZWJ strip
+        "नम स्ते",           # NBSP fold
+        "क़ख़ग़",                  # precomposed nukta consonants
+        "ऩऱऴ",     # the three recomposable nukta chars
+        "हिन्दी में १२३ शब्द",
+    ]
+    for v in vectors:
+        assert ours.normalize(v) == unicodedata.normalize(
+            "NFKC", real.normalize(v)
+        ), v
