@@ -66,6 +66,30 @@ def _fallback_extract(html: str | None) -> str | None:
     return re.sub(r"\n{2,}", "\n", text).strip() or None
 
 
+#: html.parser produces a Tag only for an OPENING tag whose name starts
+#: with a letter immediately after '<' (a lone end tag or '< div' does
+#: not create one), so this regex mirrors the reference's
+#: bool(BeautifulSoup(text, "html.parser").find()) gate closely.
+_OPEN_TAG = re.compile(r"<[a-zA-Z][^>]*>")
+
+
+def _is_html_impl():
+    """The reference gates trafilatura on an is-this-HTML-at-all check
+    (text_extraction.py:555: ``bool(BeautifulSoup(text,
+    "html.parser").find())``) — plain-text rows get
+    successful_extraction=False and NULL text instead of being fed to
+    the extractor. Real bs4 when importable on the workers, else the
+    opening-tag regex approximation above."""
+    try:  # pragma: no cover - not in this container
+        from bs4 import BeautifulSoup
+
+        return lambda t: bool(
+            t and BeautifulSoup(t, "html.parser").find()
+        )
+    except ImportError:
+        return lambda t: bool(t and _OPEN_TAG.search(t))
+
+
 def _extract_impl():
     """The html-extra plug point: the real trafilatura when importable
     (runs on each Python WORKER — installing the extra on the cluster is
@@ -98,8 +122,12 @@ def extract_text(crawl: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ex = _extract_impl()
+        is_html = _is_html_impl()
         for pdf in batches:
-            text = pdf["html"].map(ex)
+            # reference gate (text_extraction.py:555): only rows that
+            # parse as containing an HTML element reach the extractor;
+            # everything else is a failed extraction with NULL text
+            text = pdf["html"].map(lambda h: ex(h) if is_html(h) else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

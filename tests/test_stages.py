@@ -39,17 +39,26 @@ def test_extraction_stage(spark):
              "html": "<p>no timestamp</p>"},                    # dropped: null ts
             {"doc_id": "c", "url": "u3", "source": "s", "timestamp": "t3",
              "html": "<style>p{}</style>"},                     # empty extraction
+            {"doc_id": "d", "url": "u4", "source": "s", "timestamp": "t4",
+             "html": "plain text, no markup at all"},           # is-HTML gate
+            {"doc_id": "e", "url": "u5", "source": "s", "timestamp": "t5",
+             "html": "</p> lone end tag is not a Tag"},         # gate: end tag only
         ]
         with open(f"{d}/part-0.json", "w") as f:
             for r in recs:
                 f.write(json.dumps(r) + "\n")
         out = run_extraction(spark, f"{d}/*.json")
         rows = {r.doc_id: r for r in out.collect()}
-        assert set(rows) == {"a", "c"}
+        assert set(rows) == {"a", "c", "d", "e"}
         assert rows["a"].text == "Hello world"
         assert rows["a"].successful_extraction == "true"
         assert rows["c"].text is None
         assert rows["c"].successful_extraction == "false"
+        # the reference's is-HTML gate (text_extraction.py:555): rows
+        # with no parseable opening tag never reach the extractor
+        for d_id in ("d", "e"):
+            assert rows[d_id].text is None
+            assert rows[d_id].successful_extraction == "false"
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
