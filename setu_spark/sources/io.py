@@ -245,3 +245,32 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def rename_partitioned_directories(
+    base_dir: str, partition_column_name: str
+) -> list[tuple[str, str]]:
+    """Strip the ``col=`` prefix from hive-partition directories
+    (``lang=hi`` → ``hi``) — drop-in equivalent of the reference's
+    post-write convenience (utilities.py:59-72), which its downstream
+    stages rely on to glob ``lid/<lang>/*.parquet``.
+
+    Spark-first note: prefer NOT calling this — the hive layout is what
+    enables partition discovery and pruning on re-read
+    (:func:`write_partitioned`'s contract), and renamed directories read
+    back WITHOUT the partition column. Provided for byte-compatible
+    migration of reference pipelines that hand the renamed layout to
+    non-Spark consumers. Returns the (old, new) path pairs moved."""
+    import shutil
+
+    moved: list[tuple[str, str]] = []
+    prefix = partition_column_name + "="
+    for dir_name in sorted(os.listdir(base_dir)):
+        if dir_name.startswith(prefix):
+            old_path = os.path.join(base_dir, dir_name)
+            new_path = os.path.join(
+                base_dir, dir_name.split("=", 1)[1]
+            )
+            shutil.move(old_path, new_path)
+            moved.append((old_path, new_path))
+    return moved

@@ -194,3 +194,28 @@ def test_jsonl_roundtrip(spark, tmp_path):
     # gzip parts: line-oriented tools can stream these without a JVM
     import glob
     assert glob.glob(out + "/*.json.gz")
+
+
+def test_rename_partitioned_directories(spark, tmp_path):
+    """Reference utilities.py:59-72 drop-in: hive dirs lose their col=
+    prefix; non-partition entries untouched; the moved pairs returned."""
+    import os
+
+    from setu_spark.sources.io import (
+        rename_partitioned_directories,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "ta"), (3, "hi")], ["doc_id", "lang"]
+    )
+    out = str(tmp_path / "part_out")
+    write_partitioned(df, out, ["lang"])
+    before = {d for d in os.listdir(out) if not d.startswith("_")}
+    assert before == {"lang=hi", "lang=ta"}
+    moved = rename_partitioned_directories(out, "lang")
+    after = {d for d in os.listdir(out) if not d.startswith("_")}
+    assert after == {"hi", "ta"}
+    assert len(moved) == 2
+    # renamed layout still reads as plain parquet per directory
+    assert spark.read.parquet(f"{out}/hi").count() == 2
