@@ -211,10 +211,14 @@ def test_rename_partitioned_directories(spark, tmp_path):
     )
     out = str(tmp_path / "part_out")
     write_partitioned(df, out, ["lang"])
-    before = {d for d in os.listdir(out) if not d.startswith("_")}
+    before = {
+        d for d in os.listdir(out) if not d.startswith(("_", "."))
+    }
     assert before == {"lang=hi", "lang=ta"}
     moved = rename_partitioned_directories(out, "lang")
-    after = {d for d in os.listdir(out) if not d.startswith("_")}
+    after = {
+        d for d in os.listdir(out) if not d.startswith(("_", "."))
+    }
     assert after == {"hi", "ta"}
     assert len(moved) == 2
     # renamed layout still reads as plain parquet per directory
