@@ -114,15 +114,68 @@ def _count_matching(col: Column, char_class: str) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
 
 
-def symbol_ratio(col: Column | str, allowed_class: str = r"[\p{L}\p{Nd}\s]") -> Column:
-    """Fraction of characters outside the allowed class (U15 intended
-    semantics, reference filters.py:19-96: invalid chars / char count;
-    whitespace exempt). Returns 0.0 for empty strings."""
+#: The reference's EXACT valid-character set (filters.py:19-96,
+#: translated range-for-range): ASCII digits+letters plus its listed
+#: Indic/Arabic script BLOCKS — deliberately NOT ``\p{L}``. The
+#: differences matter on real text: a Cyrillic/Greek/CJK letter counts
+#: as a SYMBOL (unlisted script), while in-block NON-letters — the
+#: Devanagari danda U+0964, Indic digits, matras — count as VALID.
+#: Space and ``\n`` are the only exempt whitespace (a tab is a symbol:
+#: the reference's exception list is exactly [" ", "\n"]).
+#: (block start, block end) codepoint pairs, verbatim from the
+#: reference's pattern (filters.py:55-83 order preserved)
+_REFERENCE_VALID_BLOCKS = (
+    (0x0900, 0x097F),  # Devanagari
+    (0x0980, 0x09FF),  # Bengali
+    (0x0A00, 0x0A7F),  # Gurmukhi
+    (0x0A80, 0x0AFF),  # Gujarati
+    (0x0C00, 0x0C7F),  # Telugu
+    (0x0C80, 0x0CFF),  # Kannada
+    (0x0D00, 0x0D7F),  # Malayalam
+    (0xABC0, 0xABFF),  # Meitei
+    (0x0B00, 0x0B7F),  # Oriya
+    (0x1C50, 0x1C7F),  # Ol Chiki
+    (0x0B80, 0x0BFF),  # Tamil
+    (0x0600, 0x06FF),  # Arabic
+    (0x0750, 0x077F),  # Arabic Supplement
+    (0x08A0, 0x08FF),  # Arabic Extended-A
+    (0x0870, 0x089F),  # Arabic Extended-B
+    (0xFB50, 0xFDFF),  # Arabic Pres. Forms-A
+    (0xFE70, 0xFEFF),  # Arabic Pres. Forms-B
+    (0x10EC0, 0x10EFF),  # Arabic Extended-C
+    (0x1EE00, 0x1EEFF),  # Arabic Mathematical
+    (0x1EC70, 0x1ECBF),  # Indic Siyaq Numbers
+    (0x1ED00, 0x1ED4F),  # Ottoman Siyaq Numbers
+    (0x10E60, 0x10E7F),  # Rumi Numeral Symbols
+)
+
+REFERENCE_VALID_CLASS = (
+    "[0-9a-zA-Z \n"
+    + "".join(
+        f"\\x{{{lo:X}}}-\\x{{{hi:X}}}"
+        for lo, hi in _REFERENCE_VALID_BLOCKS
+    )
+    + "]"
+)
+
+
+def symbol_ratio(
+    col: Column | str, allowed_class: str = REFERENCE_VALID_CLASS
+) -> Column:
+    """Fraction of characters outside the allowed class (U15, reference
+    filters.py:19-96: invalid chars / char count). The default class is
+    the reference's exact script-block union (round-8 fix — the earlier
+    generic ``\\p{L}\\p{Nd}\\s`` class called every foreign-script
+    letter valid and every danda a symbol, systematically skewing the
+    ratio on exactly the Indic text this pipeline filters). NULL for
+    empty strings, matching the reference's ``None`` when char_count is
+    0; denominator = total length, like its ``length(text_col)``
+    argument."""
     c = _c(col)
     invalid = F.length(F.regexp_replace(c, allowed_class, ""))
-    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
-        invalid / F.length(c)
-    )
+    return F.when(
+        F.length(c) == 0, F.lit(None).cast("double")
+    ).otherwise(invalid / F.length(c))
 
 
 def digit_ratio(col: Column | str) -> Column:

@@ -110,7 +110,22 @@ def test_split_keep_delimiter(spark, text, expected):
 def test_symbol_ratio(spark):
     assert _one(spark, "abcd", symbol_ratio(F.col("t"))) == 0.0
     assert _one(spark, "a@#$", symbol_ratio(F.col("t"))) == 0.75
-    assert _one(spark, "", symbol_ratio(F.col("t"))) == 0.0
+    # reference parity (round 8): empty -> None (filters.py returns
+    # None when char_count is 0), not 0.0
+    assert _one(spark, "", symbol_ratio(F.col("t"))) is None
+    # the class is the reference's script-block union, NOT \p{L}:
+    # a danda (in the Devanagari block) is VALID...
+    assert _one(spark, "नमस्ते।", symbol_ratio(F.col("t"))) == 0.0
+    # ...a Devanagari digit too (block member; ASCII-only digit rule
+    # applies outside the blocks)
+    assert _one(spark, "१२३", symbol_ratio(F.col("t"))) == 0.0
+    # ...but an unlisted-script letter is a SYMBOL
+    assert _one(spark, "дabc", symbol_ratio(F.col("t"))) == 0.25
+    # and a tab is a symbol (exceptions are exactly space and \n)
+    r = _one(spark, "a\tb", symbol_ratio(F.col("t")))
+    assert abs(r - 1 / 3) < 1e-9, r
+    # supplementary-plane block member (Rumi numeral) is valid
+    assert _one(spark, "\U00010E60a", symbol_ratio(F.col("t"))) == 0.0
 
 
 def test_digit_ratio(spark):
