@@ -178,6 +178,62 @@ def symbol_ratio(
     ).otherwise(invalid / F.length(c))
 
 
+#: (start, end) codepoint pairs of the reference's U16 LETTERS-ONLY
+#: class (filters.py:111-174, verbatim order): the script blocks with
+#: their digit/sign sub-ranges carved out, ASCII letters without
+#: digits, and none of the Siyaq/Rumi numeral blocks U15 admits.
+_U16_LETTER_BLOCKS = (
+    (0x0900, 0x0963), (0x0970, 0x097F),  # Devanagari minus digits
+    (0x0980, 0x09E3), (0x09F0, 0x09FF),  # Bengali minus digits
+    (0x0A00, 0x0A65), (0x0A70, 0x0A7F),  # Gurmukhi minus digits
+    (0x0A80, 0x0AE5), (0x0AF0, 0x0AFF),  # Gujarati minus digits
+    (0x0C00, 0x0C65), (0x0C70, 0x0C7F),  # Telugu minus digits
+    (0x0C80, 0x0CE5), (0x0CF0, 0x0CFF),  # Kannada minus digits
+    (0x0D00, 0x0D65), (0x0D70, 0x0D7F),  # Malayalam minus digits
+    (0xABC0, 0xABED),                    # Meitei letters
+    (0x0B00, 0x0B65), (0x0B70, 0x0B7F),  # Oriya minus digits
+    (0x1C5A, 0x1C7F),                    # Ol Chiki letters
+    (0x0B80, 0x0BE5), (0x0BF0, 0x0BFF),  # Tamil minus digits
+    (0x0600, 0x065F), (0x0670, 0x06EF), (0x06FA, 0x06FF),  # Arabic
+    (0x0750, 0x077F), (0x08A0, 0x08FF), (0x0870, 0x089F),
+    (0xFB50, 0xFDFF), (0xFE70, 0xFEFF),
+    (0x10EC0, 0x10EFF),
+)
+
+#: class of chars that do NOT count toward the num/punc ratio: the
+#: letter blocks above plus the reference's exact exception list
+#: (space and newline only)
+U16_VALID_CLASS = (
+    "[a-zA-Z \n"
+    + "".join(
+        f"\\x{{{lo:X}}}-\\x{{{hi:X}}}" for lo, hi in _U16_LETTER_BLOCKS
+    )
+    + "]"
+)
+
+
+def is_num_or_punc_only(
+    col: Column | str, threshold: float = 0.4
+) -> Column:
+    """U16 exact semantics (reference filters.py:98-188, round-8 fix —
+    the earlier form required the chunk to be ENTIRELY num/punct where
+    the reference flags any chunk whose NON-LETTER fraction reaches
+    ``threshold``): True when ``s.isnumeric()`` or when invalid chars
+    (everything outside the letters-only class; space/newline exempt)
+    divided by total length ≥ threshold. The isnumeric branch rides a
+    ``\\p{N}`` rlike — Python ``isnumeric`` also admits a handful of
+    numeric-valued Lo ideographs, but any such string is 100% outside
+    the letters class so the ratio branch flags it identically at every
+    threshold ≤ 1. Empty chunks are False (ratio None in the
+    reference)."""
+    c = _c(col)
+    invalid = F.length(F.regexp_replace(c, U16_VALID_CLASS, ""))
+    ratio_hit = (F.length(c) > 0) & (
+        invalid / F.length(c) >= F.lit(float(threshold))
+    )
+    return c.rlike(r"^\p{N}+\z") | ratio_hit
+
+
 def digit_ratio(col: Column | str) -> Column:
     """Fraction of characters that are decimal digits."""
     c = _c(col)

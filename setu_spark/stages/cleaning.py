@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from setu_spark.functions.text import remove_code, symbol_ratio, terminal_valid
+from setu_spark.functions.text import (
+    is_num_or_punc_only,
+    remove_code,
+    symbol_ratio,
+    terminal_valid,
+)
 
 
 @dataclass(frozen=True)
@@ -70,13 +75,10 @@ def chunk_predicates(df: DataFrame, cfg: CleanConfig) -> DataFrame:
     c = F.col("chunk")
     out = df.withColumn("symbol_ratio", symbol_ratio(c))
     out = out.withColumn(
+        # reference U16 exact semantics (round-8 fix): isnumeric OR
+        # non-letter fraction >= 0.4 — see functions/text.py
         "is_num_or_punc_only",
-        # \z anchor for end-of-input discipline (house rule after the U5
-        # bug). This site was coincidentally safe with $ — a trailing
-        # '\n' is itself inside the [...\s] class so the pre-newline $
-        # match gives the same verdict — but we anchor hard anyway so
-        # the invariant doesn't depend on \s membership.
-        c.rlike(r"^[\p{Nd}\p{P}\p{S}\s]+\z") & (F.length(F.trim(c)) > 0),
+        is_num_or_punc_only(c),
     )
     out = out.withColumn("is_terminal_valid", terminal_valid(c))
     out = out.withColumn(

@@ -128,6 +128,32 @@ def test_symbol_ratio(spark):
     assert _one(spark, "\U00010E60a", symbol_ratio(F.col("t"))) == 0.0
 
 
+def test_is_num_or_punc_only_reference_semantics(spark):
+    """U16 exact semantics (round-8 fix): isnumeric OR non-letter
+    fraction >= 0.4 — NOT "entirely numbers/punctuation" (the old
+    form). Vectors hand-computed from reference filters.py:98-188."""
+    from setu_spark.functions.text import is_num_or_punc_only
+
+    cases = [
+        ("12345", True),           # isnumeric
+        ("@#$% @#$%", True),       # all punct -> ratio 1.0
+        ("abc 123 456", True),     # 6 digits / 11 chars = 0.545 >= 0.4
+        ("abcdefgh 12", False),    # 2 / 11 = 0.18 < 0.4
+        ("", False),               # empty -> ratio None -> False
+        ("½", True),          # VULGAR FRACTION ONE HALF: isnumeric
+        ("१२३", True),  # Devanagari digits: both branches
+        # danda is OUTSIDE the U16 letter class (0964 excluded) but one
+        # char of seven stays under the threshold
+        ("नमस्ते।", False),
+        # unlisted-script letters are all invalid -> flagged
+        ("да ok", True),  # 2 Cyrillic / 5 = 0.4 >= 0.4
+    ]
+    for text, expected in cases:
+        assert _one(
+            spark, text, is_num_or_punc_only(F.col("t"))
+        ) is expected, text
+
+
 def test_digit_ratio(spark):
     assert _one(spark, "a1b2", digit_ratio(F.col("t"))) == 0.5
     assert _one(spark, "", digit_ratio(F.col("t"))) == 0.0
