@@ -246,6 +246,33 @@ def nonspace_char_count(col: Column | str) -> Column:
     return _count_matching(_c(col), r"\S")
 
 
+#: U8's complement class, verbatim from the reference
+#: (constants.py:101-119): a char counts as non-Latin-Indic unless it
+#: belongs to one of these 15 scripts, is punctuation, or whitespace.
+#: Java's \p{IsScript} matches the reference's regex-module
+#: \p{Script=...} semantics (script property, not block).
+NON_LI_CLASS = (
+    "[^"
+    r"\p{IsLatin}\p{IsDevanagari}\p{IsBengali}\p{IsGujarati}"
+    r"\p{IsGurmukhi}\p{IsKannada}\p{IsMalayalam}\p{IsOriya}"
+    r"\p{IsTamil}\p{IsTelugu}\p{IsMeetei_Mayek}\p{IsArabic}"
+    r"\p{IsDogra}\p{IsOl_Chiki}"
+    r"\p{P}\s"
+    "]"
+)
+
+
+def non_li_char_count(col: Column | str) -> Column:
+    """Count of non-Latin-Indic characters (U8 exact semantics,
+    reference filters.py:750-753 over constants.py:101-119): everything
+    outside the 15 whitelisted scripts that is not punctuation or
+    whitespace — the signal behind the reference's ``is_non_li_heavy``
+    document flag (round-8 addition; the script-profile counts of q43
+    cover the per-script breakdown, this is the flag's exact
+    complement count)."""
+    return _count_matching(_c(col), NON_LI_CLASS)
+
+
 # --- script / language heuristics (rebuild of LID surface, U19-lite) -----
 
 #: Unicode script classes usable JVM-side for the cheap script-detection

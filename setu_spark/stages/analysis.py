@@ -25,6 +25,7 @@ from setu_spark.functions.text import (
     byte_count,
     char_count,
     is_number,
+    non_li_char_count,
     split_keep_delimiter,
     word_count,
 )
@@ -60,6 +61,7 @@ def line_stats(lines: DataFrame, cfg: AnalysisConfig) -> DataFrame:
         word_count(c).alias("words_count"),
         char_count(c).alias("char_count"),
         byte_count(c).alias("bytes"),
+        non_li_char_count(c).alias("non_li_char_count"),
     )
     if cfg.flagged_words:
         toks = F.filter(
@@ -84,9 +86,18 @@ def doc_profile(lstats: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.sum("char_count").alias("char_count"),
         F.sum("bytes").alias("bytes"),
         F.sum("flagged_words_count").alias("flagged_words_count"),
-        F.avg("char_count").alias("mean_line_length"),
-        F.min("char_count").alias("min_line_length"),
-        F.max("char_count").alias("max_line_length"),
+        F.sum("non_li_char_count").alias("non_li_char_count"),
+        # line-length stats are measured in WORDS, the reference's
+        # Spark-path semantics (utilities.py:327-329 passes
+        # "words_count" into get_mean/min/max_line_length) — round-8
+        # fix: these previously aggregated char_count. The char-based
+        # variants stay available under explicit names.
+        F.avg("words_count").alias("mean_line_length"),
+        F.min("words_count").alias("min_line_length"),
+        F.max("words_count").alias("max_line_length"),
+        F.avg("char_count").alias("mean_line_chars"),
+        F.min("char_count").alias("min_line_chars"),
+        F.max("char_count").alias("max_line_chars"),
         F.map_from_entries(
             F.array_sort(
                 F.collect_list(

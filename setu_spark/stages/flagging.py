@@ -23,13 +23,22 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class FlagConfig:
     min_line_count: int = 1          # flagging_and_removal.py:154-160
-    min_mean_line_len: float = 1.0
+    #: mean WORDS per line at/below which a doc is short-lines-heavy
+    #: (reference semantics + INCLUSIVE boundary; default 0 like
+    #: perform_doc_flagging's signature, filters.py:676 — with the
+    #: round-8 inclusive fix a 1.0 default would flag every
+    #: single-word-line corpus)
+    min_mean_line_len: float = 0.0
     flagged_word_ratio_threshold: float = 0.2
+    #: non-Latin-Indic char fraction at/above which a doc flags
+    #: (reference utilities.py:378-380, default non_li_char_threshold)
+    non_li_threshold: float = 1.0
     char_repetition_threshold: float = 0.8
     word_repetition_threshold: float = 0.8
     line_count_filter: bool = True   # flagging_and_removal.py:169-229
     line_length_filter: bool = True
     flagged_word_filter: bool = True
+    non_li_filter: bool = True       # flagging_and_removal.py:211-217
     char_repetition_filter: bool = False
     word_repetition_filter: bool = False
 
@@ -41,12 +50,20 @@ def flag_documents(doc_stats: DataFrame, cfg: FlagConfig | None = None) -> DataF
         "has_less_lines", F.col("lines_count") <= cfg.min_line_count
     ).withColumn(
         "is_short_lines_heavy",
-        F.col("mean_line_length") < cfg.min_mean_line_len,
+        # reference boundary is INCLUSIVE (utilities.py:376:
+        # mean <= min_mean_line_len) — round-8 fix from `<`
+        F.col("mean_line_length") <= cfg.min_mean_line_len,
     ).withColumn(
         "is_flagged_heavy",
         (F.col("flagged_words_count") / F.col("words_count"))
         >= cfg.flagged_word_ratio_threshold,
     )
+    if "non_li_char_count" in doc_stats.columns:
+        out = out.withColumn(
+            "is_non_li_heavy",
+            (F.col("non_li_char_count") / F.col("char_count"))
+            >= cfg.non_li_threshold,
+        )
     if "char_repetition_score" in doc_stats.columns:
         out = out.withColumn(
             "has_char_repetition",
@@ -71,6 +88,8 @@ def filter_documents(flagged: DataFrame, cfg: FlagConfig | None = None) -> DataF
         out = out.filter(~F.col("is_short_lines_heavy"))
     if cfg.flagged_word_filter:
         out = out.filter(~F.col("is_flagged_heavy"))
+    if cfg.non_li_filter and "is_non_li_heavy" in out.columns:
+        out = out.filter(~F.col("is_non_li_heavy"))
     if cfg.char_repetition_filter and "has_char_repetition" in out.columns:
         out = out.filter(~F.col("has_char_repetition"))
     if cfg.word_repetition_filter and "has_word_repetition" in out.columns:

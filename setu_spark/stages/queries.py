@@ -85,16 +85,21 @@ def q80_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              count(*) AS lines_count,
              CAST(sum(length(line)) AS BIGINT) AS char_count,
-             round(avg(length(line)), 6) AS mean_line_length,
+             -- line length is measured in WORDS (reference
+             -- utilities.py:327-329); with ' '-separated lines each
+             -- line is a single token, so the mean is exactly 1.0
+             round(avg(CAST(len(string_split(line, ' ')) AS DOUBLE)), 6)
+               AS mean_line_length,
+             round(avg(length(line)), 6) AS mean_line_chars,
              CAST(count(*) FILTER (WHERE line IN {FLAGGED}) AS BIGINT)
                AS flagged_words_count
       FROM lines GROUP BY doc_id
     )
     SELECT doc_id, lines_count, char_count, mean_line_length,
-           flagged_words_count
+           mean_line_chars, flagged_words_count
     FROM profile
     WHERE NOT (lines_count <= 20)
-      AND NOT (mean_line_length < 1.0)
+      AND NOT (mean_line_length <= 0.9)
       AND NOT (flagged_words_count / CAST(lines_count AS DOUBLE) >= 0.15)
     """,
 )
@@ -105,9 +110,13 @@ def q81_flag_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     acfg = AnalysisConfig(line_sep=" ", flagged_words=FLAGGED)
     profiled = analyse(docs, acfg)
+    # min_mean_line_len is in WORDS per line (reference semantics,
+    # round-8 fix) with the reference's INCLUSIVE boundary: 0.9 keeps
+    # the single-word-line corpus (mean exactly 1.0) alive while still
+    # exercising the flag path
     fcfg = FlagConfig(
         min_line_count=20,
-        min_mean_line_len=1.0,
+        min_mean_line_len=0.9,
         flagged_word_ratio_threshold=0.15,
     )
     # flags ratio in the reference is flagged/words; with single-word lines
@@ -119,6 +128,7 @@ def q81_flag_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lines_count",
         "char_count",
         F.round("mean_line_length", 6).alias("mean_line_length"),
+        F.round("mean_line_chars", 6).alias("mean_line_chars"),
         "flagged_words_count",
     )
 

@@ -116,7 +116,10 @@ def test_analyse_flag_filter_remove(spark):
     assert prof[2].lines_count == 3
     # "bad." (trailing punct) is a distinct token — only bare "bad" counts
     assert prof[3].flagged_words_count == 3
-    assert prof[1].mean_line_length == 14.0
+    # line length is in WORDS (reference utilities.py:327-329); the
+    # char-based stat lives under mean_line_chars
+    assert prof[1].mean_line_length == 3.0
+    assert prof[1].mean_line_chars == 14.0
 
     cfg = FlagConfig(
         min_line_count=1, flagged_word_ratio_threshold=0.5,

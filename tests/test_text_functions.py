@@ -154,6 +154,28 @@ def test_is_num_or_punc_only_reference_semantics(spark):
         ) is expected, text
 
 
+def test_non_li_char_count_u8(spark):
+    """U8 exact semantics (reference filters.py:750-753 over
+    constants.py:101-119): chars outside the 15 whitelisted scripts
+    that are neither punctuation nor whitespace. ASCII digits are
+    script=Common — the reference counts them as non-LI, quirk
+    preserved."""
+    from setu_spark.functions.text import non_li_char_count
+
+    cases = [
+        ("hello नमस्ते", 0),       # Latin + Devanagari all whitelisted
+        ("中文 ok", 2),            # Han chars count
+        ("привет hi", 6),          # Cyrillic counts
+        ("a, b! c?", 0),           # punctuation exempt
+        ("abc 123", 3),            # Common-script digits count (quirk)
+        ("", 0),
+    ]
+    for text, expected in cases:
+        assert _one(
+            spark, text, non_li_char_count(F.col("t"))
+        ) == expected, text
+
+
 def test_digit_ratio(spark):
     assert _one(spark, "a1b2", digit_ratio(F.col("t"))) == 0.5
     assert _one(spark, "", digit_ratio(F.col("t"))) == 0.0
