@@ -36,11 +36,14 @@ THIS_ROUND = 8
 #: Round 8: EMPTY, deliberately. The window is saturated (149 queries /
 #: 50 slots) because the two NEW queries (q151/q152) took the free
 #: slots, displacing q138/q140 — which rejoin automatically as overdue
-#: next round. The round-8 code changes outside the window need no
-#: fronting: q137's \z anchor is overdue anyway (auto next round), and
-#: the pointer-jump CC behind q144/q149/q150 is proven label-identical
-#: (dual-path tests + full oracle sweep), so their r7 rows stay valid
-#: until natural rotation in round 10.
+#: next round. Every round-8 code change outside the window is ALREADY
+#: in the round-9 overdue block (verified against ROTATION.md): q137's
+#: \z anchor, q81's words-based line lengths, and the keyword-family
+#: rewrite behind q44/q49/q65/q66/q69 are all r05/r06-green and rotate
+#: in next round; the pointer-jump CC behind q144/q149/q150 is proven
+#: label-identical (dual-path tests + full oracle sweeps at both
+#: scales), so their r7 rows stay valid until natural rotation in
+#: round 10.
 CHANGED: tuple[str, ...] = ()
 
 
