@@ -79,7 +79,7 @@ def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
         grams = Counter(text[i : i + 5] for i in range(len(text) - 4))
         total = sum(grams.values())
         top = sorted(grams.values(), reverse=True)[
-            : math.ceil(math.sqrt(len(grams)))
+            : int(math.sqrt(len(grams)))
         ]
         out_t.append(total)
         out_s.append(_round6(sum(top) / total))
@@ -331,7 +331,7 @@ def q40_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(cnt) AS BIGINT) AS total_ngrams,
-           round(sum(CASE WHEN rn <= ceil(sqrt(n_distinct)) THEN cnt
+           round(sum(CASE WHEN rn <= floor(sqrt(n_distinct)) THEN cnt
                           ELSE 0 END)
                  / CAST(sum(cnt) AS DOUBLE), 6) AS repetition_score
     FROM ranked
@@ -340,7 +340,7 @@ def q40_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_char_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char 5-gram repetition score, intended semantics of reference U10
-    (filters.py:545-572): score = (Σ counts of the top-⌈√distinct⌉ most
+    (filters.py:545-572): score = (Σ counts of the top-⌊√distinct⌋ most
     frequent 5-grams) / total 5-grams. The reference's None-for-0.0 /
     missing-key defects (SURVEY.md §4.1) are NOT replicated.
 
@@ -994,7 +994,7 @@ def _multi_rep_udf(texts: pd.Series) -> pd.DataFrame:
             )
             total = sum(grams.values())
             top = sorted(grams.values(), reverse=True)[
-                : math.ceil(math.sqrt(len(grams)))
+                : int(math.sqrt(len(grams)))
             ]
             cols[n].append(_round6(sum(top) / total))
     return pd.DataFrame({"score_5": cols[5], "score_10": cols[10]})
@@ -1003,7 +1003,7 @@ def _multi_rep_udf(texts: pd.Series) -> pd.DataFrame:
 def _rep_sql(n: int) -> str:
     return f"""
       SELECT doc_id,
-             round(sum(CASE WHEN rn <= ceil(sqrt(n_distinct)) THEN cnt
+             round(sum(CASE WHEN rn <= floor(sqrt(n_distinct)) THEN cnt
                             ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6)
                AS score
       FROM (

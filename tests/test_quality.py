@@ -188,3 +188,20 @@ def test_quality_rule_ablation_planted_cells(spark):
         ("word_count", "word_count"): 1,
         ("word_count", "ONLY"): 1,
     }
+
+
+def test_char_repetition_topk_is_floor_sqrt(spark):
+    """U10 boundary pin (round-8 fix): the reference's k is
+    int(sqrt(distinct)) — FLOOR, not ceil (filters.py:565). With 2
+    distinct 5-grams {aaaaa:2, aaaab:1}, floor takes the top 1
+    (score 2/3); ceil would take both (score 1.0)."""
+    from setu_spark.operators.textstats import _char_rep_udf
+
+    row = (
+        spark.createDataFrame([("aaaaaab",)], ["text"])
+        .select(_char_rep_udf("text").alias("r"))
+        .select("r.*")
+        .head()
+    )
+    assert row.total_ngrams == 3
+    assert abs(row.repetition_score - 0.666667) < 1e-9
