@@ -383,6 +383,14 @@ def q42_word_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filters.py:574-602): score = (Σ counts of 3-grams occurring ≥ 2) /
     total 3-grams. 0.0 (not NULL) when nothing repeats.
 
+    Declared divergences from the reference (§4.1 ledger posture):
+    the None-for-0.0 score quirk is not replicated, and tokens come
+    from ``split(' ')`` where the reference runs IndicNLP
+    ``trivial_tokenize`` (which additionally severs punctuation into
+    its own tokens — an environment-blocked extra here, same seam
+    class as the U9 normalizer; on punctuation-free text the two
+    tokenizations are identical).
+
     Same zero-shuffle pandas-UDF shape as q41 (SURVEY §2.10 U11)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(
