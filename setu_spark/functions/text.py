@@ -66,7 +66,13 @@ def is_number(col: Column | str) -> Column:
     return _c(col).rlike(r"^\p{Nd}+\z")
 
 
-TERMINAL_PUNCTUATIONS = (".", "!", "?", ":", ",", ";", ")", '"', "'")
+#: verbatim reference constants.py:125-129 — including the Devanagari
+#: danda/double-danda and the Urdu question/full stops the earlier
+#: ASCII-only tuple dropped (round-8 U17 fix: Hindi text ending with ।
+#: is terminal-valid in the reference)
+TERMINAL_PUNCTUATIONS = (
+    ".", "!", "?", "।", "।।", ":", ",", ";", ")", '"', "'", "؟", "۔",
+)
 #: chunks ending with these are invalid despite the terminal char
 #: (reference constants.py:125-134: TERMINAL_PUNCTUATIONS_EXCEPTION)
 TERMINAL_EXCEPTIONS = ("...", "####")

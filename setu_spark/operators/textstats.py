@@ -1157,6 +1157,14 @@ def _sentence_sql() -> str:
     # split artifacts) are filtered on both sides AFTER indexing, so
     # surviving sent_idx values agree.
     tclass = "[.?!।॥|؟۔]"
+    # terminal-validity class built FROM the engine tuple (single
+    # quotes doubled for SQL); multi-char entries like "।।" are
+    # subsumed by their final char in an endswith class
+    from setu_spark.functions.text import TERMINAL_PUNCTUATIONS
+
+    term_class = "".join(
+        dict.fromkeys("".join(TERMINAL_PUNCTUATIONS))
+    ).replace("'", "''")
     return f"""
     WITH ex AS (
       SELECT doc_id,
@@ -1173,7 +1181,9 @@ def _sentence_sql() -> str:
       FROM ex, unnest(range(1, len(chunks) + 1)) AS t(i)
     )
     SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
-           (regexp_matches(sentence, '[.!?:,;)"'']$')
+           -- terminal class generated from TERMINAL_PUNCTUATIONS so
+           -- the oracle cannot drift from the engine tuple
+           (regexp_matches(sentence, '[{term_class}]$')
             AND NOT (sentence LIKE '%...' OR sentence LIKE '%####'))
              AS terminal_ok,
            regexp_matches(sentence, '^\\p{{Nd}}+$') AS is_digits

@@ -86,6 +86,14 @@ def test_is_number(spark, text, expected):
         ("markdownish ####", False),
         ("no terminal", False),
         ("quoted'", True),
+        # round-8 U17 fix: the reference tuple includes the Devanagari
+        # danda/double-danda and Urdu question/full stops
+        ("हिन्दी वाक्य।", True),
+        ("दोहरा॥", False),   # ॥ (U+0965) is NOT in the tuple — ।। (two
+                              # single dandas) is, and this is one char
+        ("दो दंड।।", True),
+        ("اردو سوال؟", True),
+        ("اردو جملہ۔", True),
     ],
 )
 def test_terminal_valid(spark, text, expected):
