@@ -9,8 +9,9 @@ barrier and a codegen breaker); here they stay inside whole-stage codegen.
 Quirk semantics are preserved deliberately (and unit-tested):
   * ``word_count("")`` == 1 — the reference counts ``len(line.split(' '))``
     including empty tokens (reference filters.py:756-758).
-  * ``split_keep_delimiter`` keeps the sentence terminator attached to the
-    preceding chunk (reference filters.py:309-330).
+  * ``split_keep_delimiter`` keeps the sentence terminator AND its
+    trailing newlines attached to the preceding chunk (reference
+    filters.py:309-330 captures ``[...](?:\n+)?`` as the delimiter).
   * ``terminal_valid`` is False for text ending in ``...`` or ``####`` even
     though ``.`` and ``#`` terminate it (reference filters.py:237-248).
 """
@@ -96,20 +97,31 @@ def terminal_valid(col: Column | str) -> Column:
 #: danda/double-danda + Arabic question/full stop), as a Java regex class.
 _TERMINATOR_CLASS = "[.?!।॥|؟۔]"
 
-#: Split *after* a terminator (+ any following newlines), keeping the
-#: terminator attached to the preceding chunk — a zero-width lookbehind
-#: split. Java regex supports bounded lookbehind; `\n*` inside lookbehind is
-#: unbounded, so we split on the boundary after terminator+newlines via
-#: lookbehind on the terminator or a newline run following one.
-SENTENCE_SPLIT_REGEX = f"(?<={_TERMINATOR_CLASS})(?=[^\n])|(?<={_TERMINATOR_CLASS})\n+"
+#: One chunk = the maximal run up to and including the next terminator
+#: PLUS any newlines that follow it (the reference captures
+#: `[.?!।|॥؟۔](?:\n+)?` as the delimiter and rejoins it onto the
+#: preceding piece, filters.py:311-330 — so trailing newlines ATTACH to
+#: the chunk; the round-8 fix: the earlier lookbehind split ATE them,
+#: diverging from reference char/byte counts and terminal flags on
+#: newline-terminated sentences); the tail may lack a terminator.
+SENTENCE_CHUNK_REGEX = (
+    f"[^{_TERMINATOR_CLASS[1:-1]}]*{_TERMINATOR_CLASS}\n*"
+    f"|[^{_TERMINATOR_CLASS[1:-1]}]+"
+)
 
 
 def split_keep_delimiter(col: Column | str) -> Column:
     """U1 ``split_with_delimiter`` (reference filters.py:309-330): split a
-    document into sentence chunks on ``[.?!।॥|؟۔]`` + optional newlines,
-    keeping the delimiter attached to the chunk. Native ``split`` with a
-    lookbehind pattern — no UDF."""
-    return F.split(_c(col), SENTENCE_SPLIT_REGEX)
+    document into sentence chunks on ``[.?!।॥|؟۔]``, keeping the
+    terminator AND its trailing newlines attached to the chunk. Native
+    ``regexp_extract_all`` — the same decomposition the DuckDB oracle
+    runs (no lookbehind anywhere, so the two engines share one form).
+    Declared divergence: the reference's odd/even rejoin emits a
+    trailing '' element when the text ends with a terminator;
+    extraction never produces empties (consumers that replay the
+    reference drop empties explicitly — q116 filters them on both
+    sides)."""
+    return F.regexp_extract_all(_c(col), F.lit(SENTENCE_CHUNK_REGEX), 0)
 
 
 # --- ratios (U8, U15, U16 family) ---------------------------------------

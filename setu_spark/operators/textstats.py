@@ -1147,15 +1147,17 @@ def q38_representative_doc_per_group(
 
 # ---------------------------------------------------------------- q116
 def _sentence_sql() -> str:
-    # DuckDB (RE2) has no lookbehind, so the U1 split is replayed as its
-    # equivalent chunk DECOMPOSITION: every chunk is the maximal run up
-    # to and including the next terminator ([^T]*T, leftmost-first), the
-    # tail may lack a terminator ([^T]+), and the newlines Spark's
-    # `(?<=T)\n+` separator CONSUMES appear here as the follower chunk's
-    # leading newlines — stripped for i > 1 (chunks 2.. always follow a
-    # terminator-ending chunk by construction). Empty chunks (trailing
-    # split artifacts) are filtered on both sides AFTER indexing, so
-    # surviving sent_idx values agree.
+    # Both engines run the SAME chunk decomposition (round-8: the Spark
+    # side moved from a lookbehind split to regexp_extract_all, so the
+    # old lookbehind-vs-decomposition equivalence argument is gone):
+    # every chunk is the maximal run up to and including the next
+    # terminator plus its trailing newlines ([^T]*T\n*,
+    # leftmost-first — the reference attaches the captured
+    # `T(?:\n+)?` delimiter to the preceding piece), and the tail may
+    # lack a terminator ([^T]+). The reference's odd/even rejoin can
+    # emit a trailing '' element; extraction never does — both sides
+    # filter empties AFTER indexing, so surviving sent_idx values
+    # agree.
     tclass = "[.?!।॥|؟۔]"
     # terminal-validity class built FROM the engine tuple (single
     # quotes doubled for SQL); multi-char entries like "।।" are
@@ -1169,15 +1171,12 @@ def _sentence_sql() -> str:
     WITH ex AS (
       SELECT doc_id,
              regexp_extract_all(text,
-               '[^.?!।॥|؟۔]*{tclass}|[^.?!।॥|؟۔]+'
+               '[^.?!।॥|؟۔]*{tclass}\n*|[^.?!।॥|؟۔]+'
              ) AS chunks
       FROM documents WHERE text IS NOT NULL
     ),
     raw AS (
-      SELECT doc_id, i AS sent_idx,
-             CASE WHEN i > 1
-                  THEN regexp_replace(chunks[i], '^\n+', '')
-                  ELSE chunks[i] END AS sentence
+      SELECT doc_id, i AS sent_idx, chunks[i] AS sentence
       FROM ex, unnest(range(1, len(chunks) + 1)) AS t(i)
     )
     SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
@@ -1199,11 +1198,11 @@ def q116_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     had only unit tests now earn a driver hash check in one query
     (reference analysis.py:145-163, filters.py:237-330, 773-775).
 
-    Spark side is the NATIVE lookbehind split (functions/text.py
+    Spark side is native ``regexp_extract_all`` (functions/text.py
     ``split_keep_delimiter`` — no UDF, the explode is codegen over the
-    split array); the oracle replays it lookbehind-free via the chunk
-    decomposition documented in ``_sentence_sql``. Zero shuffles: scan →
-    split → posexplode → per-row flags, one codegen stage at any scale."""
+    extracted array); the oracle runs the IDENTICAL decomposition
+    (``_sentence_sql``). Zero shuffles: scan → extract → posexplode →
+    per-row flags, one codegen stage at any scale."""
     from setu_spark.functions.text import (
         is_number,
         split_keep_delimiter,

@@ -57,3 +57,39 @@ def test_sentence_split_matches_duckdb_decomposition(spark, texts):
     finally:
         ts.load_table = orig
     assert got == _duck_rows(texts)
+
+
+def _reference_split_with_delimiter(text: str) -> list[str]:
+    """The reference's exact algorithm (filters.py:309-330): capture-split
+    on the delimiter (terminator + optional newline run), rejoin each
+    piece with its delimiter, keep a bare tail."""
+    import re as _re
+
+    pat = r"[.?!।|॥؟۔](?:\n+)?"
+    lines = _re.split(f"({pat})", text)
+    if len(lines) % 2 == 0:
+        rng = range(0, len(lines), 2)
+        return [lines[i] + lines[i + 1] for i in rng]
+    rng = range(0, len(lines) - 1, 2)
+    return [lines[i] + lines[i + 1] for i in rng] + [lines[-1]]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(alphabet=ALPHABET, min_size=0, max_size=40))
+def test_split_keep_delimiter_matches_reference_algorithm(spark, text):
+    """Engine ≡ the reference's own capture-split semantics, modulo the
+    ONE declared divergence: the reference's odd/even rejoin emits ''
+    elements (a trailing one when text ends with a terminator; interior
+    ones cannot occur) that extraction never produces."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.functions.text import split_keep_delimiter
+
+    got = (
+        spark.createDataFrame([(text,)], ["t"])
+        .select(split_keep_delimiter(F.col("t")).alias("v"))
+        .head()
+        .v
+    )
+    want = [c for c in _reference_split_with_delimiter(text) if c != ""]
+    assert got == want, (text, got, want)

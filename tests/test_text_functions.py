@@ -106,8 +106,13 @@ def test_terminal_valid(spark, text, expected):
     [
         ("One. Two! Three?", ["One.", " Two!", " Three?"]),
         ("Hindi।Next", ["Hindi।", "Next"]),
-        ("A.\nB.", ["A.", "B."]),   # newlines after terminator are eaten
+        # round-8 U1 fix: the reference attaches the terminator's
+        # trailing newlines to the chunk (its captured delimiter is
+        # `T(?:\n+)?`) — they are NOT eaten
+        ("A.\nB.", ["A.\n", "B."]),
+        ("A.\n\nB", ["A.\n\n", "B"]),
         ("nodelim", ["nodelim"]),
+        ("mid\nline.", ["mid\nline."]),  # newline NOT after a terminator
     ],
 )
 def test_split_keep_delimiter(spark, text, expected):
@@ -257,11 +262,11 @@ def test_normalize_text_nfkc(spark):
 
 
 def test_q116_oracle_decomposition_equals_spark_split_on_edges(spark, duck, tmp_path):
-    """The q116 DuckDB oracle replays the U1 lookbehind split without
-    lookbehind (chunk decomposition + leading-newline strip). Prove the
-    equivalence on the adversarial shapes the corpus may not contain:
-    newline runs after terminators, adjacent terminators, terminator at
-    end, no terminator at all, leading terminator, empty text."""
+    """Both q116 sides run the SAME chunk decomposition (round 8); this
+    pins their value-equality on the adversarial shapes the corpus may
+    not contain: newline runs after terminators, adjacent terminators,
+    terminator at end, no terminator at all, leading terminator, empty
+    text."""
     import os
 
     from pyspark.sql import functions as F
@@ -305,7 +310,9 @@ def test_q116_oracle_decomposition_equals_spark_split_on_edges(spark, duck, tmp_
     }
     assert sents[(1, 1)].sentence == "plain sentence."
     assert sents[(1, 2)].sentence == " second one!"
-    assert sents[(2, 1)].sentence == "ends with dot."  # \n consumed
+    # round-8 U1 fix: the terminator's trailing newline ATTACHES to the
+    # chunk (the reference's captured delimiter is `T(?:\n+)?`)
+    assert sents[(2, 1)].sentence == "ends with dot.\n"
     assert sents[(2, 2)].sentence == "next line starts here."
     # each '.' is its own boundary, so "ellipsis ends..." splits into
     # "ellipsis ends." + "." + "." — the U17 '...' exception can never
