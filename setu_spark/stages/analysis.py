@@ -53,7 +53,16 @@ def doc2lines(docs: DataFrame, cfg: AnalysisConfig,
 
 
 def line_stats(lines: DataFrame, cfg: AnalysisConfig) -> DataFrame:
-    """Per-line metrics — the U2-U8 battery as one narrow projection."""
+    """Per-line metrics — the U2-U8 battery as one narrow projection.
+
+    ``flagged_words_count`` here is the JVM token-equality form (q44's
+    scalable shape — single-token wordlists, exact-token hits). For
+    reference-exact flashtext counting (case-insensitive, word
+    boundaries, multi-word keywords, the boundary-branch Indic
+    semantics), swap in ``functions/keywords.keyword_dist_udf`` — the
+    q66-registered form; the two agree on lowercase single-word lists
+    over punctuation-free tokens, which is what this stage's config
+    contract documents."""
     c = F.col("line")
     out = lines.select(
         "*",
