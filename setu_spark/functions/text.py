@@ -243,10 +243,13 @@ def is_num_or_punc_only(
     numeric-valued Lo ideographs, but any such string is 100% outside
     the letters class so the ratio branch flags it identically at every
     threshold ≤ 1. Empty chunks are False (ratio None in the
-    reference)."""
+    reference). The reference gates on ``invalid_ratio and
+    invalid_ratio >= threshold`` — a 0.0 ratio is falsy, so an
+    all-letter chunk is False even at threshold ≤ 0; the ``invalid >
+    0`` conjunct replays that edge exactly (round-9 ADVICE)."""
     c = _c(col)
     invalid = F.length(F.regexp_replace(c, U16_VALID_CLASS, ""))
-    ratio_hit = (F.length(c) > 0) & (
+    ratio_hit = (invalid > 0) & (
         invalid / F.length(c) >= F.lit(float(threshold))
     )
     return c.rlike(r"^\p{N}+\z") | ratio_hit
@@ -266,7 +269,7 @@ def nonspace_char_count(col: Column | str) -> Column:
 
 #: U8's complement class, verbatim from the reference
 #: (constants.py:101-119): a char counts as non-Latin-Indic unless it
-#: belongs to one of these 15 scripts, is punctuation, or whitespace.
+#: belongs to one of these 14 scripts, is punctuation, or whitespace.
 #: Java's \p{IsScript} matches the reference's regex-module
 #: \p{Script=...} semantics (script property, not block).
 NON_LI_CLASS = (
@@ -283,7 +286,7 @@ NON_LI_CLASS = (
 def non_li_char_count(col: Column | str) -> Column:
     """Count of non-Latin-Indic characters (U8 exact semantics,
     reference filters.py:750-753 over constants.py:101-119): everything
-    outside the 15 whitelisted scripts that is not punctuation or
+    outside the 14 whitelisted scripts that is not punctuation or
     whitespace — the signal behind the reference's ``is_non_li_heavy``
     document flag (round-8 addition; the script-profile counts of q43
     cover the per-script breakdown, this is the flag's exact

@@ -2176,7 +2176,12 @@ def ann_admission(
     existing vector verifies at cosine ≥ {_ND_THRESHOLD}, else
     ``novel``. Returns (vec_id, status, best_cosine, n_candidates);
     best_cosine is NULL (and n_candidates 0) when no bucket collision
-    produced a candidate at all.
+    produced a candidate at all. A NULL-embedding incoming row cannot
+    probe anything and an equi-join on the embedding would silently
+    drop it (NULL keys never match) — such rows are pre-split into an
+    explicit ``novel`` decision with n_candidates 0, keeping the
+    every-row-gets-a-decision contract for malformed batch rows
+    (round-9 ADVICE).
 
     Scale shape — COLLAPSE-FIRST (the funnel lesson applied to
     admission): every output column is a pure function of the incoming
@@ -2194,6 +2199,13 @@ def ann_admission(
     construction: projections + equi-joins against the static index +
     keyed aggregations, run per micro-batch in foreachBatch."""
     bb = _band_buckets_udf()
+    inc_null = incoming.filter(F.col("embedding").isNull()).select(
+        "vec_id",
+        F.lit("novel").alias("status"),
+        F.lit(None).cast("double").alias("best_cosine"),
+        F.lit(0).cast("long").alias("n_candidates"),
+    )
+    incoming = incoming.filter(F.col("embedding").isNotNull())
     inc_d = incoming.groupBy("embedding").agg(
         F.count("*").alias("_n_in")
     )
@@ -2233,8 +2245,10 @@ def ann_admission(
             "n_candidates"
         ),
     )
-    return incoming.join(decisions, "embedding").select(
-        "vec_id", "status", "best_cosine", "n_candidates"
+    return (
+        incoming.join(decisions, "embedding")
+        .select("vec_id", "status", "best_cosine", "n_candidates")
+        .unionByName(inc_null)
     )
 
 

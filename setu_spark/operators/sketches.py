@@ -233,11 +233,12 @@ def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle — plus ``approx_found``, the Spark-side boolean that the
     token also surfaced in the bounded-state candidate set; the oracle
     answers literal TRUE, so a sketch regression (undersized summary,
-    broken merge) flips the hash. The exact twin's global sort runs on
-    the |distinct tokens| aggregate, oracle-scale semantics only."""
+    broken merge) flips the hash. The exact twin is a distributed
+    ``orderBy().limit(k)`` (TakeOrderedAndProject) over the vocabulary
+    aggregate — per-partition top-k, merge of k·parts rows; rank is
+    re-derived on the ≤{TOPK} survivors (round-9: replaced the
+    vocabulary-sized single-task window)."""
     import pandas as pd
-
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").na.drop(subset=["text"])
     toks = docs.select(
@@ -266,16 +267,31 @@ def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LOCAL_M)
         .select("tok")
     )
-    exact = (
+    # Exact top-k as orderBy().limit(k) — TakeOrderedAndProject, a
+    # distributed per-partition top-k + single merge of k·parts rows,
+    # NOT a vocabulary-sized single-task window (round-9 fix: the old
+    # row_number().over(Window.orderBy(...)) funneled the full distinct
+    # token vocabulary — 1e8+ rows at web scale — through ONE task).
+    # Rank is re-derived over the ≤TOPK survivors by a broadcast
+    # predecessor-count self-join (TOPK² comparisons on ≤{TOPK} rows —
+    # constant work, and zero WindowExec at any scale).
+    top = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("exact_count"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("exact_count"), F.asc("tok"))
-            ),
-        )
-        .filter(F.col("rank") <= TOPK)
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(TOPK)
+    )
+    b = top.select(
+        F.col("exact_count").alias("b_cnt"), F.col("tok").alias("b_tok")
+    )
+    precedes = (F.col("b_cnt") > F.col("exact_count")) | (
+        (F.col("b_cnt") == F.col("exact_count"))
+        & (F.col("b_tok") < F.col("tok"))
+    )
+    exact = (
+        top.join(F.broadcast(b), precedes, "left")
+        .groupBy("tok", "exact_count")
+        .agg((F.count("b_tok") + 1).alias("rank"))
     )
     return (
         exact.join(F.broadcast(cand.withColumn("found", F.lit(True))), "tok", "left")

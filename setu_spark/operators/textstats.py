@@ -1307,6 +1307,11 @@ def q130_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q132
+#: Range-partition count for the vocabulary prefix sum (the q29
+#: pattern): the offsets collect is bounded at this many rows. At
+#: cluster scale this is sized like shuffle parallelism (hundreds) —
+#: the collect stays AQE-statistics-sized either way.
+_COVERAGE_PARTS = 16
 @register(
     "q132_vocab_coverage",
     oracle="""
@@ -1341,12 +1346,18 @@ def q132_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary would pay; with q130's merge mining this is the pair of
     queries a tokenizer build runs over the corpus.
 
-    Scale shape: one explode into a map-combined word-count aggregate
-    (vocabulary-bounded, the q130 move); rank and cumulative sum are
-    windows over that aggregate — a vocabulary-sized global sort, the
-    same accepted shape as exact top-k over vocab (q31): ~1e7-1e8 rows
-    at web scale, trivially sortable by a cluster, and the power-of-two
-    output keeps the result ~30 rows at any corpus size."""
+    Scale shape — a DISTRIBUTED PREFIX SUM over the vocabulary (the
+    q29 pattern, round-9 fix: the earlier unpartitioned
+    rank+running-sum window funneled the full vocabulary — 1e7-1e8+
+    rows at web scale — through ONE task; an unpartitioned window is
+    not a cluster sort, it is one partition): range-partition the
+    word-count aggregate on (c desc, word), run rank and running sum
+    per partition (parallel, partition-local window), lift the
+    ≤{_COVERAGE_PARTS}-row per-partition totals into exclusive offsets
+    by one AQE-statistics-sized driver collect, and rejoin them by
+    broadcast. The same collect yields the corpus token total and
+    vocabulary size as scalars, so the corpus aggregate is touched in
+    one cached pass."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
@@ -1354,28 +1365,60 @@ def q132_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("word"))
-    r = wc.select(
-        "c",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
+    local = (
+        wc.repartitionByRange(_COVERAGE_PARTS, F.desc("c"), F.asc("word"))
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rnk",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.desc("c"), F.asc("word")
+                )
+            ),
+        )
+        .withColumn(
+            "local_cum",
+            F.sum("c").over(
+                Window.partitionBy("pid")
+                .orderBy(F.desc("c"), F.asc("word"))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
     )
-    tot = wc.agg(
-        F.sum("c").cast("long").alias("tot"),
-        F.count("*").cast("long").alias("vocab"),
+    local = scoped_cache("q132_vocab_coverage", local)
+    # Tiny metadata collect (≤ _COVERAGE_PARTS rows): per-partition
+    # (row count, token total) → exclusive rank/cum offsets. Range
+    # partitions are key-ordered, so ascending pid IS descending count.
+    totals = sorted(
+        local.groupBy("pid")
+        .agg(
+            F.max("local_rnk").alias("n"),
+            F.max("local_cum").alias("tot"),
+        )
+        .collect()
+    )
+    offsets, rnk_run, cum_run = [], 0, 0
+    for row in totals:
+        offsets.append((row["pid"], rnk_run, cum_run))
+        rnk_run += row["n"]
+        cum_run += row["tot"]
+    vocab, tot = rnk_run, cum_run
+    off = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "pid int, rnk_off long, cum_off long"
     )
     return (
-        r.crossJoin(F.broadcast(tot))
+        local.join(F.broadcast(off), "pid")
+        .withColumn("rnk", F.col("local_rnk") + F.col("rnk_off"))
         .filter(
-            (F.expr("rnk & (rnk - 1)") == 0) | (F.col("rnk") == F.col("vocab"))
+            (F.expr("rnk & (rnk - 1)") == 0) | (F.col("rnk") == F.lit(vocab))
         )
         .select(
             F.col("rnk").cast("long").alias("vocab_size"),
-            F.round(F.col("cum") / F.col("tot").cast("double"), 6).alias(
-                "coverage"
-            ),
+            F.round(
+                (F.col("local_cum") + F.col("cum_off"))
+                / F.lit(float(tot)),
+                6,
+            ).alias("coverage"),
         )
     )
 

@@ -148,6 +148,135 @@ def corpus_exchange_widths(df: DataFrame) -> list[int]:
     return out
 
 
+#: node names that bound rows HARD — a constant number of rows flows up
+#: through them regardless of corpus size, so anything above is safe.
+_LIMIT_BOUNDING = re.compile(
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+)
+
+#: aggregates reduce corpus rows to group rows — that shields a raw
+#: scan (per-doc metrics grouped into buckets are bounded-domain), but
+#: NOT a Generate/explode below: a vocabulary/shingle aggregate still
+#: scales with the corpus (Heaps' law), which is exactly the q121/q132
+#: class this gate exists to catch.
+_AGG_BOUNDING = re.compile(
+    r"HashAggregate|ObjectHashAggregate|SortAggregate"
+)
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(depth, name, id) per node of the formatted-explain tree section
+    (first tree only — subqueries repeat trees)."""
+    nodes: list[tuple[int, str, int]] = []
+    for line in plan.splitlines():
+        if line.startswith("=="):
+            if nodes:
+                break
+            continue
+        m = _TREE_NODE.match(line)
+        if not m:
+            if nodes and not line.strip():
+                break
+            continue
+        prefix, name, nid = m.groups()
+        nodes.append((len(prefix) // 3, name.strip(), int(nid)))
+    return nodes
+
+
+def _window_is_unpartitioned(plan: str, nid: int) -> bool:
+    """True when node ``nid`` is a Window whose partition spec is empty.
+
+    The detail section prints ``Arguments: [exprs], [partitionSpec],
+    [orderSpec]`` with EMPTY groups omitted — an unpartitioned ordered
+    window shows exactly two top-level groups with sort directions in
+    the last; a partitioned one shows a direction-free partition group
+    before the order spec."""
+    m = re.search(
+        rf"\({nid}\) Window[^\n]*\n(?:[^\n]+\n)*?Arguments: (.*)", plan
+    )
+    if not m:
+        return False
+    args = m.group(1)
+    # split the Arguments line into top-level [...] groups
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(args):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(args[start:i])
+                start = None
+    if len(groups) < 2:
+        return True  # exprs only — no partition, no order
+    if len(groups) == 2:
+        # [exprs], [orderSpec] = unpartitioned; [exprs], [partSpec]
+        # (unordered) = partitioned. Order specs carry directions.
+        return bool(re.search(r"\b(ASC|DESC)\b", groups[1]))
+    return False
+
+
+def unpartitioned_corpus_windows(df: DataFrame) -> list[int]:
+    """Node ids of every Window with an EMPTY partition spec whose
+    input row count scales with the corpus — the one plan shape that
+    cannot survive 100 TB (``WindowExec`` moves ALL input rows to a
+    single partition; an unpartitioned window is not a cluster sort,
+    it is one task).
+
+    A window is corpus-fed unless every path to a scan is shielded:
+    limit-class nodes (``GlobalLimit``/``TakeOrderedAndProject``/…)
+    shield their whole subtree (post-``limit(k)`` rank windows — the
+    q130 shape — are constant-row); aggregates shield RAW SCANS only
+    (a per-doc-metric bucket aggregate — the q113 shape — has a
+    bounded group domain) but NOT a ``Generate``/explode beneath them
+    (token/shingle vocabularies grow with the corpus — the q121/q132
+    class this gate was built from, round-9)."""
+    plan = plan_string(df, "formatted")
+    nodes = _parse_tree(plan)
+    out: list[int] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if not re.fullmatch(r"Window", name):
+            continue
+        if not _window_is_unpartitioned(plan, nid):
+            continue
+        corpus_fed = False
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] > depth:
+            d2, n2, _ = nodes[j]
+            if _LIMIT_BOUNDING.search(n2):
+                j += 1
+                while j < len(nodes) and nodes[j][0] > d2:
+                    j += 1
+                continue
+            if _AGG_BOUNDING.search(n2):
+                # walk the aggregate's subtree: scans are shielded,
+                # Generates (and nothing else) still poison — unless a
+                # nested limit shields them
+                k = j + 1
+                while k < len(nodes) and nodes[k][0] > d2:
+                    d3, n3, _ = nodes[k]
+                    if _LIMIT_BOUNDING.search(n3):
+                        k += 1
+                        while k < len(nodes) and nodes[k][0] > d3:
+                            k += 1
+                        continue
+                    if n3.startswith("Generate"):
+                        corpus_fed = True
+                    k += 1
+                j = k
+                continue
+            if n2.startswith("Generate"):
+                corpus_fed = True
+            elif n2.startswith("Scan") or "FileScan" in n2:
+                corpus_fed = True
+            j += 1
+        if corpus_fed:
+            out.append(nid)
+    return out
+
+
 def has_expand(df: DataFrame) -> bool:
     """True when the plan contains an Expand node (multi-distinct
     aggregates, rollup/cube/grouping-sets) — each Expand multiplies the

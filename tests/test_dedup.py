@@ -790,6 +790,29 @@ def test_ann_admission_fn_planted(spark):
     assert got[2][0] == "novel"
 
 
+def test_ann_admission_null_embedding_gets_decision(spark):
+    """Every-row-gets-a-decision contract (round-9 ADVICE): a
+    NULL-embedding incoming row cannot probe the index and must NOT
+    silently vanish through the embedding equi-join — it is admitted
+    novel with 0 candidates."""
+    import setu_spark.operators.dedup as dd
+
+    ax = lambda i: [1.0 if j == i else 0.0 for j in range(64)]
+    existing = spark.createDataFrame(
+        [(100, ax(0))], "vec_id long, embedding array<float>"
+    )
+    incoming = spark.createDataFrame(
+        [(1, ax(0)), (2, None)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.status, r.best_cosine, r.n_candidates)
+        for r in dd.ann_admission(incoming, existing).collect()
+    }
+    assert len(got) == 2
+    assert got[1] == ("near_dup", 1.0, 1)
+    assert got[2] == ("novel", None, 0)
+
+
 def test_joint_agreement_collapsed_equals_raw(spark):
     """Dual-path witness (the CC pattern): the collapsed production
     q151 must be row-identical to the raw-pair composition on a corpus

@@ -16,8 +16,14 @@ humans).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 import __spark_entry__ as entrymod
-from setu_spark.plans.inspect import corpus_exchange_widths
+from setu_spark.plans.inspect import (
+    corpus_exchange_widths,
+    unpartitioned_corpus_windows,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -49,3 +55,54 @@ def test_every_corpus_volume_exchange_is_narrow(spark):
         "corpus-volume exchanges carrying wide buffers (q28 class): "
         f"{offenders}"
     )
+
+
+def test_no_registered_query_has_unpartitioned_corpus_window(spark):
+    """The q121/q132 regression net (round-9): an unpartitioned Window
+    over corpus-scaling input funnels EVERYTHING through one task —
+    hash-green at sf0.1, dead at 100 TB. Every registered query's plan
+    must be free of the shape; post-limit rank windows (q130) and
+    bucket-aggregate windows (q113) are row-bounded and pass."""
+    offenders = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        flags = unpartitioned_corpus_windows(fn(spark, SF_DIR))
+        spark.catalog.clearCache()
+        if flags:
+            offenders[name] = flags
+    assert not offenders, (
+        "unpartitioned corpus-fed Window (single-task global sort): "
+        f"{offenders}"
+    )
+
+
+def test_unpartitioned_window_gate_catches_planted_offender(spark):
+    """Negative control: the exact pre-fix q132 shape — a running-sum
+    window ordered over the full exploded-token vocabulary with a
+    non-pushable filter — must be flagged. (The pre-fix q121 shape,
+    ``row_number`` + ``rank <= k`` filter, is rewritten by Catalyst's
+    LimitPushDownThroughWindow into a TakeOrderedAndProject-fed window
+    — genuinely bounded, so the running-sum form is the honest
+    plant.)"""
+    from setu_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    planted = wc.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    ).filter(F.expr("rnk & (rnk - 1)") == 0)
+    assert unpartitioned_corpus_windows(planted)
+    # raw-corpus global window (no aggregate at all) is also caught
+    raw = docs.withColumn(
+        "r", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert unpartitioned_corpus_windows(raw)

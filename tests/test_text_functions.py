@@ -165,11 +165,20 @@ def test_is_num_or_punc_only_reference_semantics(spark):
         assert _one(
             spark, text, is_num_or_punc_only(F.col("t"))
         ) is expected, text
+    # threshold<=0 edge (round-9 ADVICE): the reference's
+    # `invalid_ratio and invalid_ratio >= threshold` is False when the
+    # ratio is 0.0 — an all-letter chunk stays False even at 0.0
+    assert _one(
+        spark, "abcdef", is_num_or_punc_only(F.col("t"), threshold=0.0)
+    ) is False
+    assert _one(
+        spark, "abcde!", is_num_or_punc_only(F.col("t"), threshold=0.0)
+    ) is True
 
 
 def test_non_li_char_count_u8(spark):
     """U8 exact semantics (reference filters.py:750-753 over
-    constants.py:101-119): chars outside the 15 whitelisted scripts
+    constants.py:101-119): chars outside the 14 whitelisted scripts
     that are neither punctuation nor whitespace. ASCII digits are
     script=Common — the reference counts them as non-LI, quirk
     preserved."""
