@@ -18,10 +18,26 @@ Flags:
   --full        time EVERY registered query (the whole registry), not
                 just the HEADLINE subset — regressions in non-headline
                 families become visible per-round.
+  --only LIST   comma-separated query names: restrict the sweep to this
+                subset (iteration / targeted re-measurement).
   --out PATH    also write the full payload to PATH (append-only
                 bench records: pass a fresh name per run, e.g.
                 bench_clean_r06_1.json — never overwrite a claimed
                 number's file).
+  --loadavg-gate [T]
+                self-qualifying records (round-8 VERDICT task 8): any
+                query whose pre-run 1-min loadavg exceeds T (default
+                8.0 — above what this bench generates alone on this
+                box) is listed in the payload's "load_flagged";
+                --composite then prefers unflagged records per query,
+                so one polluted record can't poison a committed min.
+  --ab-ref REF qA[,qB...][,reps]
+                one-command A/B against another git rev (the PERF.md
+                by-hand worktree recipe, promoted to a flag per round-8
+                VERDICT task 8): checks REF out into a temp worktree
+                and alternates `bench.py --only` SUBPROCESS runs
+                between the two trees, rep by rep, so a co-tenant
+                burst hits both arms; prints per-arm per-query minima.
   --funnel-shared
                 after the main sweep, re-time the collapse-funnel
                 family (q56/q125/q144/q149/q150) with the shared
@@ -152,6 +168,8 @@ def detail_line(payload: dict) -> dict:
         detail["funnel_shared"] = payload["funnel_shared"]
     if payload.get("extra_samples"):
         detail["extra_samples"] = payload["extra_samples"]
+    if payload.get("load_flagged"):
+        detail["load_flagged"] = payload["load_flagged"]
     if payload.get("sources"):
         detail["sources"] = payload["sources"]
     if payload.get("errors"):
@@ -194,9 +212,20 @@ def composite(record_paths: list[str]) -> dict:
     common = set(records[0]["queries"])
     for r in records[1:]:
         common &= set(r["queries"])
+    # self-qualifying records (--loadavg-gate): a record that flagged a
+    # query as load-polluted is excluded from that query's min when at
+    # least one clean sample exists — one co-tenant burst can no longer
+    # poison a committed composite entry
+    def _samples(name: str) -> list[float]:
+        clean = [
+            r["queries"][name]
+            for r in records
+            if name not in set(r.get("load_flagged", []))
+        ]
+        return clean or [r["queries"][name] for r in records]
+
     queries = {
-        name: round(min(r["queries"][name] for r in records), 3)
-        for name in sorted(common)
+        name: round(min(_samples(name)), 3) for name in sorted(common)
     }
     return {
         "metric": records[0]["metric"].replace("_wall", "_min_composite"),
@@ -242,6 +271,123 @@ def main() -> None:
         if len(parts) < 2:
             sys.exit("usage: bench.py --ab qA,qB[,reps]")
         ab_names = (parts[0], parts[1], int(parts[2]) if len(parts) > 2 else 3)
+    only_names = None
+    if "--only" in sys.argv:
+        idx = sys.argv.index("--only")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --only q1,q2,...")
+        only_names = [
+            p.strip() for p in sys.argv[idx + 1].split(",") if p.strip()
+        ]
+    loadavg_gate = None
+    if "--loadavg-gate" in sys.argv:
+        idx = sys.argv.index("--loadavg-gate")
+        loadavg_gate = 8.0
+        if idx + 1 < len(sys.argv) and not sys.argv[idx + 1].startswith(
+            "--"
+        ):
+            try:
+                loadavg_gate = float(sys.argv[idx + 1])
+            except ValueError:
+                pass
+    if "--ab-ref" in sys.argv:
+        # A/B a query set against another git rev — two temp-worktree
+        # SUBPROCESS arms, interleaved rep by rep. No Spark session in
+        # this process; each arm pays its own session spin-up but the
+        # measured number is the arm's own min-of-2 within-process.
+        import re
+        import subprocess
+        import tempfile
+
+        idx = sys.argv.index("--ab-ref")
+        if idx + 2 >= len(sys.argv):
+            sys.exit("usage: bench.py --ab-ref REF qA[,qB...][,reps]")
+        ref = sys.argv[idx + 1]
+        parts = sys.argv[idx + 2].split(",")
+        reps = 3
+        if parts and parts[-1].isdigit():
+            reps = int(parts[-1])
+            parts = parts[:-1]
+        if not parts:
+            sys.exit("usage: bench.py --ab-ref REF qA[,qB...][,reps]")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        wt = os.path.join(
+            tempfile.gettempdir(),
+            "setu_ab_" + re.sub(r"[^A-Za-z0-9_.-]", "_", ref),
+        )
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+                check=True,
+            )
+        arms = {"head": repo, ref: wt}
+        runs_ref: dict[str, dict[str, list[float]]] = {
+            a: {q: [] for q in parts} for a in arms
+        }
+        for rep in range(reps):
+            for arm, path in arms.items():
+                with tempfile.NamedTemporaryFile(
+                    suffix=".json", delete=False
+                ) as tf:
+                    tmp = tf.name
+                cmd = [
+                    sys.executable,
+                    os.path.join(path, "bench.py"),
+                    "--only",
+                    ",".join(parts),
+                    "--out",
+                    tmp,
+                ]
+                subprocess.run(
+                    cmd, cwd=path, check=True,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                with open(tmp) as fh:
+                    rec = json.load(fh)
+                os.unlink(tmp)
+                for q in parts:
+                    if q in rec["queries"]:
+                        runs_ref[arm][q].append(rec["queries"][q])
+                print(
+                    f"[bench] ab-ref rep {rep + 1}/{reps} arm {arm}: "
+                    + ", ".join(
+                        f"{q}={rec['queries'].get(q)}" for q in parts
+                    ),
+                    file=sys.stderr,
+                )
+        payload = {
+            "metric": "ab_ref_min",
+            "value": 0.0,
+            "unit": "sec",
+            "queries": {
+                f"{a}:{q}": round(min(r), 3) if r else None
+                for a, qs in runs_ref.items()
+                for q, r in qs.items()
+            },
+            "sf": os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            ),
+            "ab_ref": ref,
+            "ab_runs": runs_ref,
+        }
+        if out_path:
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=1)
+        print(json.dumps({"ab_ref": ref, "ab_runs": runs_ref}))
+        print(
+            json.dumps(
+                {
+                    "metric": "ab_ref_min",
+                    "arms": {
+                        a: round(
+                            sum(min(r) for r in qs.values() if r), 3
+                        )
+                        for a, qs in runs_ref.items()
+                    },
+                }
+            )
+        )
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from setu_spark.session import get_spark
 
@@ -253,6 +399,11 @@ def main() -> None:
 
     queries = entry.queries()
     names = list(queries) if full else HEADLINE
+    if only_names:
+        unknown = [n for n in only_names if n not in queries]
+        if unknown:
+            sys.exit(f"--only: unknown queries {unknown}")
+        names = only_names
 
     # Warm the JVM/codegen paths and the Python (Arrow UDF) workers once so
     # the first measured query doesn't pay session/worker spin-up.
@@ -329,6 +480,10 @@ def main() -> None:
     # noisy runs machine-distinguishable from regressions.
     loads: dict[str, float] = {}
     load_start = os.getloadavg()[0]
+    # --loadavg-gate: per-query flag when the pre-run 1-min loadavg
+    # exceeds the threshold — the record self-qualifies and
+    # --composite prefers unflagged samples
+    load_flagged: list[str] = []
 
     def _checkpoint() -> None:
         payload = {
@@ -349,6 +504,9 @@ def main() -> None:
         }
         if extra_samples:
             payload["extra_samples"] = extra_samples
+        if loadavg_gate is not None:
+            payload["loadavg_gate"] = loadavg_gate
+            payload["load_flagged"] = load_flagged
         if errors:
             payload["errors"] = errors
         try:
@@ -360,6 +518,13 @@ def main() -> None:
 
     for name in names:
         loads[name] = round(os.getloadavg()[0], 2)
+        if loadavg_gate is not None and loads[name] > loadavg_gate:
+            load_flagged.append(name)
+            print(
+                f"[bench] {name}: loadavg {loads[name]} > gate "
+                f"{loadavg_gate} — record flagged",
+                file=sys.stderr,
+            )
         try:
             runs: list[float] = []
             for _ in range(2):

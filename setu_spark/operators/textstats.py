@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from setu_spark.functions.hashes import hash64, hash64_sql
+from setu_spark.functions.tokenize import trivial_tokenize_sql
 from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
@@ -87,21 +88,32 @@ def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(_REP_SCHEMA)
-def _word_rep_udf(texts: pd.Series) -> pd.DataFrame:
-    """Word 3-gram repetition per doc (U11 semantics): score = mass of
-    3-grams occurring ≥2 / total."""
+def _word_rep_udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+    """Word 3-gram repetition per doc (U11 exact semantics, reference
+    filters.py:574-602): tokens come from the native
+    ``trivial_tokenize`` twin (functions/tokenize.py — the reference's
+    IndicNLP tokenizer, punctuation severed into standalone tokens,
+    ``ur`` dispatching to the urdu set), score = mass of 3-grams
+    occurring ≥2 / total. Docs with <3 tokens (or NULL text) emit
+    total 0 / NULL score — callers filter on total."""
     from collections import Counter
 
+    from setu_spark.functions.tokenize import trivial_tokenize
+
     out_t, out_s = [], []
-    for text in texts:
-        t = text.split(" ")
+    for text, lang in zip(texts, langs):
+        if text is None:
+            out_t.append(0)
+            out_s.append(None)
+            continue
+        t = trivial_tokenize(text, lang if lang else "hi")
         grams = Counter(
             (t[i], t[i + 1], t[i + 2]) for i in range(len(t) - 2)
         )
         total = sum(grams.values())
         rep = sum(c for c in grams.values() if c >= 2)
         out_t.append(total)
-        out_s.append(_round6(rep / total))
+        out_s.append(_round6(rep / total) if total else None)
     return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 
@@ -359,9 +371,9 @@ def q41_char_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q42
 @register(
     "q42_word_ngram_repetition",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, {trivial_tokenize_sql('text')} AS t FROM documents
     ),
     grams AS (
       SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
@@ -379,24 +391,23 @@ def q41_char_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_word_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word 3-gram repetition score, intended semantics of reference U11
-    (filters.py:574-602): score = (Σ counts of 3-grams occurring ≥ 2) /
-    total 3-grams. 0.0 (not NULL) when nothing repeats.
-
-    Declared divergences from the reference (§4.1 ledger posture):
-    the None-for-0.0 score quirk is not replicated, and tokens come
-    from ``split(' ')`` where the reference runs IndicNLP
-    ``trivial_tokenize`` (which additionally severs punctuation into
-    its own tokens — an environment-blocked extra here, same seam
-    class as the U9 normalizer; on punctuation-free text the two
-    tokenizations are identical).
+    """Word 3-gram repetition score, reference U11 (filters.py:574-602):
+    tokens from the native ``trivial_tokenize`` twin
+    (functions/tokenize.py — round-9 parity: the reference's IndicNLP
+    punctuation-severing tokenization replicated natively, closing the
+    former ``split(' ')`` declared divergence; the oracle runs the
+    value-identical DuckDB twin). score = (Σ counts of 3-grams
+    occurring ≥ 2) / total 3-grams; 0.0 (not NULL) when nothing repeats
+    — the None-for-0.0 storage quirk stays a declared divergence
+    (COVERAGE.md ledger, SURVEY §4.1 intended-semantics ruling). Docs
+    with <3 tokens have no 3-grams and drop out of both engines.
 
     Same zero-shuffle pandas-UDF shape as q41 (SURVEY §2.10 U11)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(
-        F.size(F.split("text", " ", -1)) >= 3
-    ).select("doc_id", _word_rep_udf("text").alias("r")).select(
-        "doc_id", "r.*"
+    return (
+        docs.select("doc_id", _word_rep_udf("text", "lang").alias("r"))
+        .select("doc_id", "r.*")
+        .filter(F.col("total_ngrams") > 0)
     )
 
 
@@ -1068,7 +1079,8 @@ REP_THRESHOLD_W3 = 0.05
       FROM (
         SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram,
                count(*) AS cnt
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        FROM (SELECT doc_id, {trivial_tokenize_sql('text')} AS t
+              FROM documents),
              unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
         GROUP BY doc_id, gram
       )
@@ -1096,8 +1108,8 @@ def q48_repetition_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _char_rep_udf("text").alias("c"))
         .select("doc_id", F.col("c.repetition_score").alias("cscore"))
         .join(
-            docs.filter(F.size(F.split("text", " ", -1)) >= 3)
-            .select("doc_id", _word_rep_udf("text").alias("w"))
+            docs.select("doc_id", _word_rep_udf("text", "lang").alias("w"))
+            .filter(F.col("w.total_ngrams") > 0)
             .select("doc_id", F.col("w.repetition_score").alias("wscore")),
             "doc_id",
         )

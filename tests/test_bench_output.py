@@ -120,3 +120,35 @@ def test_composite_merges_per_query_mins(tmp_path):
     assert comp["metric"] == "headline_query_total_min_composite"
     assert bench.final_line(comp)["n_queries"] == 2
     assert bench.detail_line(comp)["sources"] == ["a.json", "b.json"]
+
+
+def test_composite_prefers_load_unflagged_samples(tmp_path):
+    """--loadavg-gate self-qualification: a record that flagged a query
+    as load-polluted is excluded from that query's min when a clean
+    sample exists elsewhere; when EVERY record flags it, the min over
+    all samples is kept (flag, not data loss)."""
+    import json as _json
+
+    r1 = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q1": 0.4, "q2": 2.0, "q3": 5.0},
+        "sf": "/root/testdata/sf0.1",
+        "load_flagged": ["q1", "q3"],
+    }
+    r2 = {
+        "metric": "headline_query_total_wall",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q1": 0.9, "q2": 2.5, "q3": 6.0},
+        "sf": "/root/testdata/sf0.1",
+        "load_flagged": ["q3"],
+    }
+    p1, p2 = tmp_path / "a.json", tmp_path / "b.json"
+    p1.write_text(_json.dumps(r1))
+    p2.write_text(_json.dumps(r2))
+    comp = bench.composite([str(p1), str(p2)])
+    # q1: r1's 0.4 was flagged -> r2's clean 0.9 wins despite being
+    # slower; q2: normal min; q3: flagged everywhere -> min kept
+    assert comp["queries"] == {"q1": 0.9, "q2": 2.0, "q3": 5.0}

@@ -417,13 +417,20 @@ def test_q130_bpe_pair_agg_over_vocab_not_corpus(spark):
     assert shuffle_count(df) <= 4
 
 
-def test_q132_coverage_windows_over_vocab_aggregate(spark):
-    # word counts aggregate first (vocabulary-bounded, map-combined);
-    # rank/cumsum windows run over that aggregate, never raw tokens,
-    # and the totals attach as a one-row broadcast
+def test_q132_coverage_distributed_prefix_sum(spark):
+    # round-9 shape: word counts aggregate first (map-combined), then
+    # the q29 distributed prefix sum — range-partitioned,
+    # PARTITION-LOCAL rank/cumsum windows (never an unpartitioned
+    # window over the vocabulary), per-partition offsets rejoined by
+    # broadcast hash join on pid
+    from setu_spark.plans.inspect import unpartitioned_corpus_windows
+
     df = _q(spark, "q132_vocab_coverage")
+    plan = plan_string(df)
     assert has_partial_aggregate(df)
-    assert "BroadcastNestedLoopJoin" in plan_string(df)
+    assert unpartitioned_corpus_windows(df) == []
+    assert "partitionBy=[]" not in plan
+    assert "BroadcastHashJoin" in plan  # pid-keyed offsets attach
 
 
 def test_q133_precision_audit_no_cartesian_single_row(spark):

@@ -28,23 +28,23 @@ import sys
 WINDOW = 50  # entries of queries() the driver checks per round
 
 #: the round whose window _FRONT currently pins (bump at each rotation)
-THIS_ROUND = 8
+THIS_ROUND = 9
 
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 8: EMPTY, deliberately. The window is saturated (149 queries /
-#: 50 slots) because the two NEW queries (q151/q152) took the free
-#: slots, displacing q138/q140 — which rejoin automatically as overdue
-#: next round. Every round-8 code change outside the window is ALREADY
-#: in the round-9 overdue block (verified against ROTATION.md): q137's
-#: \z anchor, q81's words-based line lengths, and the keyword-family
-#: rewrite behind q44/q49/q65/q66/q69 are all r05/r06-green and rotate
-#: in next round; the pointer-jump CC behind q144/q149/q150 is proven
-#: label-identical (dual-path tests + full oracle sweeps at both
-#: scales), so their r7 rows stay valid until natural rotation in
-#: round 10.
-CHANGED: tuple[str, ...] = ()
+#: Round 9: three queries changed outside the round-9 window — q121
+#: (exact top-k leg rebuilt on TakeOrderedAndProject +
+#: predecessor-count rank), q132 (distributed prefix sum) and q152
+#: (NULL-embedding pre-split union) — all proven hash-identical this
+#: session at sf0.01+sf0.1, so their r8 rows remain valid. Round 10 has
+#: exactly ONE free slot (49 r07-green queries hit the ceiling there);
+#: fronting all three would push two ceiling-bound queries to
+#: staleness 4. q132 (the deepest rewrite) takes the slot; q121/q152
+#: rotate naturally in round 11 at staleness 3. q42/q48
+#: (trivial_tokenize parity) also changed but already sit IN the
+#: round-9 window.
+CHANGED: tuple[str, ...] = ("q132_vocab_coverage",)
 
 
 def last_green(root: str = ".") -> dict[str, int]:
