@@ -320,6 +320,14 @@ def main() -> None:
                 ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
                 check=True,
             )
+        # an arm whose bench.py predates --only would IGNORE the flag
+        # and sweep its whole headline set — refuse loudly instead
+        with open(os.path.join(wt, "bench.py")) as fh:
+            if "--only" not in fh.read():
+                sys.exit(
+                    f"--ab-ref: {ref}'s bench.py has no --only support; "
+                    "pick a ref at or after round 9"
+                )
         arms = {"head": repo, ref: wt}
         runs_ref: dict[str, dict[str, list[float]]] = {
             a: {q: [] for q in parts} for a in arms

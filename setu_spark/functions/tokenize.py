@@ -48,6 +48,18 @@ TRIV_PUNCT_URDU = (
 _SEVER_INDIC = re.compile("([" + re.escape(TRIV_PUNCT_INDIC) + "])")
 _SEVER_URDU = re.compile("([" + re.escape(TRIV_PUNCT_URDU) + "])")
 
+#: fast-path bail: when a string has NO tokenizer-relevant punctuation,
+#: no tab, no space run, and no edge space, every stage of the pipeline
+#: is a no-op and the result is exactly ``text.split(' ')`` (num-seq
+#: merging needs a severed punct, absent by construction). One scan
+#: instead of sub+collapse+finditer — ~3× on clean corpora (PERF.md r9).
+_FAST_INDIC = re.compile(
+    "[" + re.escape(TRIV_PUNCT_INDIC) + "\t]|  |^ | $"
+)
+_FAST_URDU = re.compile(
+    "[" + re.escape(TRIV_PUNCT_URDU) + "\t]|  |^ | $"
+)
+
 #: date / number / section-numbering sequences get their spaces back
 _NUM_SEQ = re.compile(r"([0-9]+ [,.:/] )+[0-9]+")
 
@@ -73,6 +85,8 @@ def _tokenize(text: str, sever: re.Pattern[str]) -> list[str]:
 
 def trivial_tokenize_indic(text: str) -> list[str]:
     """Brahmi-script trivial tokenization (punctuation-boundary)."""
+    if not _FAST_INDIC.search(text):
+        return text.split(" ")
     return _tokenize(text, _SEVER_INDIC)
 
 
@@ -80,6 +94,8 @@ def trivial_tokenize_urdu(text: str) -> list[str]:
     """Urdu variant: Arabic-script punctuation set, no num-seq merge
     (the library's urdu path returns straight after the space
     collapse)."""
+    if not _FAST_URDU.search(text):
+        return text.split(" ")
     tok_str = _SEVER_URDU.sub(r" \1 ", text.replace("\t", " "))
     return re.sub(r"[ ]+", " ", tok_str).strip(" ").split(" ")
 

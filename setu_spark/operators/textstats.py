@@ -117,6 +117,15 @@ def _word_rep_udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 
+# The kernel IS deterministic, but q42/q48 filter on one of its output
+# fields — Catalyst's filter pushdown then DUPLICATES the Arrow UDF
+# (one ArrowEvalPython below the filter, one above: 2× the kernel cost,
+# measured 0.92s vs 0.46s at sf0.1). asNondeterministic() only disables
+# that duplication; values are unchanged (oracle re-MATCHed both
+# scales, round 9).
+_word_rep_udf = _word_rep_udf.asNondeterministic()
+
+
 # ---------------------------------------------------------------- q30
 @register(
     "q30_doc_word_stats",

@@ -65,6 +65,24 @@ def test_urdu_dispatch():
     assert trivial_tokenize("क। ख", "ur") == ["क।", "ख"]
 
 
+def test_fast_path_equals_full_pipeline_fuzz():
+    """The punct-free fast path (one regex scan → split(' ')) must be
+    byte-identical to the full sever/collapse/merge pipeline — fuzzed
+    across strings that straddle the bail condition (single spaces,
+    newlines, near-miss edge spaces)."""
+    from setu_spark.functions.tokenize import _SEVER_INDIC, _tokenize
+
+    rng = random.Random(13)
+    alpha = list("ab \n12xy.")  # mostly clean, occasional punct
+    for _ in range(1500):
+        text = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 20))
+        )
+        assert trivial_tokenize_indic(text) == _tokenize(
+            text, _SEVER_INDIC
+        ), repr(text)
+
+
 def test_python_twin_matches_duckdb_twin_fuzz():
     """The oracle fragment and the Arrow-kernel tokenization must be
     value-identical — seeded fuzz over the full quirk surface
