@@ -87,6 +87,12 @@ def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"total_ngrams": out_t, "repetition_score": out_s})
 
 
+# deterministic kernel, but q48 filters on its output field — see the
+# _word_rep_udf note below: without this, Catalyst duplicates the
+# ArrowEvalPython across the pushed filter and the kernel runs twice
+_char_rep_udf = _char_rep_udf.asNondeterministic()
+
+
 @F.pandas_udf(_REP_SCHEMA)
 def _word_rep_udf(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
     """Word 3-gram repetition per doc (U11 exact semantics, reference

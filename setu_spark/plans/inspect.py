@@ -277,6 +277,25 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[int]:
     return out
 
 
+def duplicated_python_udf_calls(df: DataFrame) -> list[str]:
+    """Exact-duplicate Python UDF calls (same function, same argument
+    expression ids) appearing in MULTIPLE ArrowEvalPython /
+    BatchEvalPython nodes of an UNCACHED plan — the round-9 q42/q48
+    find: filtering on a pandas-UDF output field makes Catalyst push
+    the filter below the projection and re-evaluate the whole kernel
+    (2× the Arrow cost, silently). Plans containing an
+    InMemoryTableScan are skipped: a cached stage's subtree prints once
+    per consumer but executes once (the LSH-family pattern), so
+    text-level duplication there is benign."""
+    plan = plan_string(df, "simple")
+    if "InMemoryTableScan" in plan or "InMemoryRelation" in plan:
+        return []
+    calls = re.findall(
+        r"(?:ArrowEvalPython|BatchEvalPython) \[(.*?)\], \[", plan
+    )
+    return sorted({c for c in calls if calls.count(c) > 1})
+
+
 def has_expand(df: DataFrame) -> bool:
     """True when the plan contains an Expand node (multi-distinct
     aggregates, rollup/cube/grouping-sets) — each Expand multiplies the

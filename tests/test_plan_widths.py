@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 import __spark_entry__ as entrymod
 from setu_spark.plans.inspect import (
     corpus_exchange_widths,
+    duplicated_python_udf_calls,
     unpartitioned_corpus_windows,
 )
 
@@ -72,6 +73,24 @@ def test_no_registered_query_has_unpartitioned_corpus_window(spark):
     assert not offenders, (
         "unpartitioned corpus-fed Window (single-task global sort): "
         f"{offenders}"
+    )
+
+
+def test_no_registered_query_reruns_a_python_udf(spark):
+    """The q42/q48 regression net (round-9): filtering on a pandas-UDF
+    output field silently DUPLICATES the ArrowEvalPython node across
+    the pushed filter — the whole Arrow kernel runs twice. Every
+    uncached registered plan must evaluate each exact UDF call once
+    (fix: .asNondeterministic() on kernels whose outputs get
+    filtered)."""
+    offenders = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        dupes = duplicated_python_udf_calls(fn(spark, SF_DIR))
+        spark.catalog.clearCache()
+        if dupes:
+            offenders[name] = dupes
+    assert not offenders, (
+        f"duplicated Python UDF evaluation (q42/q48 class): {offenders}"
     )
 
 
