@@ -77,6 +77,13 @@ def _char_rep_udf(texts: pd.Series) -> pd.DataFrame:
 
     out_t, out_s = [], []
     for text in texts:
+        if text is None or len(text) < 5:
+            # no 5-grams: total 0, score None (the reference's None) —
+            # lets callers evaluate the kernel on an unfiltered scan
+            # and filter afterwards (the q48 zero-shuffle fusion)
+            out_t.append(0)
+            out_s.append(None)
+            continue
         grams = Counter(text[i : i + 5] for i in range(len(text) - 4))
         total = sum(grams.values())
         top = sorted(grams.values(), reverse=True)[
@@ -1116,23 +1123,28 @@ def q48_repetition_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors (the reference's char_repetition_filter /
     word_repetition_filter path, flagging_and_removal.py:34-47 with the
     intended any-threshold semantics). Both scores come from the
-    zero-shuffle Arrow kernels; the filter is a per-row predicate."""
+    zero-shuffle Arrow kernels; the filter is a per-row predicate.
+    Round-9 fusion: both kernels ride ONE projection over ONE scan (the
+    kernels emit total 0 / NULL score on too-short input, so the
+    too-short exclusions become post-kernel predicates) — the previous
+    form computed each leg on its own scan and SELF-JOINED the corpus
+    on doc_id, a full shuffle that bought nothing."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = (
-        docs.filter(F.length("text") >= 5)
-        .select("doc_id", _char_rep_udf("text").alias("c"))
-        .select("doc_id", F.col("c.repetition_score").alias("cscore"))
-        .join(
-            docs.select("doc_id", _word_rep_udf("text", "lang").alias("w"))
-            .filter(F.col("w.total_ngrams") > 0)
-            .select("doc_id", F.col("w.repetition_score").alias("wscore")),
-            "doc_id",
-        )
+    scored = docs.select(
+        "doc_id",
+        _char_rep_udf("text").alias("c"),
+        _word_rep_udf("text", "lang").alias("w"),
+    ).filter(
+        (F.col("c.total_ngrams") > 0) & (F.col("w.total_ngrams") > 0)
     )
     flagged = scored.select(
         "doc_id",
-        (F.col("cscore") >= REP_THRESHOLD_5).alias("has_char_repetition"),
-        (F.col("wscore") >= REP_THRESHOLD_W3).alias("has_word_repetition"),
+        (F.col("c.repetition_score") >= REP_THRESHOLD_5).alias(
+            "has_char_repetition"
+        ),
+        (F.col("w.repetition_score") >= REP_THRESHOLD_W3).alias(
+            "has_word_repetition"
+        ),
     )
     return flagged.filter(
         ~F.col("has_char_repetition") & ~F.col("has_word_repetition")
