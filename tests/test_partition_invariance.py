@@ -56,6 +56,13 @@ SENSITIVE = [
     # + banded probe + per-vector keyed agg)
     "q151_joint_dedup_agreement",
     "q152_ann_admission",
+    # round 9: the vocabulary-coverage prefix sum (range-partitioned
+    # rank/cumsum with per-partition offsets — THE shape this suite
+    # exists for) and the rebuilt heavy-hitters exact leg (distributed
+    # top-k + predecessor-count rank join must not depend on which
+    # partition merged the k survivors)
+    "q132_vocab_coverage",
+    "q121_heavy_hitters",
 ]
 
 
@@ -116,3 +123,30 @@ def test_aqe_off_invariance(name, spark):
     finally:
         spark.conf.set(key, prev)
     assert on.equals(off), f"{name}: result changed when AQE disabled"
+
+
+def test_q132_coverage_invariant_to_range_partition_count(spark):
+    """The prefix sum's OTHER layout knob: the number of range
+    partitions (_COVERAGE_PARTS) decides where the vocabulary splits
+    and how many offset rows the driver lifts — the curve must be
+    bit-identical at 1 (degenerate: everything in one partition), a
+    hostile 3, and 64 (more partitions than some ranges have rows)."""
+    import setu_spark.operators.textstats as ts
+
+    qs = entrymod.queries()
+    prev = ts._COVERAGE_PARTS
+    try:
+        results = []
+        for parts in (1, 3, 64):
+            ts._COVERAGE_PARTS = parts
+            spark.catalog.clearCache()
+            results.append(
+                canonicalize(
+                    qs["q132_vocab_coverage"](spark, SF_ORACLE).toPandas()
+                )
+            )
+    finally:
+        ts._COVERAGE_PARTS = prev
+        spark.catalog.clearCache()
+    assert results[0].equals(results[1]), "parts=1 vs parts=3 differ"
+    assert results[0].equals(results[2]), "parts=1 vs parts=64 differ"
