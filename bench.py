@@ -172,6 +172,8 @@ def detail_line(payload: dict) -> dict:
         detail["load_flagged"] = payload["load_flagged"]
     if payload.get("sources"):
         detail["sources"] = payload["sources"]
+    if payload.get("machine_era"):
+        detail["machine_era"] = payload["machine_era"]
     if payload.get("errors"):
         detail["errors"] = payload["errors"]
     return detail
@@ -193,8 +195,65 @@ def final_line(payload: dict) -> dict:
         "n_queries": len(payload["queries"]),
         "sf": os.path.basename(str(payload["sf"]).rstrip("/"))[:32],
     }
+    # ambient-load context (round-9 VERDICT task 7): the driver's
+    # BENCH_r{N}.json keeps only this line, and cross-round wall-clock
+    # deltas are dominated by co-tenant load on this box — two bounded
+    # scalars make every driver artifact self-documenting. Clamped so a
+    # pathological loadavg can never outgrow the tail-capture window.
+    la = payload.get("loadavg")
+    if la and "start" in la and "end" in la:
+        compact["load"] = f"{la['start']:.1f}/{la['end']:.1f}"[:16]
     assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
     return compact
+
+
+def machine_era(ab_path: str, baseline_path: str) -> dict:
+    """Fold a cross-tree ``--ab-ref`` record + the PRIOR round's committed
+    composite into the era-normalization block the round-9 VERDICT asked
+    for (task 2): cross-round wall-clock drifts on this co-tenant box are
+    dominated by machine era, not code, and the committed composite alone
+    misleads naive cross-round diffs (64.28s r8 → 70.54s r9 on identical
+    code paths).  Two ratios make the artifact self-normalizing:
+
+      machine_era_ratio   — prior-round HEAD re-benched TODAY (the ab-ref
+                            arm) vs the SAME queries in the prior round's
+                            committed composite.  >1 = today's box is
+                            slower than the era the old number was
+                            recorded in; divide cross-round deltas by it.
+      code_ratio_vs_ref   — this tree vs prior HEAD, interleaved on the
+                            same box (like-for-like code delta; <1 =
+                            current code faster).
+    """
+    with open(ab_path) as fh:
+        ab = json.load(fh)
+    with open(baseline_path) as fh:
+        base = json.load(fh)
+    ref = ab["ab_ref"]
+    runs = ab["ab_runs"]
+    ref_arm = runs[ref]
+    head_arm = runs["head"]
+    common = [
+        q for q in ref_arm
+        if ref_arm[q] and head_arm.get(q) and q in base["queries"]
+    ]
+    if not common:
+        sys.exit(
+            f"--era-ab: no query appears in both {ab_path} arms and "
+            f"{baseline_path} queries"
+        )
+    ref_today = sum(min(ref_arm[q]) for q in common)
+    head_today = sum(min(head_arm[q]) for q in common)
+    base_then = sum(base["queries"][q] for q in common)
+    return {
+        "ref": ref,
+        "queries": sorted(common),
+        "ref_total_today": round(ref_today, 3),
+        "head_total_today": round(head_today, 3),
+        "baseline_total": round(base_then, 3),
+        "baseline_source": os.path.basename(baseline_path),
+        "machine_era_ratio": round(ref_today / base_then, 3),
+        "code_ratio_vs_ref": round(head_today / ref_today, 3),
+    }
 
 
 def composite(record_paths: list[str]) -> dict:
@@ -256,6 +315,26 @@ def main() -> None:
         if not paths:
             sys.exit("usage: bench.py --composite rec1.json rec2.json ...")
         payload = composite(paths)
+        # --era-ab AB.json --era-baseline PRIOR_COMPOSITE.json: attach the
+        # machine-era normalization block (round-9 VERDICT task 2); both
+        # flags or neither — a ratio without its baseline is meaningless
+        has_ab = "--era-ab" in sys.argv
+        has_base = "--era-baseline" in sys.argv
+        if has_ab != has_base:
+            sys.exit(
+                "--era-ab and --era-baseline must be given together"
+            )
+        if has_ab:
+            ai = sys.argv.index("--era-ab")
+            bi = sys.argv.index("--era-baseline")
+            if ai + 1 >= len(sys.argv) or bi + 1 >= len(sys.argv):
+                sys.exit(
+                    "usage: bench.py --composite recs... --era-ab AB.json "
+                    "--era-baseline PRIOR.json"
+                )
+            payload["machine_era"] = machine_era(
+                sys.argv[ai + 1], sys.argv[bi + 1]
+            )
         if out_path:
             with open(out_path, "w") as fh:
                 json.dump(payload, fh, indent=1)
@@ -286,16 +365,20 @@ def main() -> None:
         if idx + 1 < len(sys.argv) and not sys.argv[idx + 1].startswith(
             "--"
         ):
+            # a malformed threshold must not silently fall back to the
+            # default — the operator would believe a custom gate is active
             try:
                 loadavg_gate = float(sys.argv[idx + 1])
             except ValueError:
-                pass
+                sys.exit(
+                    f"--loadavg-gate: unparsable threshold "
+                    f"{sys.argv[idx + 1]!r} (expected a float, e.g. 8.0)"
+                )
     if "--ab-ref" in sys.argv:
         # A/B a query set against another git rev — two temp-worktree
         # SUBPROCESS arms, interleaved rep by rep. No Spark session in
         # this process; each arm pays its own session spin-up but the
         # measured number is the arm's own min-of-2 within-process.
-        import re
         import subprocess
         import tempfile
 
@@ -303,6 +386,13 @@ def main() -> None:
         if idx + 2 >= len(sys.argv):
             sys.exit("usage: bench.py --ab-ref REF qA[,qB...][,reps]")
         ref = sys.argv[idx + 1]
+        if ref.lower() == "head":
+            # the local tree's arm key is literally 'head'; a ref named
+            # HEAD would collide in the arms dict and silently drop one arm
+            sys.exit(
+                "--ab-ref: REF must not be 'head' (that IS the local arm); "
+                "pass a commit SHA, branch, or tag"
+            )
         parts = sys.argv[idx + 2].split(",")
         reps = 3
         if parts and parts[-1].isdigit():
@@ -311,13 +401,28 @@ def main() -> None:
         if not parts:
             sys.exit("usage: bench.py --ab-ref REF qA[,qB...][,reps]")
         repo = os.path.dirname(os.path.abspath(__file__))
-        wt = os.path.join(
-            tempfile.gettempdir(),
-            "setu_ab_" + re.sub(r"[^A-Za-z0-9_.-]", "_", ref),
-        )
-        if not os.path.isdir(wt):
+        # key the worktree path by the RESOLVED commit SHA, not the ref
+        # name: a branch that moved since the worktree was created, or two
+        # refs that sanitize identically (feat/x vs feat_x), would silently
+        # A/B the wrong tree under a name-keyed path
+        sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--verify", ref + "^{commit}"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        wt = os.path.join(tempfile.gettempdir(), "setu_ab_" + sha[:16])
+        if os.path.isdir(wt):
+            wt_head = subprocess.run(
+                ["git", "-C", wt, "rev-parse", "HEAD"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+            if wt_head != sha:
+                subprocess.run(
+                    ["git", "-C", wt, "checkout", "--detach", sha],
+                    check=True,
+                )
+        else:
             subprocess.run(
-                ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, sha],
                 check=True,
             )
         # an arm whose bench.py predates --only would IGNORE the flag

@@ -50,8 +50,24 @@ def test_final_line_is_bounded_for_any_registry_size():
 
 def test_final_line_has_no_per_query_collections():
     compact = bench.final_line(_payload(300))
-    assert set(compact) == {"metric", "value", "unit", "n_queries", "sf"}
+    assert set(compact) == {
+        "metric", "value", "unit", "n_queries", "sf", "load",
+    }
     assert all(not isinstance(v, (dict, list)) for v in compact.values())
+
+
+def test_final_line_load_context_is_bounded():
+    # round-9 VERDICT task 7: the final line self-documents ambient load
+    # as a "start/end" scalar string — bounded even for absurd loadavgs,
+    # and absent (not crashing) when the payload carries no loadavg block.
+    p = _payload(10)
+    assert bench.final_line(p)["load"] == "1.2/4.6"
+    p["loadavg"] = {"start": 99999.987, "end": 12345.5, "per_query": {}}
+    line = bench.final_line(p)
+    assert len(line["load"]) <= 16
+    assert len(json.dumps(line)) <= 200
+    del p["loadavg"]
+    assert "load" not in bench.final_line(p)
 
 
 def test_final_line_parses_after_2kb_tail_truncation():

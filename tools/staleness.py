@@ -28,23 +28,17 @@ import sys
 WINDOW = 50  # entries of queries() the driver checks per round
 
 #: the round whose window _FRONT currently pins (bump at each rotation)
-THIS_ROUND = 9
+THIS_ROUND = 10
 
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 9: three queries changed outside the round-9 window — q121
-#: (exact top-k leg rebuilt on TakeOrderedAndProject +
-#: predecessor-count rank), q132 (distributed prefix sum) and q152
-#: (NULL-embedding pre-split union) — all proven hash-identical this
-#: session at sf0.01+sf0.1, so their r8 rows remain valid. Round 10 has
-#: exactly ONE free slot (49 r07-green queries hit the ceiling there);
-#: fronting all three would push two ceiling-bound queries to
-#: staleness 4. q132 (the deepest rewrite) takes the slot; q121/q152
-#: rotate naturally in round 11 at staleness 3. q42/q48
-#: (trivial_tokenize parity) also changed but already sit IN the
-#: round-9 window.
-CHANGED: tuple[str, ...] = ("q132_vocab_coverage",)
+#: Round 10: q126's exact margin-mining twin is being restructured off
+#: its driver-side Y collect (round-9 VERDICT task #3); it already sits
+#: in the round-11 block, so no extra fronting is needed. Listed
+#: explicitly so the plan keeps it there even if the overdue set
+#: shifts.
+CHANGED: tuple[str, ...] = ("q126_margin_pair_mining",)
 
 
 def last_green(root: str = ".") -> dict[str, int]:
