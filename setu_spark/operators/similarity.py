@@ -73,7 +73,14 @@ def cosine_pairs_udf():
         )
         return pd.Series(num / den)
 
-    return _cos
+    # The kernel IS deterministic, but every caller filters on its
+    # output (cosine >= threshold) — Catalyst's filter pushdown then
+    # DUPLICATES the Arrow UDF across the pushed filter (one
+    # ArrowEvalPython below, one above: 2× the matmul, the q42/q48
+    # class). Found round 10 by the cache-aware duplicate-UDF gate in
+    # q55/q123/q151; values are unchanged, only the duplication is
+    # disabled.
+    return _cos.asNondeterministic()
 
 
 def norm(a: Column) -> Column:
@@ -988,6 +995,14 @@ MINE_K = 4
 #: the stand-in for the smaller corpus of a bitext-mining run (the side
 #: a production job can afford to broadcast; the big side streams).
 MINE_MOD, MINE_REM = 10, 1
+#: Hard ceiling on the exact twin's Y-side driver collect (round-9
+#: VERDICT task 3): unlike every other bounded collect in the tree
+#: (k / partitions / eval-set sized), q126's Y slice scales WITH the
+#: corpus, so past this bound the exact twin must fail loudly and point
+#: at q138's ANN form instead of silently OOMing the driver. 200k
+#: vectors ≈ 100 MB at d=64 float64 — comfortably broadcastable, far
+#: above every audit corpus this twin is for.
+MINE_Y_BOUND = 200_000
 
 #: One live cached stage per mining function (setu_spark.caching): the
 #: candidate stage (mapInPandas / cogroup BLAS) feeds three plan
@@ -1081,9 +1096,12 @@ def margin_pairs_exact(emb: DataFrame) -> DataFrame:
     This is the EXACT twin: it assumes the incoming side Y is small
     enough to collect and broadcast (true for a bitext-mining delta
     batch; NOT true as registered here, where Y is a fixed 10% slice
-    that grows with the corpus). The corpus-scale path is q138, which
-    generates candidates through the IVF cells and never collects Y;
-    q140 audits q138's recall against this query's exact pairs.
+    that grows with the corpus — so the collect is gated by a hard
+    ``MINE_Y_BOUND`` row-count guard that fails loudly past 200k
+    vectors instead of scaling a driver collect with the corpus). The
+    corpus-scale path is q138, which generates candidates through the
+    IVF cells and never collects Y; q140 audits q138's recall against
+    this query's exact pairs.
 
     Scale shape: Y is the bounded side — its matrix rides in the
     ``mapInPandas`` closure (broadcast-variable form, q63's codebook
@@ -1107,11 +1125,22 @@ def margin_pairs_exact(emb: DataFrame) -> DataFrame:
     :func:`margin_pairs_ann` (tests/test_kmeans.py)."""
     import numpy as np
 
-    y_rows = sorted(
-        emb.filter(F.col("vec_id") % MINE_MOD == MINE_REM)
-        .select("vec_id", "embedding")
-        .collect()
+    y_side = emb.filter(F.col("vec_id") % MINE_MOD == MINE_REM).select(
+        "vec_id", "embedding"
     )
+    # guard BEFORE the collect (count prunes to the vec_id column): the
+    # Y slice scales with the corpus, and a silent corpus-fraction
+    # collect is the one failure mode this exact twin must not have
+    n_y = y_side.count()
+    if n_y > MINE_Y_BOUND:
+        raise ValueError(
+            f"margin_pairs_exact: Y side has {n_y} vectors, past the "
+            f"driver-collect bound {MINE_Y_BOUND}. This exact twin is "
+            "for bounded delta batches and recall audits only — run "
+            "margin_pairs_ann (q138_margin_pair_mining_ann) for "
+            "corpus-scale mining; q140 audits its recall."
+        )
+    y_rows = sorted(y_side.collect())
     y_ids = np.array([r[0] for r in y_rows], dtype=np.int64)
     ym = np.array([r[1] for r in y_rows], dtype=np.float64)  # [m × d]
     ynorm = np.sqrt((ym * ym).sum(axis=1))

@@ -277,23 +277,66 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[int]:
     return out
 
 
+_UDF_CALL = re.compile(
+    r"(?:ArrowEvalPython|BatchEvalPython) \[(.*?)\], \["
+)
+
+_TREE_INDENT = re.compile(r"^[ :+\-]*")
+
+
+def _strip_inmemory_subtrees(plan: str) -> tuple[str, list[str]]:
+    """Split a simple-mode plan into (text with every InMemoryRelation
+    subtree removed, list of those subtree texts).  A cached stage's
+    subtree prints once PER CONSUMER but executes once, so duplicate
+    counting must see each distinct cached subtree exactly once."""
+    lines = plan.splitlines()
+    kept: list[str] = []
+    cached: list[str] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = len(_TREE_INDENT.match(line).group(0))
+            sub = [line]
+            i += 1
+            while (
+                i < len(lines)
+                and lines[i].strip()
+                and len(_TREE_INDENT.match(lines[i]).group(0)) > depth
+            ):
+                sub.append(lines[i])
+                i += 1
+            cached.append("\n".join(sub))
+        else:
+            kept.append(line)
+            i += 1
+    return "\n".join(kept), cached
+
+
 def duplicated_python_udf_calls(df: DataFrame) -> list[str]:
     """Exact-duplicate Python UDF calls (same function, same argument
-    expression ids) appearing in MULTIPLE ArrowEvalPython /
-    BatchEvalPython nodes of an UNCACHED plan — the round-9 q42/q48
-    find: filtering on a pandas-UDF output field makes Catalyst push
-    the filter below the projection and re-evaluate the whole kernel
-    (2× the Arrow cost, silently). Plans containing an
-    InMemoryTableScan are skipped: a cached stage's subtree prints once
-    per consumer but executes once (the LSH-family pattern), so
-    text-level duplication there is benign."""
-    plan = plan_string(df, "simple")
-    if "InMemoryTableScan" in plan or "InMemoryRelation" in plan:
-        return []
-    calls = re.findall(
-        r"(?:ArrowEvalPython|BatchEvalPython) \[(.*?)\], \[", plan
-    )
-    return sorted({c for c in calls if calls.count(c) > 1})
+    expression ids) evaluated in MULTIPLE ArrowEvalPython /
+    BatchEvalPython nodes — the round-9 q42/q48 find: filtering on a
+    pandas-UDF output field makes Catalyst push the filter below the
+    projection and re-evaluate the whole kernel (2× the Arrow cost,
+    silently).
+
+    Cached plans are NOT skipped wholesale (the round-9 gate's blind
+    spot — a genuinely duplicated kernel in a query that also uses
+    scoped_cache passed undetected): duplicates are counted WITHIN each
+    plan fragment separately — the outer plan, and each InMemoryRelation
+    subtree print. A cached stage's subtree prints once per consumer
+    but executes once, and the reprints are NOT text-identical (Spark
+    re-aliases attribute ids per consumer), so cross-fragment repeats
+    are benign by construction; a kernel evaluated twice inside ONE
+    fragment (two ArrowEvalPython nodes around a pushed filter — the
+    q42 shape) is a genuine 2× Arrow cost and flags, cache or not."""
+    outer, cached = _strip_inmemory_subtrees(plan_string(df, "simple"))
+    out: set[str] = set()
+    for fragment in [outer, *cached]:
+        calls = _UDF_CALL.findall(fragment)
+        out.update(c for c in calls if calls.count(c) > 1)
+    return sorted(out)
 
 
 def has_expand(df: DataFrame) -> bool:

@@ -297,6 +297,31 @@ def test_margin_pair_mining_planted_match(spark):
     assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
 
 
+def test_margin_exact_twin_refuses_unbounded_y_collect(spark):
+    """Round-9 VERDICT task 3: q126's exact twin collects the Y slice
+    to the driver — the one collect in the tree that scales WITH the
+    corpus. Past MINE_Y_BOUND it must fail loudly (pointing at q138's
+    ANN form) BEFORE collecting, not OOM the driver mid-collect."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import setu_spark.operators.similarity as sim
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    old = sim.MINE_Y_BOUND
+    sim.MINE_Y_BOUND = 3  # 50 ids → 5 on the Y side (% 10 == 1)
+    try:
+        with pytest.raises(ValueError, match="q138_margin_pair_mining_ann"):
+            sim.margin_pairs_exact(big)
+    finally:
+        sim.MINE_Y_BOUND = old
+
+
 def test_q142_quant_audit_planted(spark):
     """int8 quantization audit on a planted 2-vector, 2-dim table:
     dim 1 spans [0, 255] exactly (scale 1.0 → every value on the grid,

@@ -94,6 +94,49 @@ def test_no_registered_query_reruns_a_python_udf(spark):
     )
 
 
+def test_udf_dup_gate_sees_through_cached_plans(spark):
+    """Round-9 ADVICE blind spot: the gate returned [] for ANY plan
+    containing an InMemoryRelation, so a genuinely duplicated kernel in
+    a query that also uses scoped_cache passed undetected. Now cached
+    subtrees are stripped (each distinct one counted once — a cached
+    stage prints per consumer but executes once) and the outer plan is
+    scanned as before: the benign double-consumer shape stays clean,
+    the planted q42-class duplicate flags even with a cache in-plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    from setu_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    @pandas_udf("long")
+    def klen(s):
+        return s.str.len()
+
+    cached = docs.select("doc_id", "lang").cache()
+    try:
+        cached.count()
+        benign = (
+            docs.select("doc_id", klen("text").alias("n"))
+            .join(cached, "doc_id")
+            .unionByName(
+                docs.select("doc_id", F.lit(0).alias("n")).join(
+                    cached, "doc_id"
+                )
+            )
+        )
+        assert duplicated_python_udf_calls(benign) == []
+        # deterministic kernel + filter on its output = Catalyst pushes
+        # the filter below the projection and re-evaluates the kernel
+        planted = (
+            docs.select("doc_id", klen("text").alias("n"))
+            .filter(F.col("n") > 3)
+            .join(cached, "doc_id")
+        )
+        assert duplicated_python_udf_calls(planted)
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_unpartitioned_window_gate_catches_planted_offender(spark):
     """Negative control: the exact pre-fix q132 shape — a running-sum
     window ordered over the full exploded-token vocabulary with a

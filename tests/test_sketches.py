@@ -39,6 +39,17 @@ def test_q84_witness_booleans_and_rank_error(spark):
     # The raw sketch estimate is no longer a hashed output column (q28
     # witness pattern: the value is scale-bound, the bounded approx_ok
     # witness is not) — recompute it here to pin the rank bound.
+    #
+    # WHY approx_q cannot be hashed at scale (divergence ledger D5,
+    # COVERAGE.md — do not silently re-hash it in a refactor): Spark's
+    # QuantileSummaries COMPRESSES once a group exceeds ~10k rows
+    # regardless of the accuracy knob, so the returned data value stops
+    # being the deterministic quantile_disc element DuckDB computes —
+    # q84 was hash-green at sf0.01 and red at sf0.1 with bit-identical
+    # code. The GK contract guarantees only the rank bound asserted
+    # below; `approx_ok` (the bounded-error witness) is the invariant,
+    # the raw estimate is not, and only the witness rides the oracle
+    # hash.
     probes = "array(" + ", ".join(str(q) for q in QUANTILES) + ")"
     approx = {
         (r.o_orderpriority, i): v

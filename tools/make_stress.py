@@ -6,7 +6,19 @@ density rises with N by design — that's the point of the sweep: banded
 near-dup cost follows true-duplicate density; see PERF.md's 20× table).
 
 Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [N]
+       python tools/make_stress.py --vocab [dst_dir] [n_docs] [words_per_doc]
 Defaults: /root/testdata/sf0.1 /tmp/stress100k 20
+          --vocab: /tmp/vocabstress 50000 100
+
+--vocab builds the UNIQUE-WORD corpus (round-9 PERF.md fixture,
+committed per round-9 VERDICT task 4): every word in every document is
+globally unique (w<i>), so |vocabulary| = n_docs × words_per_doc. The
+stock corpora have a ~31-word vocabulary, which makes any
+vocabulary-shaped cost INVISIBLE at every replication factor — this is
+the fixture that exposed q121/q132's single-task global windows (5M
+distinct words at the defaults; 200000 docs → the 20M 'vocabstress20'
+variant). Only documents.parquet is written: the vocabulary queries
+read nothing else.
 
 The three big tables replicate with per-table id offsets. The
 relational facts replicate too, with orders and lineitem sharing ONE
@@ -92,7 +104,58 @@ def replicate(src: str, dst: str, n: int) -> None:
         print(f"{name}: copied verbatim ({len(t)} rows)")
 
 
+def make_vocab(dst: str, n_docs: int, words_per_doc: int) -> None:
+    """Unique-word documents table: doc i holds words
+    ``w{i*wpd} .. w{(i+1)*wpd - 1}`` — deterministic, no RNG, every
+    word distinct across the whole corpus.  Schema matches the
+    testdata documents table so every registered query runs on it
+    unchanged."""
+    os.makedirs(dst, exist_ok=True)
+    langs = ("en", "hi", "ta", "bn")
+    batches = []
+    BATCH = 10_000
+    for lo in range(0, n_docs, BATCH):
+        hi = min(lo + BATCH, n_docs)
+        texts, ids, lang_col, src_col, nch = [], [], [], [], []
+        for i in range(lo, hi):
+            base = i * words_per_doc
+            text = " ".join(
+                f"w{j}" for j in range(base, base + words_per_doc)
+            )
+            ids.append(i)
+            texts.append(text)
+            lang_col.append(langs[i % len(langs)])
+            src_col.append(f"src{i % 5}")
+            nch.append(len(text))
+        batches.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(lang_col, pa.string()),
+                    "source": pa.array(src_col, pa.string()),
+                    "n_chars": pa.array(nch, pa.int64()),
+                }
+            )
+        )
+    out = pa.concat_tables(batches)
+    pq.write_table(
+        out, os.path.join(dst, "documents.parquet"),
+        row_group_size=ROW_GROUP,
+    )
+    print(
+        f"documents: {len(out)} rows, "
+        f"{n_docs * words_per_doc} distinct words -> {dst}"
+    )
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--vocab":
+        dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vocabstress"
+        n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+        wpd = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+        make_vocab(dst, n_docs, wpd)
+        sys.exit(0)
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress100k"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 20

@@ -33,12 +33,19 @@ THIS_ROUND = 10
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 10: q126's exact margin-mining twin is being restructured off
-#: its driver-side Y collect (round-9 VERDICT task #3); it already sits
-#: in the round-11 block, so no extra fronting is needed. Listed
-#: explicitly so the plan keeps it there even if the overdue set
-#: shifts.
-CHANGED: tuple[str, ...] = ("q126_margin_pair_mining",)
+#: Round 10: four queries changed outside the round-10 window — q126
+#: gained the MINE_Y_BOUND guard before its Y collect (round-9 VERDICT
+#: task #3), and q55/q123/q151 lost a duplicated _cos ArrowEvalPython
+#: (asNondeterministic, the q42/q48 fix — found by the cache-aware
+#: duplicate-UDF gate). All proven hash-identical this session at
+#: sf0.01; they front round 11 for their post-change hash rows (all
+#: four already sit in the round-11 block naturally).
+CHANGED: tuple[str, ...] = (
+    "q126_margin_pair_mining",
+    "q55_embedding_neardup",
+    "q123_semantic_dedup",
+    "q151_joint_dedup_agreement",
+)
 
 
 def last_green(root: str = ".") -> dict[str, int]:
