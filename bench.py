@@ -265,9 +265,22 @@ def composite(record_paths: list[str]) -> dict:
     EVERY record ride the composite (a query added mid-round has no
     cross-record min)."""
     records = []
+    skipped = []
     for p in record_paths:
         with open(p) as fh:
-            records.append(json.load(fh))
+            rec = json.load(fh)
+        # a record hand-marked "flagged": true (e.g. uniform co-tenant
+        # inflation that stayed under the loadavg gate) never rides a
+        # composite, even if passed on the command line
+        if rec.get("flagged"):
+            skipped.append(os.path.basename(p))
+            continue
+        records.append(rec)
+    if not records:
+        sys.exit("--composite: every given record is flagged; nothing to merge")
+    if skipped:
+        print(f"composite: skipped flagged record(s): {', '.join(skipped)}",
+              file=sys.stderr)
     common = set(records[0]["queries"])
     for r in records[1:]:
         common &= set(r["queries"])
@@ -292,7 +305,8 @@ def composite(record_paths: list[str]) -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": records[0]["sf"],
-        "sources": [os.path.basename(p) for p in record_paths],
+        "sources": [os.path.basename(p) for p in record_paths
+                    if os.path.basename(p) not in skipped],
     }
 
 

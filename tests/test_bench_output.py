@@ -168,3 +168,54 @@ def test_composite_prefers_load_unflagged_samples(tmp_path):
     # q1: r1's 0.4 was flagged -> r2's clean 0.9 wins despite being
     # slower; q2: normal min; q3: flagged everywhere -> min kept
     assert comp["queries"] == {"q1": 0.9, "q2": 2.0, "q3": 5.0}
+
+
+def test_composite_skips_hand_flagged_records(tmp_path):
+    """A record carrying a top-level "flagged": true (hand-marked, e.g.
+    uniform co-tenant inflation that stayed under the loadavg gate like
+    bench_clean_r09_2.json) never rides a composite even when passed on
+    the command line; its basename is absent from "sources"."""
+    import json as _json
+
+    good = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0, "q2": 2.0},
+        "sf": "/root/testdata/sf0.1",
+    }
+    bad = {
+        "metric": "headline_query_total_wall",
+        "flagged": True,
+        "flag_reason": "uniform co-tenant inflation",
+        "value": 0.2,
+        "unit": "sec",
+        "queries": {"q1": 0.1, "q2": 0.1},
+        "sf": "/root/testdata/sf0.1",
+    }
+    p1, p2 = tmp_path / "good.json", tmp_path / "bad.json"
+    p1.write_text(_json.dumps(good))
+    p2.write_text(_json.dumps(bad))
+    comp = bench.composite([str(p1), str(p2)])
+    # the flagged record's (artificially fast) samples must NOT win
+    assert comp["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert bench.detail_line(comp)["sources"] == ["good.json"]
+
+
+def test_composite_all_records_flagged_is_an_error(tmp_path):
+    import json as _json
+
+    bad = {
+        "metric": "headline_query_total_wall",
+        "flagged": True,
+        "value": 0.2,
+        "unit": "sec",
+        "queries": {"q1": 0.1},
+        "sf": "/root/testdata/sf0.1",
+    }
+    p = tmp_path / "bad.json"
+    p.write_text(_json.dumps(bad))
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        bench.composite([str(p)])
