@@ -241,38 +241,118 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[int]:
             continue
         if not _window_is_unpartitioned(plan, nid):
             continue
-        corpus_fed = False
+        if _subtree_corpus_fed(nodes, i + 1, depth, plan):
+            out.append(nid)
+    return out
+
+
+def _agg_is_scalar(plan: str, nid: int) -> bool:
+    """True when aggregate node ``nid`` has an EMPTY grouping key list
+    (``Keys [0]: []`` in its detail section) — a global aggregate emits
+    exactly one row (one per partition for the partial), so it bounds
+    rows as hard as a limit and shields everything beneath it,
+    including a Generate/explode (the q114 vocab-size pattern:
+    ``explode → countDistinct`` is one row no matter how large the
+    vocabulary grows)."""
+    m = re.search(
+        rf"\({nid}\) (?:ObjectHashAggregate|HashAggregate|SortAggregate)"
+        rf"[^\n]*\n(?:[^\n]+\n)*?Keys(?: \[(\d+)\])?: \[", plan
+    )
+    # empty key lists print as "Keys: []" (no arity); keyed ones as
+    # "Keys [N]: [...]"
+    return bool(m) and m.group(1) in (None, "0")
+
+
+def _subtree_corpus_fed(
+    nodes: list[tuple[int, str, int]], start: int, depth: int,
+    plan: str = "",
+) -> bool:
+    """True when the subtree of nodes[start:] (every line strictly
+    deeper than ``depth``) reaches a raw scan or Generate/explode with
+    no shielding node on the path: limit-class nodes shield their whole
+    subtree (constant rows flow up); aggregates shield raw scans (a
+    bounded-domain group-by — the q113 shape) but NOT a Generate below
+    them (token/shingle vocabularies grow with the corpus — the
+    q121/q132 class)."""
+    corpus_fed = False
+    j = start
+    while j < len(nodes) and nodes[j][0] > depth:
+        d2, n2, nid2 = nodes[j]
+        if _LIMIT_BOUNDING.search(n2) or (
+            _AGG_BOUNDING.search(n2) and _agg_is_scalar(plan, nid2)
+        ):
+            j += 1
+            while j < len(nodes) and nodes[j][0] > d2:
+                j += 1
+            continue
+        if _AGG_BOUNDING.search(n2):
+            # walk the aggregate's subtree: scans are shielded,
+            # Generates (and nothing else) still poison — unless a
+            # nested limit shields them
+            k = j + 1
+            while k < len(nodes) and nodes[k][0] > d2:
+                d3, n3, _ = nodes[k]
+                if _LIMIT_BOUNDING.search(n3):
+                    k += 1
+                    while k < len(nodes) and nodes[k][0] > d3:
+                        k += 1
+                    continue
+                if n3.startswith("Generate"):
+                    corpus_fed = True
+                k += 1
+            j = k
+            continue
+        if n2.startswith("Generate"):
+            corpus_fed = True
+        elif n2.startswith("Scan") or "FileScan" in n2:
+            # a driver-local relation (createDataFrame band/dim table)
+            # is bounded by construction — only file-backed scans grow
+            # with the corpus
+            if "ExistingRDD" not in n2 and "OneRowRelation" not in n2:
+                corpus_fed = True
+        j += 1
+    return corpus_fed
+
+
+def unbounded_cartesian_joins(df: DataFrame) -> list[int]:
+    """Node ids of every ``CartesianProduct`` / ``BroadcastNestedLoopJoin``
+    whose inputs BOTH scale with the corpus — the quadratic-blowup shape
+    that no cluster size survives (|corpus|² candidate rows).
+
+    One corpus-fed side is fine and common: a range join against a
+    broadcast band table, or a ``crossJoin(broadcast(scalar-aggregate))``
+    attaching a corpus total, is linear in the corpus. Sides are judged
+    with the same shielding walk as the window gate: limits shield their
+    subtree; aggregates shield raw scans but not a Generate below them.
+
+    Until round 10 this class was audited by hand (round-9 VERDICT's
+    plan audit: "no cartesian products" on the top-five); this makes it
+    mechanical and registry-wide like the width / window / dup-UDF
+    gates."""
+    plan = plan_string(df, "formatted")
+    nodes = _parse_tree(plan)
+    out: list[int] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if not re.match(
+            r"CartesianProduct\b|BroadcastNestedLoopJoin\b", name
+        ):
+            continue
+        # direct children = subtree nodes exactly one level deeper;
+        # each child's walk is confined to ITS OWN subtree slice so a
+        # corpus-fed sibling can't leak into a bounded side's verdict
+        fed_sides = 0
         j = i + 1
         while j < len(nodes) and nodes[j][0] > depth:
-            d2, n2, _ = nodes[j]
-            if _LIMIT_BOUNDING.search(n2):
-                j += 1
-                while j < len(nodes) and nodes[j][0] > d2:
-                    j += 1
+            if nodes[j][0] == depth + 1:
+                end = j + 1
+                while end < len(nodes) and nodes[end][0] > depth + 1:
+                    end += 1
+                if _subtree_corpus_fed(nodes[j:end], 0, depth, plan):
+                    fed_sides += 1
+                j = end
                 continue
-            if _AGG_BOUNDING.search(n2):
-                # walk the aggregate's subtree: scans are shielded,
-                # Generates (and nothing else) still poison — unless a
-                # nested limit shields them
-                k = j + 1
-                while k < len(nodes) and nodes[k][0] > d2:
-                    d3, n3, _ = nodes[k]
-                    if _LIMIT_BOUNDING.search(n3):
-                        k += 1
-                        while k < len(nodes) and nodes[k][0] > d3:
-                            k += 1
-                        continue
-                    if n3.startswith("Generate"):
-                        corpus_fed = True
-                    k += 1
-                j = k
-                continue
-            if n2.startswith("Generate"):
-                corpus_fed = True
-            elif n2.startswith("Scan") or "FileScan" in n2:
-                corpus_fed = True
             j += 1
-        if corpus_fed:
+        if fed_sides >= 2:
             out.append(nid)
     return out
 
