@@ -36,9 +36,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from setu_spark.plans.inspect import (
         corpus_exchange_widths,
+        duplicated_python_udf_calls,
         exchange_widths,
         has_expand,
         shuffle_count,
+        unbounded_cartesian_joins,
+        unpartitioned_corpus_windows,
     )
     from setu_spark.session import get_spark
 
@@ -62,6 +65,16 @@ def main() -> int:
             w = max(cw) if cw else 0
             n = shuffle_count(df)
             ex = has_expand(df)
+            # the other three registry gates, surfaced in the same
+            # one-command audit (each is also a CI test in
+            # tests/test_plan_widths.py)
+            gates = []
+            if unpartitioned_corpus_windows(df):
+                gates.append("UNPART-WINDOW")
+            if duplicated_python_udf_calls(df):
+                gates.append("DUP-UDF")
+            if unbounded_cartesian_joins(df):
+                gates.append("CARTESIAN")
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {type(exc).__name__}: {exc}", flush=True)
             flagged.append(name)
@@ -69,7 +82,9 @@ def main() -> int:
         finally:
             spark.catalog.clearCache()
         mark = " <-- WIDE CORPUS EXCHANGE" if w > wide else ""
-        if w > wide:
+        if gates:
+            mark += " <-- " + ",".join(gates)
+        if w > wide or gates:
             flagged.append(name)
         rows.append((w, n, ex, name, mark, widths))
     for w, n, ex, name, mark, widths in sorted(rows, reverse=True):
@@ -77,7 +92,7 @@ def main() -> int:
             f"corpus_width={w:3d} all={widths} shuffles={n:2d} "
             f"expand={'Y' if ex else 'n'}  {name}{mark}"
         )
-    print(f"\nAUDIT {len(rows)} queries, {len(flagged)} flagged (width > {wide})")
+    print(f"\nAUDIT {len(rows)} queries, {len(flagged)} flagged (width > {wide} or gate hit)")
     spark.stop()
     return 1 if flagged else 0
 
