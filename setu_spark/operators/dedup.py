@@ -1929,6 +1929,7 @@ from setu_spark.operators.similarity import (  # noqa: E402
     ND_THRESHOLD as _ND_THRESHOLD,
     _COS_SQL,
     _band_buckets_udf,
+    _eid_col,
     _sgn_sql,
     cosine_pairs_udf,
     q55_embedding_neardup,
@@ -2275,16 +2276,8 @@ def q152_ann_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # q151 production form: collapse-first joint agreement ------------------
-def _eid_col(emb: Column) -> Column:
-    """Deterministic embedding-class key: md5 over the comma-joined
-    float renderings (CAST(float AS STRING) is deterministic in Spark;
-    identical arrays ⇒ identical key, distinct arrays ⇒ distinct key up
-    to md5 collision — the same trust q50 places in content md5).
-    NULL embedding ⇒ NULL key."""
-    return F.when(
-        emb.isNotNull(),
-        F.md5(F.concat_ws(",", F.transform(emb, lambda x: x.cast("string")))),
-    )
+# (_eid_col, the embedding-class key, moved to similarity.py in round 10
+# so q123's collapsed pairwise stage can share it — imported above.)
 
 
 #: Joint-class duplicate fraction above which q151 switches from the

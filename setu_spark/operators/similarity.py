@@ -922,6 +922,31 @@ def _semdedup_oracle() -> str:
     """
 
 
+def _eid_col(emb: Column) -> Column:
+    """Deterministic embedding-class key: md5 over the comma-joined
+    float renderings (CAST(float AS STRING) is deterministic in Spark;
+    identical arrays ⇒ identical key, distinct arrays ⇒ distinct key up
+    to md5 collision — the same trust q50 places in content md5).
+    NULL embedding ⇒ NULL key.  Shared by q151's joint-class collapse
+    (dedup.py) and q123's collapsed pairwise stage below."""
+    return F.when(
+        emb.isNotNull(),
+        F.md5(F.concat_ws(",", F.transform(emb, lambda x: x.cast("string")))),
+    )
+
+
+#: Embedding-class duplicate fraction above which q123 switches its
+#: pairwise stage from the raw within-cluster self-join to the
+#: collapsed (distinct-vector) form — the q151/CC hybrid pattern.
+#: Below it, distinct classes ≈ vectors and the collapse groupBy is
+#: pure overhead; above it, within-cluster pair volume grows with the
+#: square of copy counts (every copy of a vector lands in the SAME
+#: cluster, so a 20-copy corpus pays 400× the pairs: 67s vs ~4s at the
+#: 20× stress corpus). Both branches are row-identical (dual-path test
+#: in tests/test_kmeans.py) — the bound is pure plan selection.
+SEM_COLLAPSE_DUP_FRAC = 0.05
+
+
 def semantic_dedup(
     emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     tau: float = SEM_TAU,
@@ -929,7 +954,46 @@ def semantic_dedup(
     """Cluster-bounded semantic dedup over a (vec_id, label, embedding)
     DataFrame — see :func:`q123_semantic_dedup` for semantics and the
     scale argument. Exposed separately so planted-fixture tests can
-    drive it on synthetic cluster shapes (tests/test_kmeans.py)."""
+    drive it on synthetic cluster shapes (tests/test_kmeans.py).
+
+    Hybrid dispatcher: one cheap aggregate measures the embedding-class
+    duplicate fraction, then the pairwise stage runs raw
+    (duplicate-sparse) or collapsed to distinct vectors
+    (duplicate-dense) — see :data:`SEM_COLLAPSE_DUP_FRAC`. Clustering
+    itself always runs on the FULL table so the Lloyd trajectory (and
+    therefore every cluster label) is bit-identical between branches."""
+    n, classes, n_zero = emb.select(
+        F.count("*"),
+        # approx is plenty for a plan-choice threshold (both branches
+        # are row-identical); sentinel-coalesced so NULL embeddings
+        # still count as a class
+        F.approx_count_distinct(
+            F.coalesce(_eid_col(F.col("embedding")), F.lit("~e~"))
+        ),
+        # zero-norm embeddings make the cosine kernel emit NaN, and
+        # Spark's NaN-greatest comparison semantics leak that NaN into
+        # max_sim in ways the collapsed branch's copy shortcut cannot
+        # replay — such corpora (never seen in practice; embeddings are
+        # unit-ish by construction) take the raw branch
+        F.sum(
+            F.when(
+                F.col("embedding").isNotNull()
+                & ~F.exists("embedding", lambda x: x != 0),
+                1,
+            ).otherwise(0)
+        ),
+    ).first()
+    dup_frac = 1.0 - (classes / n) if n else 0.0
+    if dup_frac < SEM_COLLAPSE_DUP_FRAC or (n_zero or 0) > 0:
+        return _semantic_dedup_raw(emb, k, iters, tau)
+    return _semantic_dedup_collapsed(emb, k, iters, tau)
+
+
+def _semantic_dedup_raw(
+    emb: DataFrame, k: int, iters: int, tau: float
+) -> DataFrame:
+    """The literal (oracle-shaped) pairwise stage: within-cluster
+    self-join over every vector."""
     labeled = kmeans_clusters(emb, k, iters).select("vec_id", "cluster")
     vecs = emb.select("vec_id", "embedding").join(labeled, "vec_id")
     a, b = vecs.alias("a"), vecs.alias("b")
@@ -953,6 +1017,75 @@ def semantic_dedup(
         F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim_to_keeper"),
         F.col("max_sim").isNotNull().alias("sem_removed"),
     )
+
+
+def _semantic_dedup_collapsed(
+    emb: DataFrame, k: int, iters: int, tau: float
+) -> DataFrame:
+    """Collapse-first pairwise stage — row-identical to the raw form.
+
+    Every output column is determined by the vector VALUE and the set
+    of lower ids carrying each value: identical embeddings always land
+    in the same cluster (the assignment kernel is deterministic), so
+    for a non-rep copy c of vector v the rep (min id of v's class, a
+    lower id in c's cluster) has cosine exactly 1.0 after the shared
+    round-to-6 — c is removed with ``max_sim_to_keeper`` 1.0 no matter
+    what else its cluster holds (τ ≤ 1). For a rep r, "some lower id
+    in the cluster" ⇔ "some OTHER class whose min id < r" (any copy of
+    class u below r implies min_id(u) < r, and cos(r, copy-of-u) =
+    cos(r, u)), so the raw rule evaluates exactly on the rep
+    self-join. Candidate volume collapses from Σ|cluster|² to
+    Σ|distinct-per-cluster|² — 67s → ~4s at the 20× stress corpus,
+    where the raw form pays 400× the pairs."""
+    labeled = kmeans_clusters(emb, k, iters).select("vec_id", "cluster")
+    vecs = emb.select(
+        "vec_id", "embedding", _eid_col(F.col("embedding")).alias("eid")
+    ).join(labeled, "vec_id")
+    grp = vecs.groupBy("cluster", "eid").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    reps = grp.select(
+        "cluster", F.col("rep_id").alias("vec_id"), "embedding"
+    )
+    a, b = reps.alias("a"), reps.alias("b")
+    sim = F.round(
+        cosine_pairs_udf()(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), sim.alias("cs"))
+        .filter(F.col("cs") >= tau)
+        .groupBy("vec_id")
+        .agg(F.max("cs").alias("max_sim"))
+    )
+    rep_rows = (
+        reps.select("vec_id", "cluster")
+        .join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim_to_keeper"),
+            F.col("max_sim").isNotNull().alias("sem_removed"),
+        )
+    )
+    copy_rows = (
+        vecs.join(
+            grp.select("cluster", "eid", "rep_id"), ["cluster", "eid"]
+        )
+        .filter(F.col("vec_id") != F.col("rep_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.lit(1.0).alias("max_sim_to_keeper"),
+            F.lit(True).alias("sem_removed"),
+        )
+    )
+    return rep_rows.unionByName(copy_rows)
 
 
 @register("q123_semantic_dedup", oracle=_semdedup_oracle())
@@ -982,9 +1115,14 @@ def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prescription; the paper runs k=11k on LAION-440M, ~40k vectors per
     cluster) instead of the corpus-quadratic all-pairs. Skewed (huge)
     clusters are the known failure mode; AQE skew-join handles moderate
-    skew and the k choice handles the rest. Output is one row per
-    vector with the admission decision — the shape the packing/mixture
-    stages consume."""
+    skew and the k choice handles the rest. Exact-duplicate density is
+    the OTHER failure mode (every copy of a vector lands in the same
+    cluster, so copies square the pair volume): above
+    {SEM_COLLAPSE_DUP_FRAC} class-duplicate fraction the pairwise stage
+    collapses to distinct vectors and fans the per-copy verdict back
+    out (67s → 4.4s at the 20× stress corpus; row-identical dual-path
+    test). Output is one row per vector with the admission decision —
+    the shape the packing/mixture stages consume."""
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 

@@ -363,3 +363,82 @@ def test_q143_cell_balance_accounts_every_vector(spark):
         assert abs(r.load_factor - r.share * n_cells) < 1e-4
         # trained codebook: cell ids are 0-based cluster indices
         assert 0 <= r.cell < n_cells
+
+
+def _dup_dense_fixture(spark, with_zero=False):
+    """40 distinct vectors x 8 copies + 10 singletons (dup_frac ~0.85);
+    optionally one zero-norm vector with 8 copies."""
+    import random
+
+    rng = random.Random(7)
+    rows, vid = [], 0
+    for g in range(40):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        for _ in range(8):
+            rows.append((vid, g % 3, v))
+            vid += 1
+    for g in range(10):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((vid, g % 3, v))
+        vid += 1
+    if with_zero:
+        for _ in range(8):
+            rows.append((vid, 0, [0.0] * 8))
+            vid += 1
+    rng.shuffle(rows)
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+
+
+def test_semdedup_collapsed_row_identical_to_raw(spark):
+    """q123's round-10 hybrid: the collapsed (distinct-vector) pairwise
+    stage must be ROW-IDENTICAL to the raw within-cluster self-join on
+    a duplicate-dense corpus — the dual-path discipline every hybrid
+    dispatcher in the tree follows (q151, CC local/distributed)."""
+    from setu_spark.operators.similarity import (
+        _semantic_dedup_collapsed,
+        _semantic_dedup_raw,
+        semantic_dedup,
+    )
+
+    df = _dup_dense_fixture(spark)
+    key = lambda r: (r.vec_id, r.cluster, r.max_sim_to_keeper, r.sem_removed)  # noqa: E731
+    raw = sorted(map(key, _semantic_dedup_raw(df, 4, 2, 0.35).collect()))
+    col = sorted(
+        map(key, _semantic_dedup_collapsed(df, 4, 2, 0.35).collect())
+    )
+    assert raw == col
+    # the dispatcher picks the collapsed branch here (dup_frac ~0.85)
+    # and must therefore also be row-identical
+    disp = sorted(map(key, semantic_dedup(df, 4, 2, 0.35).collect()))
+    assert disp == raw
+
+
+def test_semdedup_zero_norm_corpus_takes_raw_branch(spark):
+    """Zero-norm embeddings make the cosine kernel emit NaN, and Spark's
+    NaN-greatest semantics leak it into max_sim in ways the collapsed
+    copy shortcut cannot replay — the dispatcher must route such
+    corpora to the raw branch (output equality with raw proves it: the
+    collapsed shortcut would stamp 1.0 where raw propagates NaN)."""
+    import math
+
+    from setu_spark.operators.similarity import (
+        _semantic_dedup_raw,
+        semantic_dedup,
+    )
+
+    df = _dup_dense_fixture(spark, with_zero=True)
+
+    def key(r):
+        ms = (
+            "nan"
+            if r.max_sim_to_keeper is not None
+            and math.isnan(r.max_sim_to_keeper)
+            else r.max_sim_to_keeper
+        )
+        return (r.vec_id, r.cluster, ms, r.sem_removed)
+
+    raw = sorted(map(key, _semantic_dedup_raw(df, 4, 2, 0.35).collect()))
+    disp = sorted(map(key, semantic_dedup(df, 4, 2, 0.35).collect()))
+    assert disp == raw

@@ -46,6 +46,28 @@ def test_q151_collapsed_branch_is_narrow(spark):
     assert not widths or max(widths) <= MAX_CORPUS_EXCHANGE_WIDTH, widths
 
 
+def test_q123_collapsed_branch_passes_all_gates(spark):
+    """q123's round-10 hybrid dispatches on embedding-class duplicate
+    density; every testdata SF is duplicate-free so the main gates only
+    ever see the raw branch. Gate the collapsed branch explicitly (the
+    q151 pattern) — it is the one that runs where width matters."""
+    from setu_spark.operators.similarity import _semantic_dedup_collapsed
+    from setu_spark.sources.io import load_table
+    from setu_spark.plans.inspect import unbounded_cartesian_joins
+
+    df = _semantic_dedup_collapsed(
+        load_table(spark, SF_DIR, "embeddings"), 8, 3, 0.35
+    )
+    try:
+        widths = corpus_exchange_widths(df)
+        assert not widths or max(widths) <= MAX_CORPUS_EXCHANGE_WIDTH, widths
+        assert not unpartitioned_corpus_windows(df)
+        assert not duplicated_python_udf_calls(df)
+        assert not unbounded_cartesian_joins(df)
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_every_corpus_volume_exchange_is_narrow(spark):
     offenders = {}
     for name, fn in sorted(entrymod.queries().items()):
