@@ -37,9 +37,13 @@ THIS_ROUND = 10
 #: gained the MINE_Y_BOUND guard before its Y collect (round-9 VERDICT
 #: task #3), and q55/q123/q151 lost a duplicated _cos ArrowEvalPython
 #: (asNondeterministic, the q42/q48 fix — found by the cache-aware
-#: duplicate-UDF gate). All proven hash-identical this session at
-#: sf0.01; they front round 11 for their post-change hash rows (all
-#: four already sit in the round-11 block naturally).
+#: duplicate-UDF gate). q123 changed AGAIN mid-round-10: its pairwise
+#: stage is now a duplicate-density hybrid (collapse-first above 5%
+#: class-dup fraction; raw and therefore hash-identical on every sf
+#: corpus — oracle re-verified at sf0.01 and sf0.1 post-change). All
+#: proven hash-identical this session; they front round 11 for their
+#: post-change hash rows (all four already sit in the round-11 block
+#: naturally).
 CHANGED: tuple[str, ...] = (
     "q126_margin_pair_mining",
     "q55_embedding_neardup",
