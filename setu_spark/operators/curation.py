@@ -344,7 +344,13 @@ def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample_key"
             ),
         )
-        .orderBy("sample_key", "doc_id")
+        # NULLS LAST: a NULL-text doc has no weight and must not occupy
+        # a sample slot ahead of real keys — Spark's ASC default is
+        # nulls-FIRST, DuckDB's is nulls-last; pin the SQL discipline
+        .orderBy(
+            F.col("sample_key").asc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
+        )
         .limit(SAMPLE_N)
     )
 
@@ -914,9 +920,12 @@ def q113_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("n_tokens"),
     )
     t = b.agg(F.sum("n_tokens").cast("long").alias("total"))
-    w = Window.orderBy("bucket_start").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # NULLS LAST (DuckDB's window-order default; Spark's is first): the
+    # NULL-length bucket (NULL-text docs) closes the CDF at 1.0 instead
+    # of opening it with a NULL running sum
+    w = Window.orderBy(
+        F.col("bucket_start").asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return b.crossJoin(F.broadcast(t)).select(
         "bucket_start",
         "n_docs",

@@ -636,7 +636,12 @@ def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-identical in tests. The explode composition this replaced
     shuffled tokens × {SIMHASH_BITS} bit-rows through two groupBys — 32×
     token-count shuffle volume for a per-row computation."""
-    docs = load_table(spark, sf_dir, "documents")
+    # a NULL text has no tokens and therefore NO fingerprint — the row
+    # is dropped, matching the oracle (its token explode yields no rows
+    # for NULL and the doc never reaches the fingerprint aggregate)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id", simhash_column("text", distinct=True).alias("simhash")
     )
@@ -1257,7 +1262,12 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count on the candidate set only. Uses the frequency-weighted
     fingerprint (see `_simhash_sql`) — the set variant's fingerprints
     cluster too tightly on shared-vocabulary corpora to band usefully."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL texts carry no fingerprint (q54's rule) — and must not band:
+    # fillna("")'s shared zero fingerprint would pair every NULL doc
+    # with every other (C(n,2) phantom "near-dups" on a crawl slice)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     # cache the (doc_id, simhash) projection: the band self-join reads it
     # twice, and without the cache the pandas fingerprint UDF re-hashes the
     # full corpus once per side — fine at sf0.1, dominant at larger corpora

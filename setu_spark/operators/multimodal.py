@@ -208,6 +208,16 @@ def decode_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             n_bytes, means, stds = [], [], []
             for p in pdf["payload"]:
+                # NULL payload (e.g. a NULL-text source document) has
+                # NO decode stats — NULL out, not zero (an empty buffer
+                # is a real observation; a missing one is not). Matches
+                # the SQL replay, where len(NULL)/aggregates of NULL
+                # stay NULL.
+                if p is None:
+                    n_bytes.append(None)
+                    means.append(None)
+                    stds.append(None)
+                    continue
                 d = _fake_decode(p)
                 n = len(d)
                 n_bytes.append(n)
@@ -224,9 +234,9 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": n_bytes,
-                    "byte_mean": np.array(means, dtype=np.float64),
-                    "byte_std": np.array(stds, dtype=np.float64),
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "byte_mean": pd.array(means, dtype="Float64"),
+                    "byte_std": pd.array(stds, dtype="Float64"),
                 }
             )
 

@@ -191,8 +191,14 @@ def q109_quality_percentile_gate(
             6,
         ).alias("stopword_frac"),
     )
+    # NULLS LAST to match DuckDB's ASC default (Spark's is nulls-first):
+    # a NULL-text doc has a NULL score and must rank ABOVE every real
+    # score, not poison the low percentiles
     pr = F.percent_rank().over(
-        Window.partitionBy("lang").orderBy("stopword_frac", "doc_id")
+        Window.partitionBy("lang").orderBy(
+            F.col("stopword_frac").asc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
+        )
     )
     return (
         sig.withColumn("pr", pr)
@@ -433,6 +439,11 @@ def q103_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's USING join exposes a coalesced key, matched by joining on
     the column name in Spark."""
     docs = load_table(spark, sf_dir, "documents")
+    # presence is a FLAG column, not hash-IS-NULL: md5(NULL text) is
+    # NULL for a row that EXISTS in the snapshot, and reading that as
+    # 'added'/'removed' misclassifies every NULL-text doc (the oracle
+    # keys presence on the joined doc_id). NULL-vs-NULL hashes then
+    # fall through the <> to 'unchanged' in both engines.
     prev = docs.filter(F.col("doc_id") % PREV_ABSENT != 0).select(
         "doc_id",
         F.md5(
@@ -442,16 +453,18 @@ def q103_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text"))
         ).alias("pk"),
         F.col("n_chars").alias("p_chars"),
+        F.lit(True).alias("in_prev"),
     )
     cur = docs.filter(F.col("doc_id") % CUR_ABSENT != 0).select(
         "doc_id",
         F.md5("text").alias("ck"),
         F.col("n_chars").alias("c_chars"),
+        F.lit(True).alias("in_cur"),
     )
     joined = prev.join(cur, "doc_id", "full_outer")
     status = (
-        F.when(F.col("pk").isNull(), "added")
-        .when(F.col("ck").isNull(), "removed")
+        F.when(F.col("in_prev").isNull(), "added")
+        .when(F.col("in_cur").isNull(), "removed")
         .when(F.col("pk") != F.col("ck"), "changed")
         .otherwise("unchanged")
         .alias("status")

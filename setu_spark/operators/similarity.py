@@ -51,6 +51,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with NULL-embedding rows excluded — the
+    similarity family's loader. A NULL embedding is NO vector: it takes
+    part in no clustering, banding, search, or mining (the same rule as
+    NULL-signature docs in the MinHash band guard, and q152's existing
+    NULL→novel pre-split). DuckDB oracles agree for free where they
+    unnest the embedding (unnest(NULL) yields no rows) and explicitly
+    where they count or rank raw rows (the kmeans init CTE filters, the
+    IVF codebook sizing counts the embedding column — count(col) skips
+    NULLs). Queries that tolerate NULLs natively (q60/q61/q62 HOF
+    cosines → NULL sim sorts last in both engines; q142's explode drops
+    them; q152's admission policy names them) keep load_table."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def cosine_pairs_udf():
     """Vectorized cosine over (vector, vector) row pairs: one numpy pass
     per Arrow batch instead of an interpreted 64-element HOF fold per row.
@@ -65,6 +82,22 @@ def cosine_pairs_udf():
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:  # np.stack rejects empty batches
             return pd.Series([], dtype="float64")
+        # NULL-safe: a pair with a missing vector has no cosine (the
+        # q151 contract: docs without vectors count as NULL cosine;
+        # matches DuckDB, where unnest(NULL) yields no rows and the
+        # pair drops out of the cosine aggregate)
+        ok = a.notna().values & b.notna().values
+        if not ok.all():
+            out = np.full(len(a), np.nan)
+            if ok.any():
+                ma = np.stack(a.values[ok]).astype(np.float64)
+                mb = np.stack(b.values[ok]).astype(np.float64)
+                num = (ma * mb).sum(axis=1)
+                den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt(
+                    (mb * mb).sum(axis=1)
+                )
+                out[ok] = num / den
+            return pd.Series(out).where(pd.Series(ok), None)
         ma = np.stack(a.values).astype(np.float64)
         mb = np.stack(b.values).astype(np.float64)
         num = (ma * mb).sum(axis=1)
@@ -220,7 +253,7 @@ def q62_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded every vector into 64 rows and shuffled twice; the oracle keeps
     that relational spelling and the two forms are value-identical (q55's
     band join already relies on the same kernel)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     buckets = _band_buckets_udf(
         n_planes=N_PLANES, rows_per_band=N_PLANES
     )
@@ -299,6 +332,23 @@ def _band_buckets_udf(
     def _buckets(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:  # np.stack rejects empty batches
             return pd.Series([], dtype="object")
+        # NULL-safe: a missing vector gets NO bands (empty array; the
+        # following posexplode drops the row) — matching DuckDB, where
+        # unnest(NULL embedding) yields no projection rows and the
+        # vector never reaches a bucket
+        ok = embs.notna().values
+        if not ok.all():
+            out = np.empty(len(embs), dtype=object)
+            for i in np.nonzero(~ok)[0]:
+                out[i] = []
+            if ok.any():
+                mat = np.stack(embs.values[ok]).astype(np.float64)
+                bits = (mat @ sgn_t) > 0
+                grouped = bits.reshape(len(mat), -1, rows_per_band)
+                bks = (grouped * weights).sum(axis=2).astype(np.int64)
+                for j, i in enumerate(np.nonzero(ok)[0]):
+                    out[i] = bks[j]
+            return pd.Series(out)
         mat = np.stack(embs.values).astype(np.float64)  # [n × dim]
         bits = (mat @ sgn_t) > 0                        # [n × planes]
         grouped = bits.reshape(len(mat), -1, rows_per_band)  # [n × bands × r]
@@ -394,7 +444,7 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is deterministic so the post-verify distinct collapses band
     duplicates exactly. The banded projection is cached: both join sides
     read it, and the bucket UDF would otherwise run twice."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     bands = _scoped_cache(
         "q55_embedding_neardup",
         emb.select(
@@ -666,7 +716,7 @@ def _kmeans_cte(k: "int | str" = KM_K, iters: int = KM_ITERS) -> str:
         """e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )""",
         """ev AS (
       SELECT vec_id, i, v[i] AS x
@@ -803,7 +853,7 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet partition key so a probe is a partition-pruned scan."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     # Codebook: q85's Lloyd trajectory (oracle-shared CTE); cells are
     # the 0-based cluster indices. The query vector is one extra row.
     cmat = train_codebook(emb, N_CENTROIDS)  # [k × d]
@@ -876,7 +926,7 @@ def q85_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (topic bucketing, diversity sampling, IVF codebook training: q63
     consumes exactly this output as its codebook at scale). See
     :func:`kmeans_clusters` for the scale design."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     return kmeans_clusters(emb, KM_K, KM_ITERS)
 
 
@@ -1123,7 +1173,7 @@ def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out (67s → 4.4s at the 20× stress corpus; row-identical dual-path
     test). Output is one row per vector with the admission decision —
     the shape the packing/mixture stages consume."""
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(load_vectors(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- q126
@@ -1400,7 +1450,7 @@ def q126_margin_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact margin pair mining over the embeddings table — see
     :func:`margin_pairs_exact` for semantics, exactness discipline and
     the scale stance (the exact twin of q138's ANN form)."""
-    return margin_pairs_exact(load_table(spark, sf_dir, "embeddings"))
+    return margin_pairs_exact(load_vectors(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- q131
@@ -1494,7 +1544,8 @@ MINE_PROBE = 2
 #: product — measured: the first q138 cut used the 8-cell q63 codebook
 #: and was still grinding at 20x where this form finishes in seconds.
 _MINE_CELLS_SQL = (
-    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+    # count(embedding) skips NULL-embedding rows — load_vectors parity
+    "(SELECT CAST(ceil(sqrt(count(embedding))) AS BIGINT) FROM embeddings)"
 )
 
 _Q138_ORACLE = f"""
@@ -1775,7 +1826,7 @@ def q138_margin_pair_mining_ann(
     :func:`margin_pairs_ann` for the IVF candidate routing, exactness
     discipline and the linear-shuffle scale argument (the corpus-scale
     twin of q126)."""
-    return margin_pairs_ann(load_table(spark, sf_dir, "embeddings"))
+    return margin_pairs_ann(load_vectors(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- q140
@@ -1791,7 +1842,7 @@ _Q140_ORACLE = f"""
       FROM exact JOIN ann USING (x_id, y_id)
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
-    cfg AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells
+    cfg AS (SELECT CAST(ceil(sqrt(count(embedding))) AS BIGINT) AS n_cells
             FROM embeddings)
     SELECT n_exact, n_found,
            round(n_found / CAST(n_exact AS DOUBLE), 6) AS recall,
@@ -1832,7 +1883,7 @@ def q140_margin_ann_recall_audit(
     same stance as q131."""
     import math
 
-    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    emb_n = load_vectors(spark, sf_dir).count()
     n_cells = int(math.ceil(math.sqrt(float(emb_n))))
     bound = (0.5 * MINE_PROBE * MINE_PROBE) / n_cells
     exact = q126_margin_pair_mining(spark, sf_dir).select("x_id", "y_id")
@@ -1955,8 +2006,8 @@ _Q143_ORACLE = f"""
     occ AS (SELECT CAST(cluster AS BIGINT) AS cell,
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM assign GROUP BY cluster),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells
+    tot AS (SELECT CAST(count(embedding) AS BIGINT) AS n,
+                   CAST(ceil(sqrt(count(embedding))) AS BIGINT) AS n_cells
             FROM embeddings)
     SELECT cell, n_vecs,
            round(n_vecs / CAST(n AS DOUBLE), 6) AS share,
@@ -1988,7 +2039,7 @@ def q143_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     n = emb.count()
     n_cells = int(math.ceil(math.sqrt(float(n))))
     # the SAME trained codebook q138 mines through — the audit must

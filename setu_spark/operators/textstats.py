@@ -1027,7 +1027,9 @@ def _multi_rep_udf(texts: pd.Series) -> pd.DataFrame:
     cols = {5: [], 10: []}
     for text in texts:
         for n in (5, 10):
-            if len(text) < n:
+            # NULL text has no n-grams of any n — NULL scores, exactly
+            # like the oracle's length(NULL) >= n filter
+            if text is None or len(text) < n:
                 cols[n].append(None)
                 continue
             grams = Counter(

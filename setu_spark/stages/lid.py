@@ -269,6 +269,13 @@ def predict_lid(
                     )
                     out_lang.append(winner)
                     out_prob.append(max(votes[winner]))
+                elif pdf[text_col].iat[i] is None:
+                    # NULL text has no prediction CONFIDENCE — 'und'
+                    # with a NULL prob, not 0.0 (a zero is a real
+                    # measured confidence; a missing text has none) —
+                    # matching the SQL replay's NULL propagation
+                    out_lang.append("und")
+                    out_prob.append(None)
                 else:
                     out_lang.append("und")
                     out_prob.append(0.0)
@@ -277,7 +284,7 @@ def predict_lid(
                 {
                     id_col: pdf[id_col],
                     "pred_lang": out_lang,
-                    "lid_prob": pd.Series(out_prob, dtype="float64"),
+                    "lid_prob": pd.array(out_prob, dtype="Float64"),
                     "model_langs": out_map,
                 }
             )

@@ -1,0 +1,169 @@
+"""NULL-robustness regression net (round 10).
+
+100 TB of real crawl data carries rows the synthetic testdata never
+does: NULL text, NULL embeddings, NULL payloads. A round-10 sweep of
+the full registry over a NULL-planted clone of sf0.001 found the whole
+TEXT family already robust (the round-6 NULL-text work) but ELEVEN
+queries crashing on NULL embeddings/payloads — every one a numpy
+kernel (`np.stack` of None) or an un-guarded `element_at`.
+
+The fix is one rule, stated at :func:`setu_spark.operators.similarity.
+load_vectors`: a NULL embedding is NO vector — excluded from every
+clustering, banding, search, and mining computation (exactly how
+NULL-signature docs behave in the MinHash band guard, and how q152's
+admission policy already pre-split NULL→novel). The DuckDB oracles
+agree: where they unnest the embedding, NULL rows vanish for free;
+where they count or rank raw rows, the kmeans init CTE and the IVF
+codebook sizing now filter/`count(embedding)` explicitly. NULL media
+payloads decode to NULL stats (missing ≠ empty).
+
+These tests pin all of it on a committed NULL-planted corpus:
+  * the embedding/media family matches its DuckDB oracles ON the
+    NULL corpus (not just on NULL-free testdata);
+  * the pair kernels are NULL-safe at the batch level (mixed batches);
+  * no registered query crashes on the NULL corpus (count() sweep —
+    marked slow, SETU_SLOW=1, since it walks all 149 plans).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_utils import compare_frames, register_views
+
+SRC = "/root/testdata/sf0.001"
+
+#: the queries whose kernels touched NULL embeddings/payloads —
+#: every round-10 crasher plus its untouched neighbors
+FAMILY = [
+    "q55_embedding_neardup",
+    "q60_cosine_topk",
+    "q61_label_centroids",
+    "q62_ann_lsh_buckets",
+    "q63_ann_ivf_topk",
+    "q85_kmeans_clusters",
+    "q90_media_decode_stats",
+    "q123_semantic_dedup",
+    "q126_margin_pair_mining",
+    "q131_ann_recall_audit",
+    "q138_margin_pair_mining_ann",
+    "q140_margin_ann_recall_audit",
+    "q142_embedding_quant_audit",
+    "q143_ivf_cell_balance",
+    "q151_joint_dedup_agreement",
+    "q152_ann_admission",
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir():
+    d = tempfile.mkdtemp(prefix="nullprobe_ci_")
+    con = duckdb.connect()
+    for f in glob.glob(SRC + "/*.parquet"):
+        name = os.path.basename(f).replace(".parquet", "")
+        if name == "documents":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (CASE WHEN doc_id % 97 = 3
+                      THEN NULL ELSE text END AS text) FROM '{f}')
+                    TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif name == "embeddings":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (CASE WHEN vec_id % 89 = 5
+                      THEN NULL ELSE embedding END AS embedding)
+                      FROM '{f}')
+                    TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copy(f, os.path.join(d, os.path.basename(f)))
+    con.close()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_family_matches_oracle_on_null_corpus(spark, null_dir):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    register_views(con, null_dir)
+    failures = {}
+    for name in FAMILY:
+        try:
+            got = qs[name](spark, null_dir).toPandas()
+            probs = compare_frames(got, con.execute(oracles[name]).df())
+            if probs:
+                failures[name] = probs
+        except Exception as ex:  # noqa: BLE001
+            failures[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        finally:
+            spark.catalog.clearCache()
+    con.close()
+    assert not failures, failures
+
+
+def test_pair_kernels_null_safe_in_mixed_batches(spark):
+    """The two shared kernels must handle NULLs mid-batch (not only
+    all-NULL or no-NULL): cosine → NULL for a pair with a missing
+    side, band buckets → empty array (posexplode then drops it)."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.operators.similarity import (
+        _band_buckets_udf,
+        cosine_pairs_udf,
+    )
+
+    from setu_spark.operators.similarity import DIM
+
+    e1 = [1.0] + [0.0] * (DIM - 1)
+    e2 = [0.0, 1.0] + [0.0] * (DIM - 2)
+    rows = [
+        (0, e1, e1),
+        (1, None, e1),
+        (2, e2, None),
+        (3, None, None),
+        (4, e2, e2),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<float>, b array<float>"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert got[0] == 1.0 and got[4] == 1.0
+    assert got[1] is None and got[2] is None and got[3] is None
+    bk = {
+        r.i: r.bks
+        for r in df.select(
+            "i", _band_buckets_udf()(F.col("a")).alias("bks")
+        ).collect()
+    }
+    assert bk[1] == [] and bk[3] == []
+    assert len(bk[0]) > 0 and len(bk[2]) > 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SETU_SLOW"),
+    reason="full-registry NULL crash sweep is slow; set SETU_SLOW=1",
+)
+def test_no_registered_query_crashes_on_null_corpus(spark, null_dir):
+    crashed = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            # toPandas, NOT count(): column pruning under count() skips
+            # unreferenced kernel columns entirely — q47's NULL crash
+            # hid behind exactly that during the round-10 sweep
+            fn(spark, null_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            crashed[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        finally:
+            spark.catalog.clearCache()
+    assert not crashed, crashed
