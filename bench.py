@@ -288,11 +288,16 @@ def composite(record_paths: list[str]) -> dict:
     # query as load-polluted is excluded from that query's min when at
     # least one clean sample exists — one co-tenant burst can no longer
     # poison a committed composite entry
+    # "stale_queries": queries whose CODE changed after the record was
+    # taken (hand-annotated mid-round) — their samples measure a tree
+    # that no longer exists and must not ride the min when any
+    # fresh-tree record has the query
     def _samples(name: str) -> list[float]:
         clean = [
             r["queries"][name]
             for r in records
             if name not in set(r.get("load_flagged", []))
+            and name not in set(r.get("stale_queries", []))
         ]
         return clean or [r["queries"][name] for r in records]
 

@@ -219,3 +219,39 @@ def test_composite_all_records_flagged_is_an_error(tmp_path):
 
     with _pytest.raises(SystemExit):
         bench.composite([str(p)])
+
+
+def test_composite_excludes_stale_query_samples(tmp_path):
+    """"stale_queries": samples taken before a mid-round code change to
+    that query measure a tree that no longer exists — excluded from the
+    min when any fresh record carries the query; kept (min over all)
+    when NO fresh sample exists."""
+    import json as _json
+
+    old = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q_changed": 0.5, "q_same": 1.0, "q_only_old": 2.0},
+        "sf": "/root/testdata/sf0.1",
+        "stale_queries": ["q_changed", "q_only_old"],
+    }
+    new = {
+        "metric": "headline_query_total_wall",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q_changed": 0.9, "q_same": 1.2, "q_only_old": 2.5},
+        "sf": "/root/testdata/sf0.1",
+    }
+    p1, p2 = tmp_path / "old.json", tmp_path / "new.json"
+    p1.write_text(_json.dumps(old))
+    p2.write_text(_json.dumps(new))
+    comp = bench.composite([str(p1), str(p2)])
+    # q_changed: old 0.5 is stale -> fresh 0.9 wins despite being
+    # slower; q_same: normal min; q_only_old: fresh sample exists in
+    # new.json -> 2.5
+    assert comp["queries"] == {
+        "q_changed": 0.9,
+        "q_same": 1.0,
+        "q_only_old": 2.5,
+    }
