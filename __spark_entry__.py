@@ -49,65 +49,65 @@ SF0001 = "/root/testdata/sf0.001"
 #: The driver's correctness harness checks roughly the FIRST 50
 #: entries of the returned maps, so this list pins the window
 #: explicitly (everything else follows in registration order).
-#: ROUND 10 window: the committed ROTATION.md round-10 block verbatim —
-#: q132 fronted first (its distributed-prefix-sum rewrite landed in
-#: round 9 outside that window, so this is its post-change hash row),
-#: then the queries whose last driver-green row is r07 and which hit
-#: the 3-round staleness ceiling this round (the analytics/events
-#: families, the quality-ablation/novelty/leak-free-split block
-#: q144-q150, and the roundtrip-adjacent singles), topped up in
-#: registration order.
+#: ROUND 11 window: the committed ROTATION.md round-11 block verbatim —
+#: the four queries whose behavior changed in round 10 outside its
+#: window fronted first (q55/q123/q151 lost a duplicated cosine kernel
+#: behind a cache; q123 additionally became the duplicate-density
+#: collapse hybrid; q126 gained the MINE_Y_BOUND collect guard), then
+#: the dedup/similarity/roundtrip/pipeline families whose last green
+#: driver row is r08 and which hit the 3-round staleness ceiling this
+#: round, topped up in registration order.
 _FRONT = (
-    "q132_vocab_coverage",
-    "q01_pricing_summary",
-    "q02_top_parts_by_revenue",
-    "q03_shipping_priority",
-    "q05_region_nation_revenue",
-    "q07_customer_running_spend",
-    "q08_supplier_rank_in_nation",
-    "q09_sales_rollup",
-    "q103_snapshot_diff",
-    "q105_source_overlap",
-    "q106_event_type_pivot",
-    "q107_grouping_sets_revenue",
-    "q109_quality_percentile_gate",
-    "q10_late_shipment_priority",
-    "q110_source_mixture_weights",
-    "q111_shared_span_removal",
-    "q112_temperature_mixture",
-    "q113_length_histogram",
-    "q11_customers_without_orders",
-    "q12_supplier_part_breadth",
-    "q13_segment_acctbal",
-    "q144_leak_free_split",
-    "q145_quality_signal_correlation",
-    "q146_ngram_novelty",
-    "q147_quality_rule_ablation",
-    "q148_winnowed_novelty",
-    "q149_component_source_purity",
-    "q14_order_gap_days",
-    "q150_quality_survivor_delta",
-    "q15_status_priority_cube",
-    "q16_top3_orders_per_customer",
-    "q17_rich_customers_minus_buyers",
-    "q19_asof_last_signup",
-    "q20_repeat_buyers_intersection",
-    "q27_unified_activity_ledger",
-    "q30_doc_word_stats",
-    "q31_word_freq_topk",
-    "q32_lang_profile",
-    "q33_quality_flags",
-    "q63_ann_ivf_topk",
-    "q68_language_script_profile",
-    "q71_user_sessions",
-    "q72_first_event_per_user_type",
-    "q73_event_type_hourly_share",
-    "q74_event_props_extract",
-    "q75_user_totals",
-    "q76_sliding_event_counts",
-    "q77_event_funnel",
-    "q95_cohort_retention",
-    "q96_event_anomaly",
+    "q55_embedding_neardup",
+    "q06_forecast_revenue",
+    "q102_quality_tiers",
+    "q104_compression_ratio",
+    "q114_bigram_logprob",
+    "q115_quality_sketch_gate",
+    "q116_sentence_explode",
+    "q117_partitioned_sink_roundtrip",
+    "q118_orc_sink_roundtrip",
+    "q119_jsonl_scan_roundtrip",
+    "q120_csv_scan_roundtrip",
+    "q121_heavy_hitters",
+    "q122_incremental_admission",
+    "q123_semantic_dedup",
+    "q124_dsir_importance",
+    "q126_margin_pair_mining",
+    "q127_classifier_quality_filter",
+    "q128_source_kl_divergence",
+    "q129_sequence_chunking",
+    "q130_bpe_merge_candidates",
+    "q131_ann_recall_audit",
+    "q133_lsh_precision_audit",
+    "q134_trailing_range_revenue",
+    "q135_unpivot_doc_metrics",
+    "q136_order_distribution_stats",
+    "q143_ivf_cell_balance",
+    "q151_joint_dedup_agreement",
+    "q152_ann_admission",
+    "q24_price_math_profile",
+    "q25_name_normalization",
+    "q28_approx_distinct_parts",
+    "q35_token_counts",
+    "q36_rolling_fingerprints",
+    "q41_char_ngram_repetition",
+    "q45_lid_heuristic",
+    "q46_code_removal",
+    "q47_multi_n_repetition",
+    "q50_exact_dedup_survivors",
+    "q52_minhash_lsh_pairs",
+    "q57_simhash_neardup_pairs",
+    "q70_hourly_event_stats",
+    "q80_clean_pipeline",
+    "q83_curation_pipeline",
+    "q84_approx_quantiles",
+    "q85_kmeans_clusters",
+    "q88_unigram_logprob",
+    "q89_bloom_decontamination",
+    "q93_cross_corpus_neardup",
+    "q97_pii_redaction",
+    "q99_gopher_quality_rules",
 )
 
 

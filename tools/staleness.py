@@ -28,28 +28,15 @@ import sys
 WINDOW = 50  # entries of queries() the driver checks per round
 
 #: the round whose window _FRONT currently pins (bump at each rotation)
-THIS_ROUND = 10
+THIS_ROUND = 11
 
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 10: four queries changed outside the round-10 window — q126
-#: gained the MINE_Y_BOUND guard before its Y collect (round-9 VERDICT
-#: task #3), and q55/q123/q151 lost a duplicated _cos ArrowEvalPython
-#: (asNondeterministic, the q42/q48 fix — found by the cache-aware
-#: duplicate-UDF gate). q123 changed AGAIN mid-round-10: its pairwise
-#: stage is now a duplicate-density hybrid (collapse-first above 5%
-#: class-dup fraction; raw and therefore hash-identical on every sf
-#: corpus — oracle re-verified at sf0.01 and sf0.1 post-change). All
-#: proven hash-identical this session; they front round 11 for their
-#: post-change hash rows (all four already sit in the round-11 block
-#: naturally).
-CHANGED: tuple[str, ...] = (
-    "q126_margin_pair_mining",
-    "q55_embedding_neardup",
-    "q123_semantic_dedup",
-    "q151_joint_dedup_agreement",
-)
+#: Round 11: no query outside the round-11 window has changed behavior
+#: so far (the round-10 changes — q55/q123/q126/q151 — all sit INSIDE
+#: the round-11 window and get their post-change hash rows there).
+CHANGED: tuple[str, ...] = ()
 
 
 def last_green(root: str = ".") -> dict[str, int]:
