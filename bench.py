@@ -31,6 +31,24 @@ Flags:
                 box) is listed in the payload's "load_flagged";
                 --composite then prefers unflagged records per query,
                 so one polluted record can't poison a committed min.
+  --canary-gate [T]
+                canary-drift qualification (round-10 VERDICT task 2):
+                host loadavg has a proven blind spot — the r10 76.5s
+                record showed uniform +60-90% inflation on untouched
+                queries at loadavg <3 ("invisible co-tenancy", likely
+                cgroup-capped neighbors that never show in the host
+                metric). Instead of a host metric, run a fixed CANARY
+                query (q01_pricing_summary) immediately before each
+                measured query and compare canary samples against the
+                record's own canary median: a query whose preceding
+                canary reads > T× the median (default 1.2) rode a
+                burst → listed in "canary_flagged" (composite prefers
+                clean samples, same as load_flagged). The record also
+                carries its canary median; --composite skips ENTIRE
+                records whose canary median is > T× the best record's
+                (uniform inflation — every sample poisoned), exactly
+                like hand-flagged records. The min-median record is
+                never skipped, so a composite always survives.
   --ab-ref REF qA[,qB...][,reps]
                 one-command A/B against another git rev (the PERF.md
                 by-hand worktree recipe, promoted to a flag per round-8
@@ -62,6 +80,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Canary-drift qualification (round-10 VERDICT task 2): the fixed
+#: probe query re-timed before every measured query under
+#: --canary-gate, and the flag's default drift threshold. q01 is the
+#: canary because it is the cheapest stable full-scan aggregate in the
+#: registry (~0.3s at sf0.1): pure lineitem scan + hash agg, no joins,
+#: no Python workers — its wall clock moves with machine conditions
+#: and nothing else.
+CANARY_QUERY = "q01_pricing_summary"
+CANARY_GATE_DEFAULT = 1.2
 
 #: Representative slice of the registered corpus: scan-agg, fact join,
 #: dim-hop join, window, distinct agg, text explode, ngram shuffle, LSH
@@ -170,10 +198,16 @@ def detail_line(payload: dict) -> dict:
         detail["extra_samples"] = payload["extra_samples"]
     if payload.get("load_flagged"):
         detail["load_flagged"] = payload["load_flagged"]
+    if payload.get("canary"):
+        detail["canary"] = payload["canary"]
+    if payload.get("canary_flagged"):
+        detail["canary_flagged"] = payload["canary_flagged"]
     if payload.get("sources"):
         detail["sources"] = payload["sources"]
     if payload.get("machine_era"):
         detail["machine_era"] = payload["machine_era"]
+    if payload.get("era_ref"):
+        detail["era_ref"] = payload["era_ref"]
     if payload.get("errors"):
         detail["errors"] = payload["errors"]
     return detail
@@ -203,6 +237,19 @@ def final_line(payload: dict) -> dict:
     la = payload.get("loadavg")
     if la and "start" in la and "end" in la:
         compact["load"] = f"{la['start']:.1f}/{la['end']:.1f}"[:16]
+    # era self-normalization (round-10 VERDICT task 3): cross-round
+    # BENCH_rN diffs are dominated by machine era on this co-tenant box
+    # (r10 79.95s vs r8 73.58s read as a regression that the interleaved
+    # A/B disproved, code_ratio 0.997). The committed composite's era
+    # block already computes machine_era_ratio (prior-round HEAD
+    # re-benched today vs its committed composite, >1 = today's box
+    # slower); surfacing it on the driver-visible line makes the
+    # artifact self-normalizing: divide cross-round deltas by it.
+    # main() attaches "era_ref" from the newest committed composite.
+    era = payload.get("machine_era") or payload.get("era_ref") or {}
+    ratio = era.get("machine_era_ratio")
+    if isinstance(ratio, (int, float)):
+        compact["era"] = round(float(ratio), 3)
     assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
     return compact
 
@@ -256,6 +303,39 @@ def machine_era(ab_path: str, baseline_path: str) -> dict:
     }
 
 
+def latest_committed_era(repo: str) -> dict | None:
+    """Era block from the NEWEST committed ``bench_composite_r*.json``
+    that carries one — the source of the final line's "era" key on
+    plain sweeps (round-10 VERDICT task 3).  The driver's BENCH_rN.json
+    keeps only the final line, so without this a naive BENCH_r10-vs-r08
+    diff reads machine era as a code regression."""
+    import glob
+    import re
+
+    def _rnd(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(
+        glob.glob(os.path.join(repo, "bench_composite_r*.json")),
+        key=_rnd,
+        reverse=True,
+    ):
+        try:
+            with open(p) as fh:
+                era = json.load(fh).get("machine_era")
+        except (OSError, ValueError):
+            continue
+        if isinstance(era, dict) and isinstance(
+            era.get("machine_era_ratio"), (int, float)
+        ):
+            return {
+                "machine_era_ratio": era["machine_era_ratio"],
+                "source": os.path.basename(p),
+            }
+    return None
+
+
 def composite(record_paths: list[str]) -> dict:
     """Merge per-query MINS across a round's clean bench records into
     one payload with the same keys as a clean record — the number every
@@ -265,29 +345,58 @@ def composite(record_paths: list[str]) -> dict:
     EVERY record ride the composite (a query added mid-round has no
     cross-record min)."""
     records = []
-    skipped = []
+    kept_paths = []
+    skipped = []  # (path, reason) — full paths, not basenames: two
+    # different directories can share a basename, and a clean record
+    # must never be dropped because a FLAGGED record elsewhere happens
+    # to be named the same (round-10 ADVICE)
+    loaded: list[tuple[str, dict]] = []
     for p in record_paths:
         with open(p) as fh:
-            rec = json.load(fh)
+            loaded.append((p, json.load(fh)))
+    # canary-drift record qualification (round-10 VERDICT task 2): a
+    # record whose canary median reads > gate× the BEST record's canary
+    # median was taken under uniform co-tenant inflation — every sample
+    # in it is poisoned, so it is skipped whole, like a hand-flagged
+    # record. The best record is never skipped (ratio 1.0), so at least
+    # one record always survives qualification.
+    canary_meds = {
+        p: rec["canary"]["median"]
+        for p, rec in loaded
+        if isinstance(rec.get("canary"), dict)
+        and isinstance(rec["canary"].get("median"), (int, float))
+        and not rec.get("flagged")
+    }
+    best_canary = min(canary_meds.values()) if canary_meds else None
+    for p, rec in loaded:
         # a record hand-marked "flagged": true (e.g. uniform co-tenant
         # inflation that stayed under the loadavg gate) never rides a
         # composite, even if passed on the command line
         if rec.get("flagged"):
-            skipped.append(os.path.basename(p))
+            skipped.append((p, "hand-flagged"))
             continue
+        if best_canary and p in canary_meds:
+            gate = rec["canary"].get("gate", CANARY_GATE_DEFAULT)
+            if canary_meds[p] > gate * best_canary:
+                skipped.append((
+                    p,
+                    f"canary median {canary_meds[p]} > {gate}x best "
+                    f"{best_canary}",
+                ))
+                continue
         records.append(rec)
+        kept_paths.append(p)
     if not records:
         sys.exit("--composite: every given record is flagged; nothing to merge")
-    if skipped:
-        print(f"composite: skipped flagged record(s): {', '.join(skipped)}",
-              file=sys.stderr)
+    for p, reason in skipped:
+        print(f"composite: skipped record {p} ({reason})", file=sys.stderr)
     common = set(records[0]["queries"])
     for r in records[1:]:
         common &= set(r["queries"])
-    # self-qualifying records (--loadavg-gate): a record that flagged a
-    # query as load-polluted is excluded from that query's min when at
-    # least one clean sample exists — one co-tenant burst can no longer
-    # poison a committed composite entry
+    # self-qualifying records (--loadavg-gate / --canary-gate): a record
+    # that flagged a query as load- or canary-polluted is excluded from
+    # that query's min when at least one clean sample exists — one
+    # co-tenant burst can no longer poison a committed composite entry
     # "stale_queries": queries whose CODE changed after the record was
     # taken (hand-annotated mid-round) — their samples measure a tree
     # that no longer exists and must not ride the min when any
@@ -298,7 +407,18 @@ def composite(record_paths: list[str]) -> dict:
             for r in records
             if name not in set(r.get("load_flagged", []))
             and name not in set(r.get("stale_queries", []))
+            and name not in set(r.get("canary_flagged", []))
         ]
+        if not clean:
+            # the min MUST NOT silently ride flagged/stale samples
+            # without visibility (round-10 ADVICE): every sample for
+            # this query was disqualified, so the fallback min below
+            # measures a polluted or stale tree — say so.
+            print(
+                f"composite: WARNING every sample for {name} is "
+                "flagged or stale; its min rides polluted/stale data",
+                file=sys.stderr,
+            )
         return clean or [r["queries"][name] for r in records]
 
     queries = {
@@ -310,8 +430,7 @@ def composite(record_paths: list[str]) -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": records[0]["sf"],
-        "sources": [os.path.basename(p) for p in record_paths
-                    if os.path.basename(p) not in skipped],
+        "sources": [os.path.basename(p) for p in kept_paths],
     }
 
 
@@ -377,6 +496,22 @@ def main() -> None:
         only_names = [
             p.strip() for p in sys.argv[idx + 1].split(",") if p.strip()
         ]
+    canary_gate = None
+    if "--canary-gate" in sys.argv:
+        idx = sys.argv.index("--canary-gate")
+        canary_gate = CANARY_GATE_DEFAULT
+        if idx + 1 < len(sys.argv) and not sys.argv[idx + 1].startswith(
+            "--"
+        ):
+            try:
+                canary_gate = float(sys.argv[idx + 1])
+            except ValueError:
+                sys.exit(
+                    f"--canary-gate: unparsable threshold "
+                    f"{sys.argv[idx + 1]!r} (expected a float, e.g. 1.2)"
+                )
+        if canary_gate <= 1.0:
+            sys.exit("--canary-gate: threshold must be > 1.0")
     loadavg_gate = None
     if "--loadavg-gate" in sys.argv:
         idx = sys.argv.index("--loadavg-gate")
@@ -616,6 +751,28 @@ def main() -> None:
     # exceeds the threshold — the record self-qualifies and
     # --composite prefers unflagged samples
     load_flagged: list[str] = []
+    # --canary-gate: one canary run immediately before each measured
+    # query; flags computed against the record's own canary median at
+    # every checkpoint (host-metric-free burst detection)
+    canary_samples: dict[str, float] = {}
+
+    def _canary_block() -> tuple[dict, list[str]]:
+        vals = sorted(canary_samples.values())
+        n = len(vals)
+        med = (
+            round((vals[n // 2] + vals[(n - 1) // 2]) / 2, 3) if n else None
+        )
+        flagged = sorted(
+            q for q, t in canary_samples.items()
+            if med and t > canary_gate * med
+        )
+        block = {
+            "name": CANARY_QUERY,
+            "gate": canary_gate,
+            "median": med,
+            "samples": canary_samples,
+        }
+        return block, flagged
 
     def _checkpoint() -> None:
         payload = {
@@ -639,6 +796,10 @@ def main() -> None:
         if loadavg_gate is not None:
             payload["loadavg_gate"] = loadavg_gate
             payload["load_flagged"] = load_flagged
+        if canary_gate is not None:
+            block, flagged = _canary_block()
+            payload["canary"] = block
+            payload["canary_flagged"] = flagged
         if errors:
             payload["errors"] = errors
         try:
@@ -649,6 +810,15 @@ def main() -> None:
         return payload
 
     for name in names:
+        if canary_gate is not None:
+            try:
+                t0 = time.perf_counter()
+                queries[CANARY_QUERY](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                canary_samples[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # canary failure ≠ sweep failure
+                print(f"[bench] canary failed: {exc!r}", file=sys.stderr)
         loads[name] = round(os.getloadavg()[0], 2)
         if loadavg_gate is not None and loads[name] > loadavg_gate:
             load_flagged.append(name)
@@ -699,6 +869,9 @@ def main() -> None:
             _checkpoint()
 
     payload = _checkpoint()
+    era_ref = latest_committed_era(os.path.dirname(os.path.abspath(__file__)))
+    if era_ref:
+        payload["era_ref"] = era_ref
     if "--funnel-shared" in sys.argv:
         import setu_spark.operators.dedup as dedup
 

@@ -56,6 +56,46 @@ def test_final_line_has_no_per_query_collections():
     assert all(not isinstance(v, (dict, list)) for v in compact.values())
 
 
+def test_final_line_era_ratio_is_a_bounded_scalar():
+    # round-10 VERDICT task 3: the driver keeps ONLY the final line, so
+    # the committed era ratio must ride it as one small scalar — from a
+    # composite's own machine_era block or a plain sweep's era_ref.
+    p = _payload(150)
+    p["era_ref"] = {"machine_era_ratio": 0.987, "source": "bench_composite_r10.json"}
+    compact = bench.final_line(p)
+    assert compact["era"] == 0.987
+    assert len(json.dumps(compact)) <= 200
+    del p["era_ref"]
+    p["machine_era"] = {"machine_era_ratio": 1.041234, "ref": "abc"}
+    assert bench.final_line(p)["era"] == 1.041
+    del p["machine_era"]
+    assert "era" not in bench.final_line(p)
+    # a malformed block must not crash the final line at sweep end
+    p["era_ref"] = {"machine_era_ratio": "not-a-number"}
+    assert "era" not in bench.final_line(p)
+
+
+def test_latest_committed_era_picks_newest_composite(tmp_path):
+    import json as _json
+
+    (tmp_path / "bench_composite_r09.json").write_text(
+        _json.dumps({"machine_era": {"machine_era_ratio": 0.91}})
+    )
+    (tmp_path / "bench_composite_r10.json").write_text(
+        _json.dumps({"machine_era": {"machine_era_ratio": 0.99}})
+    )
+    # newest without an era block is skipped, not an error
+    (tmp_path / "bench_composite_r11.json").write_text(
+        _json.dumps({"queries": {}})
+    )
+    era = bench.latest_committed_era(str(tmp_path))
+    assert era == {
+        "machine_era_ratio": 0.99,
+        "source": "bench_composite_r10.json",
+    }
+    assert bench.latest_committed_era(str(tmp_path / "nowhere")) is None
+
+
 def test_final_line_load_context_is_bounded():
     # round-9 VERDICT task 7: the final line self-documents ambient load
     # as a "start/end" scalar string — bounded even for absurd loadavgs,
@@ -219,6 +259,125 @@ def test_composite_all_records_flagged_is_an_error(tmp_path):
 
     with _pytest.raises(SystemExit):
         bench.composite([str(p)])
+
+
+def test_composite_skips_canary_inflated_records(tmp_path):
+    """Canary-drift qualification (round-10 VERDICT task 2): a record
+    whose canary median reads > gate× the best record's canary median
+    was taken under uniform co-tenant inflation — the failure mode the
+    loadavg gate provably misses — and is skipped whole. The best
+    record itself can never be skipped."""
+    import json as _json
+
+    fast = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0, "q2": 2.0},
+        "sf": "/root/testdata/sf0.1",
+        "canary": {"name": "q01", "gate": 1.2, "median": 0.30,
+                   "samples": {"q1": 0.3, "q2": 0.3}},
+        "canary_flagged": [],
+    }
+    slow = {  # uniformly inflated: canary median 0.55 > 1.2 * 0.30
+        "metric": "headline_query_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 0.4, "q2": 0.5},
+        "sf": "/root/testdata/sf0.1",
+        "canary": {"name": "q01", "gate": 1.2, "median": 0.55,
+                   "samples": {"q1": 0.55, "q2": 0.55}},
+        "canary_flagged": [],
+    }
+    p1, p2 = tmp_path / "fast.json", tmp_path / "slow.json"
+    p1.write_text(_json.dumps(fast))
+    p2.write_text(_json.dumps(slow))
+    comp = bench.composite([str(p1), str(p2)])
+    # the inflated record's samples must NOT ride the min even though
+    # they happen to be numerically smaller here
+    assert comp["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert bench.detail_line(comp)["sources"] == ["fast.json"]
+    # a single canary-carrying record is its own best — never skipped
+    comp_solo = bench.composite([str(p2)])
+    assert comp_solo["queries"] == {"q1": 0.4, "q2": 0.5}
+
+
+def test_composite_prefers_canary_unflagged_samples(tmp_path):
+    """Per-query canary flags behave exactly like load_flagged: a
+    burst-polluted sample loses to a clean one from another record."""
+    import json as _json
+
+    r1 = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q1": 0.4, "q2": 2.0},
+        "sf": "/root/testdata/sf0.1",
+        "canary": {"name": "q01", "gate": 1.2, "median": 0.30,
+                   "samples": {"q1": 0.9, "q2": 0.3}},
+        "canary_flagged": ["q1"],
+    }
+    r2 = {
+        "metric": "headline_query_total_wall",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q1": 0.9, "q2": 2.5},
+        "sf": "/root/testdata/sf0.1",
+        "canary": {"name": "q01", "gate": 1.2, "median": 0.31,
+                   "samples": {"q1": 0.31, "q2": 0.31}},
+        "canary_flagged": [],
+    }
+    p1, p2 = tmp_path / "a.json", tmp_path / "b.json"
+    p1.write_text(_json.dumps(r1))
+    p2.write_text(_json.dumps(r2))
+    comp = bench.composite([str(p1), str(p2)])
+    assert comp["queries"] == {"q1": 0.9, "q2": 2.0}
+
+
+def test_composite_tracks_skips_by_full_path(tmp_path):
+    """Two records in DIFFERENT directories sharing a basename: flagging
+    one must not drop the clean one from "sources" (round-10 ADVICE —
+    skip tracking was basename-keyed)."""
+    import json as _json
+
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(); d2.mkdir()
+    clean = {
+        "metric": "headline_query_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0},
+        "sf": "/root/testdata/sf0.1",
+    }
+    flagged = dict(clean, flagged=True, queries={"q1": 0.1})
+    (d1 / "rec.json").write_text(_json.dumps(clean))
+    (d2 / "rec.json").write_text(_json.dumps(flagged))
+    comp = bench.composite([str(d1 / "rec.json"), str(d2 / "rec.json")])
+    assert comp["queries"] == {"q1": 1.0}
+    assert bench.detail_line(comp)["sources"] == ["rec.json"]
+
+
+def test_composite_warns_when_every_sample_is_disqualified(tmp_path, capsys):
+    """Round-10 ADVICE: the all-samples-stale fallback must be VISIBLE —
+    the comment's own rule ('must not ride the min') is otherwise
+    violated silently."""
+    import json as _json
+
+    rec = {
+        "metric": "headline_query_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q_stale_everywhere": 1.0, "q_ok": 0.5},
+        "sf": "/root/testdata/sf0.1",
+        "stale_queries": ["q_stale_everywhere"],
+    }
+    p = tmp_path / "only.json"
+    p.write_text(_json.dumps(rec))
+    comp = bench.composite([str(p)])
+    assert comp["queries"]["q_stale_everywhere"] == 1.0  # kept, not lost
+    err = capsys.readouterr().err
+    assert "q_stale_everywhere" in err and "WARNING" in err
+    assert "q_ok" not in err
 
 
 def test_composite_excludes_stale_query_samples(tmp_path):
