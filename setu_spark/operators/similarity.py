@@ -1034,7 +1034,11 @@ def semantic_dedup(
         ),
     ).first()
     dup_frac = 1.0 - (classes / n) if n else 0.0
-    if dup_frac < SEM_COLLAPSE_DUP_FRAC or (n_zero or 0) > 0:
+    # tau > 1.0 breaks the collapsed branch's copy shortcut (it stamps
+    # every non-rep copy sem_removed with cos exactly 1.0, which only
+    # replays the raw rule when 1.0 >= tau) — branch choice must never
+    # change output, so such a tau always takes the raw branch
+    if dup_frac < SEM_COLLAPSE_DUP_FRAC or (n_zero or 0) > 0 or tau > 1.0:
         return _semantic_dedup_raw(emb, k, iters, tau)
     return _semantic_dedup_collapsed(emb, k, iters, tau)
 

@@ -254,9 +254,17 @@ def _agg_is_scalar(plan: str, nid: int) -> bool:
     including a Generate/explode (the q114 vocab-size pattern:
     ``explode → countDistinct`` is one row no matter how large the
     vocabulary grows)."""
+    # the Keys scan is anchored to node nid's OWN detail section: each
+    # non-header non-blank line may be consumed, but a blank line or the
+    # next "(N) " header ends the section. An unanchored non-greedy scan
+    # could latch onto a LATER node's Keys line if this aggregate's
+    # section ever lacked one (format drift across Spark versions) and
+    # misclassify a keyed aggregate as scalar — silently shielding a
+    # corpus-fed subtree from the window/cartesian gates (round-10
+    # ADVICE).
     m = re.search(
         rf"\({nid}\) (?:ObjectHashAggregate|HashAggregate|SortAggregate)"
-        rf"[^\n]*\n(?:[^\n]+\n)*?Keys(?: \[(\d+)\])?: \[", plan
+        rf"[^\n]*\n(?:(?!\(\d+\) )[^\n]+\n)*?Keys(?: \[(\d+)\])?: \[", plan
     )
     # empty key lists print as "Keys: []" (no arity); keyed ones as
     # "Keys [N]: [...]"

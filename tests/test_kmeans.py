@@ -442,3 +442,19 @@ def test_semdedup_zero_norm_corpus_takes_raw_branch(spark):
     raw = sorted(map(key, _semantic_dedup_raw(df, 4, 2, 0.35).collect()))
     disp = sorted(map(key, semantic_dedup(df, 4, 2, 0.35).collect()))
     assert disp == raw
+
+
+def test_semdedup_tau_above_one_takes_raw_branch(spark):
+    """tau > 1.0 breaks the collapsed branch's copy shortcut (it stamps
+    non-rep copies removed at cos exactly 1.0, which only replays the
+    raw rule when 1.0 >= tau): the public tau parameter must route such
+    calls to the raw branch even on a duplicate-dense corpus (round-10
+    ADVICE). With tau = 1.5 NOTHING can clear the filter, so the raw
+    semantics are 'no row removed' — the collapsed shortcut would have
+    removed every copy."""
+    from setu_spark.operators.similarity import semantic_dedup
+
+    df = _dup_dense_fixture(spark)  # dup_frac ~0.85: collapse territory
+    out = semantic_dedup(df, 4, 2, tau=1.5).collect()
+    assert out and all(not r.sem_removed for r in out)
+    assert all(r.max_sim_to_keeper == -1.0 for r in out)

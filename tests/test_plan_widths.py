@@ -193,6 +193,41 @@ def test_unpartitioned_window_gate_catches_planted_offender(spark):
     assert unpartitioned_corpus_windows(raw)
 
 
+def test_agg_is_scalar_scan_is_anchored_to_own_section():
+    """_agg_is_scalar must read the Keys line of node nid's OWN detail
+    section. A keyed aggregate whose section lacks a Keys line (format
+    drift) must NOT latch onto a LATER node's 'Keys: []' and classify
+    as scalar — that would silently shield a corpus-fed subtree from
+    the window/cartesian gates (round-10 ADVICE)."""
+    from setu_spark.plans.inspect import _agg_is_scalar
+
+    drifted = (
+        "(3) HashAggregate [codegen id : 2]\n"
+        "Input [2]: [k#1, v#2]\n"
+        "SomeFutureField [1]: [k#1]\n"
+        "\n"
+        "(4) HashAggregate [codegen id : 3]\n"
+        "Input [1]: [v#2]\n"
+        "Keys: []\n"
+        "Functions [1]: [count(1)]\n"
+    )
+    assert not _agg_is_scalar(drifted, 3)  # no own Keys → NOT scalar
+    assert _agg_is_scalar(drifted, 4)
+    # the normal shapes keep working
+    keyed = (
+        "(7) ObjectHashAggregate\n"
+        "Input [2]: [k#1, v#2]\n"
+        "Keys [1]: [k#1]\n"
+    )
+    assert not _agg_is_scalar(keyed, 7)
+    scalar = (
+        "(9) SortAggregate\n"
+        "Input [1]: [v#2]\n"
+        "Keys: []\n"
+    )
+    assert _agg_is_scalar(scalar, 9)
+
+
 def test_no_registered_query_has_unbounded_cartesian(spark):
     """Round-10 gate: a CartesianProduct / BroadcastNestedLoopJoin with
     BOTH sides corpus-fed is |corpus|^2 candidate rows — hash-green at
