@@ -43,6 +43,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.caching import scoped_cache
+from setu_spark.operators.guards import pair_budget_gate
 from setu_spark.registry import register
 from setu_spark.sources.io import load_table
 
@@ -412,7 +413,15 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature table feeds four plan branches (two band sides, two
     # verify joins) — cache it so signatures are computed once
     sig = scoped_cache("q52_minhash_lsh_pairs", minhash_signatures(docs))
-    return pair_est_jaccard(sig, lsh_candidate_pairs(sig))
+    # pair-listing budget (round-10 VERDICT task 4): the pair LIST is
+    # quadratic in copy count by semantics; fail loudly instead of
+    # quietly shuffling billions of candidate rows on a dup-dense corpus
+    return pair_budget_gate(
+        pair_est_jaccard(sig, lsh_candidate_pairs(sig)),
+        band_table(sig), ["band", "band_hash"],
+        "q52_minhash_lsh_pairs",
+        "q56_dedup_components / q125_dedup_impact_audit",
+    )
 
 
 # ---------------------------------------------------------------- q108
@@ -1299,7 +1308,7 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, bb = bands.alias("a"), bands.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
-    return (
+    out = (
         a.join(
             bb,
             (F.col("a.b") == F.col("b.b"))
@@ -1313,6 +1322,13 @@ def q57_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
+    )
+    # pair-listing budget (round-10 VERDICT task 4): the estimate reads
+    # only the narrow (b, band_val) keys off the same cached projection
+    return pair_budget_gate(
+        out, bands, ["b", "band_val"],
+        "q57_simhash_neardup_pairs",
+        "q56_dedup_components / q125_dedup_impact_audit",
     )
 
 

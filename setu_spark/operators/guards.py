@@ -1,0 +1,97 @@
+"""Loud scale guards shared by the pair-listing near-dup queries.
+
+The pair-LISTING queries (q52 MinHash+LSH, q55 embedding bands, q57
+SimHash bands) are inherently quadratic in copy count: their ANSWER is
+the pair set, and a k-clique of duplicates contributes C(k,2) rows no
+matter how the candidates are generated (the q57 precedent — see
+PERF.md round-10 duplicate-density audit). That is correct semantics,
+but unlike q126's Y-side collect (``similarity.MINE_Y_BOUND``) nothing
+used to fail loudly when a duplicate-dense corpus made the pair table
+explode: the band self-join would just quietly shuffle billions of
+rows. This module is the missing mechanical contract (round-10 VERDICT
+task 4): ONE scalar aggregate over the band table estimates the
+candidate pair volume as sum of C(bucket_size, 2), and past the budget
+the query raises with a pointer at the per-vector (linear-output)
+forms instead of melting the cluster.
+
+The gate rides INSIDE the query plan (broadcast 1-row aggregate +
+``assert_true``), not as an eager driver action: an up-front
+``.first()`` added a whole blocking job per invocation (+30% on
+q52/q57 at sf0.1, measured), while the in-plan form shares the cached
+band scan, map-combines the bucket counts (the shuffle moves per-key
+partial counts, not band rows), and costs ~nothing. The failure
+surfaces at materialization as a SparkRuntimeException carrying the
+full message — as loud as a constructor raise, at the moment the
+explosion would otherwise start.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Hard ceiling on ESTIMATED candidate pairs for the pair-listing
+#: queries. 50M pairs ≈ 1.2 GB of (id, id, score) output — already an
+#: answer no human consumer of a pair LIST wants, and ~2500× the pair
+#: volume of the stock sf0.1 corpus; every honest use past this size
+#: wants the per-vector forms (q123 semantic dedup, q125 dedup-impact
+#: audit, q56 components) whose output is linear in the corpus. Like
+#: MINE_Y_BOUND, deliberately far above anything a test corpus
+#: produces and far below anything that hurts a cluster.
+PAIR_BUDGET = 50_000_000
+
+
+def pair_budget_gate(
+    pairs: DataFrame,
+    bands: DataFrame,
+    keys: list[str],
+    query: str,
+    alternative: str,
+    budget: int | None = None,
+) -> DataFrame:
+    """Wrap a pair-listing result so materializing it fails loudly when
+    the banded self-join would generate more than ``budget`` candidate
+    pairs.
+
+    The estimate is exact for the JOIN volume (before any verify
+    filter): a bucket of n rows yields C(n,2) ordered-id candidates,
+    so one groupBy-count + one scalar aggregate over ``bands`` — both
+    narrow (key columns only; the band payload prunes away) — give
+    ``sum n·(n−1)/2``. The 1-row estimate broadcasts onto ``pairs``
+    and an ``assert_true`` trips before the join output flows: rows
+    and schema are untouched when the budget holds.
+
+    ``budget=None`` reads :data:`PAIR_BUDGET` at call time (so tests
+    can squeeze it via monkeypatch)."""
+    if budget is None:
+        budget = PAIR_BUDGET
+    est = (
+        bands.groupBy(*[F.col(k) for k in keys])
+        .count()
+        .agg(
+            F.coalesce(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2),
+                F.lit(0.0),
+            ).alias("_pair_est")
+        )
+    )
+    msg = F.concat(
+        F.lit(f"{query}: banded candidate-pair estimate "),
+        F.col("_pair_est").cast("bigint").cast("string"),
+        F.lit(
+            f" exceeds the pair-listing budget {budget}. The pair LIST "
+            "itself is quadratic in duplicate-copy count (a k-clique "
+            "emits C(k,2) rows by semantics) — on a duplicate-dense "
+            f"corpus run {alternative} instead, whose output is linear "
+            "in the corpus."
+        ),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(est))
+        .where(
+            F.assert_true(
+                F.col("_pair_est") <= F.lit(float(budget)), msg
+            ).isNull()
+        )
+        .drop("_pair_est")
+    )

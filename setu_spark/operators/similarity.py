@@ -459,7 +459,7 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.round(
         cosine_pairs_udf()(F.col("a.embedding"), F.col("b.embedding")), 6
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -473,6 +473,15 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_sim") >= ND_THRESHOLD)
         .distinct()
+    )
+    # pair-listing budget (round-10 VERDICT task 4): the estimate reads
+    # only the (band, bucket) keys off the same cached projection
+    from setu_spark.operators.guards import pair_budget_gate
+
+    return pair_budget_gate(
+        out, bands, ["band", "bucket"],
+        "q55_embedding_neardup",
+        "q123_semantic_dedup / q125_dedup_impact_audit",
     )
 
 

@@ -866,3 +866,61 @@ def test_joint_agreement_collapsed_equals_raw(spark):
     assert collapsed == raw
     # the fixture must exercise all three tiers
     assert set(collapsed) == {"both", "text_only", "embedding_only"}
+
+
+def test_pair_budget_gate_planted_clique(spark):
+    """Round-10 VERDICT task 4: the pair-listing queries must fail
+    LOUDLY, with a pointer at the linear-output forms, when the banded
+    candidate volume passes the budget — estimated from band-bucket
+    sizes with one scalar aggregate riding the plan, never by
+    generating the pairs. A planted 30-clique of identical docs puts
+    30 rows in the same bucket of every band: est = bands * C(30,2).
+    Under the budget the gate is a row-identical pass-through."""
+    import pytest
+
+    from setu_spark.operators.dedup import NUM_BANDS, pair_est_jaccard
+    from setu_spark.operators.guards import pair_budget_gate
+
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(30)] + [(100, UNRELATED)],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs)
+    bands = band_table(sig)
+    pairs = pair_est_jaccard(sig, lsh_candidate_pairs(sig))
+    est = NUM_BANDS * (30 * 29) // 2
+    gated = pair_budget_gate(
+        pairs, bands, ["band", "band_hash"], "q52_minhash_lsh_pairs",
+        "q56_dedup_components", budget=est,
+    )
+    want = sorted(map(tuple, pairs.collect()))
+    assert sorted(map(tuple, gated.collect())) == want  # pass-through
+    assert gated.columns == pairs.columns
+    tripped = pair_budget_gate(
+        pairs, bands, ["band", "band_hash"], "q52_minhash_lsh_pairs",
+        "q56_dedup_components", budget=est - 1,
+    )
+    with pytest.raises(Exception, match=r"q56_dedup_components.*linear"):
+        tripped.collect()
+
+
+def test_pair_listing_queries_run_their_budget_gate(spark, monkeypatch):
+    """The gate must be wired into the REGISTERED q52/q55/q57 bodies
+    (not just exist as a helper): with PAIR_BUDGET squeezed to zero,
+    materializing each query raises. budget=None resolves at call
+    time, so the monkeypatch reaches all three."""
+    import pytest
+
+    import setu_spark.operators.guards as guards
+    from setu_spark.operators.dedup import (
+        q52_minhash_lsh_pairs,
+        q57_simhash_neardup_pairs,
+    )
+    from setu_spark.operators.similarity import q55_embedding_neardup
+
+    monkeypatch.setattr(guards, "PAIR_BUDGET", 0)
+    sf = "/root/testdata/sf0.001"
+    for q in (q52_minhash_lsh_pairs, q57_simhash_neardup_pairs,
+              q55_embedding_neardup):
+        with pytest.raises(Exception, match="pair-listing budget"):
+            q(spark, sf).collect()
