@@ -223,3 +223,62 @@ def test_rename_partitioned_directories(spark, tmp_path):
     assert len(moved) == 2
     # renamed layout still reads as plain parquet per directory
     assert spark.read.parquet(f"{out}/hi").count() == 2
+
+
+def test_cluster_conf_composes_over_defaults():
+    """cluster_conf() (the 100 TB deploy profile) must compose with the
+    factory: string-valued, no clash with any CORRECTNESS-bearing
+    DEFAULT_CONF key (UTC tz, Arrow, nanosAsLong, Kryo, AQE switches),
+    and only documented-retunable keys may overlap (partition width,
+    driver sizing)."""
+    from setu_spark.session import DEFAULT_CONF, cluster_conf
+
+    prof = cluster_conf()
+    assert prof and all(
+        isinstance(k, str) and isinstance(v, str) for k, v in prof.items()
+    )
+    semantic = {
+        "spark.sql.session.timeZone",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.serializer",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    }
+    assert not (set(prof) & semantic), (
+        "cluster_conf must not retune correctness-bearing conf"
+    )
+    retunable = {
+        "spark.sql.shuffle.partitions",
+        "spark.driver.memory",
+        "spark.driver.maxResultSize",
+    }
+    assert set(prof) & set(DEFAULT_CONF) <= retunable
+    # the profile parametrizes cleanly
+    big = cluster_conf(target_partition_bytes=512 * 1024 * 1024,
+                       max_executors=2000)
+    assert big["spark.sql.files.maxPartitionBytes"] == str(512 * 1024 * 1024)
+    assert big["spark.dynamicAllocation.maxExecutors"] == "2000"
+
+
+def test_cluster_conf_accepted_by_builder(spark):
+    """Every key must be a legal Spark conf name-value (the builder
+    accepts arbitrary keys, but RuntimeConfig rejects malformed values
+    for known confs at set time) — probe the SQL-prefixed ones on the
+    live session without mutating it."""
+    from setu_spark.session import cluster_conf
+
+    for k, v in cluster_conf().items():
+        if k.startswith("spark.sql."):
+            cur = None
+            try:
+                cur = spark.conf.get(k)
+            except Exception:
+                pass
+            spark.conf.set(k, v)  # raises on malformed value
+            if cur is not None:
+                spark.conf.set(k, cur)
+            else:
+                spark.conf.unset(k)
