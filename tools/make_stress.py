@@ -7,8 +7,18 @@ near-dup cost follows true-duplicate density; see PERF.md's 20× table).
 
 Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [N]
        python tools/make_stress.py --vocab [dst_dir] [n_docs] [words_per_doc]
+       python tools/make_stress.py --dupdense [src_sf_dir] [dst_dir] [N]
 Defaults: /root/testdata/sf0.1 /tmp/stress100k 20
           --vocab: /tmp/vocabstress 50000 100
+          --dupdense: /root/testdata/sf0.001 /tmp/dupdense 20
+
+--dupdense is the DUPLICATE-DENSITY fixture (round-10 VERDICT task 6,
+promoted to CI from the hand-run /tmp sweep that found q123's
+quadratic pairwise stage): documents + embeddings ONLY, each source
+row replicated N times with id offsets — every text and every vector
+becomes an N-clique of bit-identical copies, the regime where raw
+pairwise forms pay C(N,2) per value and the collapse-first hybrids
+must both DISPATCH and win (tests/test_dupdense_stress.py)."
 
 --vocab builds the UNIQUE-WORD corpus (round-9 PERF.md fixture,
 committed per round-9 VERDICT task 4): every word in every document is
@@ -104,6 +114,30 @@ def replicate(src: str, dst: str, n: int) -> None:
         print(f"{name}: copied verbatim ({len(t)} rows)")
 
 
+def make_dupdense(src: str, dst: str, n: int) -> None:
+    """Duplicate-dense documents + embeddings: the TABLES id-offset
+    replication restricted to the two tables the dedup hybrids read —
+    cheap enough (sf0.001 × 20 ≈ 10k docs) to rebuild inside a CI
+    fixture."""
+    os.makedirs(dst, exist_ok=True)
+    for name, id_cols in (("documents", ["doc_id"]),
+                          ("embeddings", ["vec_id"])):
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        offsets = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}
+        copies = []
+        for i in range(n):
+            cols = {
+                c: (pc.add(t[c], i * offsets[c])
+                    if c in id_cols and i > 0 else t[c])
+                for c in t.column_names
+            }
+            copies.append(pa.table(cols))
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=ROW_GROUP)
+        print(f"{name}: {len(t)} -> {len(out)} rows ({n}-cliques)")
+
+
 def make_vocab(dst: str, n_docs: int, words_per_doc: int) -> None:
     """Unique-word documents table: doc i holds words
     ``w{i*wpd} .. w{(i+1)*wpd - 1}`` — deterministic, no RNG, every
@@ -150,6 +184,12 @@ def make_vocab(dst: str, n_docs: int, words_per_doc: int) -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--dupdense":
+        src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/dupdense"
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+        make_dupdense(src, dst, n)
+        sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "--vocab":
         dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vocabstress"
         n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
