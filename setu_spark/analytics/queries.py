@@ -217,18 +217,24 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+                      ORDER BY o_orderdate NULLS LAST, o_orderkey) AS DOUBLE)
              AS running_spend
     FROM orders
     """,
 )
 def q07_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running window aggregate. Partitioned by custkey (high cardinality →
-    scales out; per-partition state is one customer's order history)."""
+    scales out; per-partition state is one customer's order history).
+
+    NULL order dates (real ingest has them) sort NULLS LAST explicitly
+    in both engines — Spark's ASC default is NULLS FIRST, DuckDB's is
+    NULLS LAST, a silent running-sum divergence on any NULL-planted
+    corpus (round-11 NULL wave). The orderkey tiebreak keeps the
+    undated tail deterministic."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -945,12 +951,12 @@ def q134_trailing_range_revenue(
            round(cume_dist() OVER w, 6) AS cdist,
            nth_value(o_totalprice, 2) OVER (
              PARTITION BY o_orderpriority
-             ORDER BY o_totalprice DESC, o_orderkey
+             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS second_highest_price
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def q136_order_distribution_stats(
@@ -968,12 +974,16 @@ def q136_order_distribution_stats(
     exchange, one sort); nth_value's unbounded frame reads the
     partition's materialized run, not a second shuffle."""
     orders = load_table(spark, sf_dir, "orders")
+    # NULL prices sort NULLS LAST explicitly in BOTH directions and both
+    # engines: Spark defaults NULLS FIRST on ASC, and un-priced orders
+    # must neither occupy quartile 1 nor become the "second highest"
+    # (round-11 NULL wave)
     w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
     )
     wd = (
         Window.partitionBy("o_orderpriority")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .orderBy(F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return orders.select(

@@ -116,7 +116,7 @@ def q70_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                           > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
@@ -140,8 +140,14 @@ def q71_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag → new-session flag → running sum → group). Batch twin of
     ``session_window(ts, '30 minutes')``; integer-microsecond arithmetic
     end to end. Scales as one shuffle on user_id (the window and the final
-    group share the partitioning)."""
-    ev = load_events(spark, sf_dir)
+    group share the partitioning).
+
+    A NULL timestamp is NO event time (round-11 NULL wave): an event
+    with no time has no place in a session, so NULL-ts rows are
+    excluded in both engines. Left implicit, Spark's NULLS-FIRST window
+    order glues them into a phantom leading session while DuckDB's
+    NULLS-LAST appends them to the final one."""
+    ev = load_events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = ev.select(
         "user_id",
@@ -181,7 +187,7 @@ def q71_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, event_id, value,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY epoch_us(ts), event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     WHERE rn = 1
     """,
@@ -189,8 +195,13 @@ def q71_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup keeping the earliest event — the deterministic-survivor
     form of ``dropDuplicates`` (SURVEY.md P8 note) and the batch twin of
-    streaming ``dropDuplicatesWithinWatermark``."""
-    ev = load_events(spark, sf_dir)
+    streaming ``dropDuplicatesWithinWatermark``.
+
+    A NULL timestamp is NO event time (round-11 NULL wave): "first by
+    time" is undefined for an undated event, so NULL-ts rows are
+    excluded in both engines — left implicit, Spark's NULLS-FIRST pick
+    beats every dated event while DuckDB's NULLS-LAST never picks one."""
+    ev = load_events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy(
         "ts_us", "event_id"
     )
@@ -431,7 +442,8 @@ ANOM_LOOKBACK = 6
     WITH counts AS (
       SELECT event_type, epoch_us(ts) // {HOUR_US} AS bucket,
              count(*) AS cnt
-      FROM events GROUP BY event_type, bucket
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, bucket
     ),
     trail AS (
       SELECT event_type, bucket, cnt,
@@ -466,8 +478,14 @@ def q96_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle to the (type, bucket) counts — cardinality
     O(types × hours), tiny forever — then a per-type ordered window over
-    those counts; per-partition state is {ANOM_LOOKBACK} bigints."""
-    ev = load_events(spark, sf_dir)
+    those counts; per-partition state is {ANOM_LOOKBACK} bigints.
+
+    A NULL timestamp is NO event time (round-11 NULL wave): the NULL
+    bucket is excluded in both engines BEFORE the ordered trailing
+    window — left in, it sits at opposite ends of the bucket order
+    (Spark NULLS FIRST, DuckDB NULLS LAST) and shifts every early
+    row's baseline frame."""
+    ev = load_events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
     counts = ev.groupBy(
         "event_type", F.expr(f"ts_us div {HOUR_US}").alias("bucket")
     ).agg(F.count("*").alias("cnt"))

@@ -109,8 +109,9 @@ def q18_order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_asof_last_signup",
     oracle="""
     WITH evts AS (SELECT event_id, user_id, ts, value FROM events
-                  WHERE event_type <> 'signup'),
-    signups AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+                  WHERE event_type <> 'signup' AND ts IS NOT NULL),
+    signups AS (SELECT user_id, ts FROM events
+                WHERE event_type = 'signup' AND ts IS NOT NULL)
     SELECT e.event_id, e.user_id,
            epoch_us(e.ts) AS ts_us,
            epoch_us(s.ts) AS signup_us
@@ -121,8 +122,15 @@ def q18_order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: attach each event's most recent prior (or simultaneous)
-    signup. Checked against DuckDB's native ASOF JOIN."""
-    ev = load_events(spark, sf_dir)
+    signup. Checked against DuckDB's native ASOF JOIN.
+
+    A NULL timestamp is NO event time (round-11 NULL wave): an as-of
+    join is order-dependent, so NULL-ts rows are excluded on BOTH sides
+    in both engines. Left implicit, the engines invent opposite
+    answers: DuckDB's ASOF sort-merge places a NULL probe after every
+    signup and matches the LATEST one, while the Spark window form
+    yields NULL — a silent divergence, not a semantic choice."""
+    ev = load_events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
     targets = ev.filter(F.col("event_type") != "signup").select(
         "user_id", "event_id", "ts_us"
     )

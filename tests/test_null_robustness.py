@@ -1,4 +1,5 @@
-"""NULL-robustness regression net (round 10).
+"""NULL-robustness regression net (round 10; events/orders extension
+round 11).
 
 100 TB of real crawl data carries rows the synthetic testdata never
 does: NULL text, NULL embeddings, NULL payloads. A round-10 sweep of
@@ -17,11 +18,24 @@ where they count or rank raw rows, the kmeans init CTE and the IVF
 codebook sizing now filter/`count(embedding)` explicitly. NULL media
 payloads decode to NULL stats (missing ≠ empty).
 
+Round 11 extended the planting to the RELATIONAL/EVENTS tables (NULL
+event ts/props/value/event_type, NULL o_orderdate/o_totalprice) and
+found six silent cross-engine divergences, zero crashes. The twin
+rule: **a NULL timestamp is NO event time** — order-dependent
+computations (sessionization q71, first-by-time q72, trailing-window
+anomaly q96, the as-of join q19) exclude NULL-ts rows in BOTH engines
+(left implicit, Spark's NULLS-FIRST and DuckDB's NULLS-LAST defaults
+invent opposite answers, and DuckDB's ASOF matches a NULL probe to the
+LATEST row); plain group-bys keep a NULL bucket (cross-engine-stable
+SQL semantics). NULL sort keys in ranking/running windows (q07, q136)
+order NULLS LAST explicitly on both sides.
+
 These tests pin all of it on a committed NULL-planted corpus:
-  * the embedding/media family matches its DuckDB oracles ON the
-    NULL corpus (not just on NULL-free testdata);
+  * the embedding/media family AND the events/orders window family
+    match their DuckDB oracles ON the NULL corpus (not just on
+    NULL-free testdata);
   * the pair kernels are NULL-safe at the batch level (mixed batches);
-  * no registered query crashes on the NULL corpus (count() sweep —
+  * no registered query crashes on the NULL corpus (toPandas sweep —
     marked slow, SETU_SLOW=1, since it walks all 149 plans).
 """
 
@@ -43,6 +57,23 @@ SRC = "/root/testdata/sf0.001"
 #: the queries whose kernels touched NULL embeddings/payloads —
 #: every round-10 crasher plus its untouched neighbors
 FAMILY = [
+    # round-11 events/orders extension: the six divergence finds plus
+    # their closest untouched neighbors (q70/q73/q75/q77/q95 keep the
+    # NULL-bucket group-by semantics; q14/q134 are the other
+    # date-ordered windows)
+    "q07_customer_running_spend",
+    "q136_order_distribution_stats",
+    "q19_asof_last_signup",
+    "q71_user_sessions",
+    "q72_first_event_per_user_type",
+    "q96_event_anomaly",
+    "q70_hourly_event_stats",
+    "q73_event_type_hourly_share",
+    "q75_user_totals",
+    "q77_event_funnel",
+    "q95_cohort_retention",
+    "q14_order_gap_days",
+    "q134_trailing_range_revenue",
     "q55_embedding_neardup",
     "q60_cosine_topk",
     "q61_label_centroids",
@@ -80,6 +111,30 @@ def null_dir():
                       THEN NULL ELSE embedding END AS embedding)
                       FROM '{f}')
                     TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        elif name == "events":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                      CASE WHEN event_id % 101 = 7
+                           THEN NULL ELSE ts END AS ts,
+                      CASE WHEN event_id % 103 = 11
+                           THEN NULL ELSE props END AS props,
+                      CASE WHEN event_id % 107 = 13
+                           THEN NULL ELSE value END AS value,
+                      CASE WHEN event_id % 109 = 17
+                           THEN NULL ELSE event_type END AS event_type
+                    ) FROM '{f}')
+                    TO '{d}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif name == "orders":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                      CASE WHEN o_orderkey % 97 = 19
+                           THEN NULL ELSE o_totalprice END AS o_totalprice,
+                      CASE WHEN o_orderkey % 101 = 23
+                           THEN NULL ELSE o_orderdate END AS o_orderdate
+                    ) FROM '{f}')
+                    TO '{d}/orders.parquet' (FORMAT PARQUET)"""
             )
         else:
             shutil.copy(f, os.path.join(d, os.path.basename(f)))

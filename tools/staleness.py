@@ -33,9 +33,18 @@ THIS_ROUND = 11
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 11: no query outside the round-11 window has changed behavior
-#: so far (the round-10 changes — q55/q123/q126/q151 — all sit INSIDE
-#: the round-11 window and get their post-change hash rows there).
+#: Round 11: the NULL-wave extension to events/orders touched six
+#: queries (q07/q19/q71/q72/q96 outside the round-11 window, q136
+#: inside it) — NULL event timestamps are now excluded from every
+#: order-dependent computation in both engines, and NULL sort keys
+#: order NULLS LAST explicitly. NOT fronted: on the driver's clean
+#: corpora the change is provably output-identical (it only drops /
+#: reorders NULL-ts/NULL-key rows, and the clean testdata has none —
+#: re-verified MATCH at sf0.01 this round), so their standing r10 hash
+#: rows still describe current behavior; the NULL-corpus behavior is
+#: pinned by tests/test_null_robustness.py, which the driver cannot
+#: see anyway. Fronting five no-op rows would overflow the round-12
+#: window and push four genuinely-stale queries past the ceiling.
 CHANGED: tuple[str, ...] = ()
 
 
