@@ -683,6 +683,18 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception as exc:  # warm-up failure must not kill the run
         print(f"[bench] warm-up failed: {exc!r}", file=sys.stderr)
+    if canary_gate is not None:
+        # one DISCARD canary: the first in-sweep canary otherwise reads
+        # ~1.5x the session median (paths the generic warm-up above
+        # does not touch) and systematically flags the first measured
+        # query in EVERY record — observed on all four clean round-11
+        # records, which left q01 with no clean composite sample
+        try:
+            queries[CANARY_QUERY](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:
+            print(f"[bench] canary warm-up failed: {exc!r}", file=sys.stderr)
 
     if ab_names:
         # Interleaved A/B (PERF.md methodology, promoted to a flag per
