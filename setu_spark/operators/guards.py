@@ -57,9 +57,23 @@ def pair_budget_gate(
     filter): a bucket of n rows yields C(n,2) ordered-id candidates,
     so one groupBy-count + one scalar aggregate over ``bands`` — both
     narrow (key columns only; the band payload prunes away) — give
-    ``sum n·(n−1)/2``. The 1-row estimate broadcasts onto ``pairs``
-    and an ``assert_true`` trips before the join output flows: rows
-    and schema are untouched when the budget holds.
+    ``sum n·(n−1)/2``.
+
+    Gate shape (round-11 ADVICE fix): the 1-row estimate becomes a
+    ZERO-ROW SENTINEL BRANCH unioned onto ``pairs``, whose filter IS
+    the assertion — ``assert_true(est ≤ budget, msg).isNotNull()``
+    raises past the budget and yields no rows otherwise. The original
+    form filtered the crossJoin OUTPUT, which only evaluates per
+    flowing row: post-join verify filters that leave zero output rows
+    (q57's hamming ≤ 3) let an over-budget corpus run the full
+    quadratic self-join without raising; an estimate-side filter under
+    ``crossJoin(broadcast(...))`` has the same hole, because AQE's
+    empty-relation propagation cancels the broadcast build when the
+    probe side materializes empty. A union arm is never skipped —
+    runtime empty-propagation can only drop it AFTER executing it —
+    and the single non-foldable predicate cannot be conjunct-reordered
+    away. Bonus: ``pairs`` rows now flow with NO per-row broadcast
+    hop at all. Rows and schema are untouched when the budget holds.
 
     ``budget=None`` reads :data:`PAIR_BUDGET` at call time (so tests
     can squeeze it via monkeypatch)."""
@@ -86,12 +100,15 @@ def pair_budget_gate(
             "in the corpus."
         ),
     )
-    return (
-        pairs.crossJoin(F.broadcast(est))
-        .where(
-            F.assert_true(
-                F.col("_pair_est") <= F.lit(float(budget)), msg
-            ).isNull()
-        )
-        .drop("_pair_est")
+    sentinel = est.where(
+        # raises past the budget; NULL → isNotNull() false → 0 rows
+        F.assert_true(
+            F.col("_pair_est") <= F.lit(float(budget)), msg
+        ).isNotNull()
+    ).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in pairs.schema.fields
+        ]
     )
+    return pairs.unionByName(sentinel)

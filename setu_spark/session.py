@@ -147,10 +147,25 @@ def get_spark(
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine defaults."""
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    Master resolution: an explicit ``master`` argument wins, then
+    ``$SPARK_GRAFT_MASTER``. With neither set, the local[N] fallback is
+    applied ONLY when this process started its own JVM: under
+    spark-submit the Python app attaches to an already-running gateway
+    (``PYSPARK_GATEWAY_PORT`` in the environment) whose conf carries
+    ``--master``, and calling ``.master()`` here would silently override
+    the cluster manager the operator asked for — the round-11 ADVICE
+    defect where the documented 1000-executor deploy recipe
+    (``get_spark(master=None, extra_conf=cluster_conf())``) ran local.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    builder = SparkSession.builder.appName(app_name).master(master)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)

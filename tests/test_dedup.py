@@ -904,6 +904,37 @@ def test_pair_budget_gate_planted_clique(spark):
         tripped.collect()
 
 
+def test_pair_budget_gate_trips_on_empty_pair_output(spark):
+    """Round-11 ADVICE: the assertion must ride the ESTIMATE side of
+    the broadcast, not a filter over the join output — a post-join
+    verify filter (q57's hamming ≤ 3) that leaves ZERO output rows
+    previously let an over-budget corpus execute the full quadratic
+    band self-join without ever evaluating the assert. Plant an
+    over-budget clique, then filter the pair set empty: the gate must
+    still raise at materialization."""
+    import pytest
+
+    from setu_spark.operators.dedup import pair_est_jaccard
+    from setu_spark.operators.guards import pair_budget_gate
+
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(30)], ["doc_id", "text"]
+    )
+    sig = minhash_signatures(docs)
+    bands = band_table(sig)
+    # an always-false verify filter: the join output is empty by
+    # construction, exactly the hole the output-side filter form had
+    pairs = pair_est_jaccard(sig, lsh_candidate_pairs(sig)).where(
+        "id_a = id_b"
+    )
+    gated = pair_budget_gate(
+        pairs, bands, ["band", "band_hash"], "q52_minhash_lsh_pairs",
+        "q56_dedup_components", budget=1,
+    )
+    with pytest.raises(Exception, match="pair-listing budget"):
+        gated.collect()
+
+
 def test_pair_listing_queries_run_their_budget_gate(spark, monkeypatch):
     """The gate must be wired into the REGISTERED q52/q55/q57 bodies
     (not just exist as a helper): with PAIR_BUDGET squeezed to zero,

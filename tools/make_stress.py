@@ -18,7 +18,7 @@ quadratic pairwise stage): documents + embeddings ONLY, each source
 row replicated N times with id offsets — every text and every vector
 becomes an N-clique of bit-identical copies, the regime where raw
 pairwise forms pay C(N,2) per value and the collapse-first hybrids
-must both DISPATCH and win (tests/test_dupdense_stress.py)."
+must both DISPATCH and win (tests/test_dupdense_stress.py).
 
 --vocab builds the UNIQUE-WORD corpus (round-9 PERF.md fixture,
 committed per round-9 VERDICT task 4): every word in every document is

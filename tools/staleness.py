@@ -28,23 +28,19 @@ import sys
 WINDOW = 50  # entries of queries() the driver checks per round
 
 #: the round whose window _FRONT currently pins (bump at each rotation)
-THIS_ROUND = 11
+THIS_ROUND = 12
 
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 11: the NULL-wave extension to events/orders touched six
-#: queries (q07/q19/q71/q72/q96 outside the round-11 window, q136
-#: inside it) — NULL event timestamps are now excluded from every
-#: order-dependent computation in both engines, and NULL sort keys
-#: order NULLS LAST explicitly. NOT fronted: on the driver's clean
-#: corpora the change is provably output-identical (it only drops /
-#: reorders NULL-ts/NULL-key rows, and the clean testdata has none —
-#: re-verified MATCH at sf0.01 this round), so their standing r10 hash
-#: rows still describe current behavior; the NULL-corpus behavior is
-#: pinned by tests/test_null_robustness.py, which the driver cannot
-#: see anyway. Fronting five no-op rows would overflow the round-12
-#: window and push four genuinely-stale queries past the ceiling.
+#: Round 12: no engine-side query behavior changed — the round's source
+#: deltas are bench self-qualification stamps, the guards.py estimate-
+#: side assert (same trip condition, earlier evaluation point), oracle-
+#: sweep memoization (oracle side only), and NULL-corpus test widening
+#: to customer/part/supplier (test-only; the driver's clean corpora
+#: carry no NULLs in those columns, re-verified MATCH at sf0.01 this
+#: round). All query outputs are bit-identical on driver inputs, so
+#: standing hash rows remain descriptive and nothing needs fronting.
 CHANGED: tuple[str, ...] = ()
 
 
