@@ -91,6 +91,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CANARY_QUERY = "q01_pricing_summary"
 CANARY_GATE_DEFAULT = 1.2
 
+
+def canary_flags(
+    samples: dict[str, float], med: float | None, gate: float
+) -> list[str]:
+    """Queries whose preceding canary sample reads > gate× the record's
+    own canary median — they rode a co-tenant burst.
+
+    The canary query itself is EXEMPT from its own flagging (round-11
+    ADVICE): its preceding canary is the record's first in-sweep sample
+    and reads high in EVERY record (residual first-sample warmth the
+    discard run does not fully absorb — all four clean r11 records),
+    so flagging it is structural, not burst detection, and it left the
+    canary query with zero clean composite samples all round. A real
+    burst on its measurement is still shed by min-across-records."""
+    return sorted(
+        q
+        for q, t in samples.items()
+        if q != CANARY_QUERY and med and t > gate * med
+    )
+
 #: Representative slice of the registered corpus: scan-agg, fact join,
 #: dim-hop join, window, distinct agg, text explode, ngram shuffle, LSH
 #: dedup, vector top-k, event windows, sessionization.
@@ -202,6 +222,9 @@ def detail_line(payload: dict) -> dict:
         detail["canary"] = payload["canary"]
     if payload.get("canary_flagged"):
         detail["canary_flagged"] = payload["canary_flagged"]
+    for k in ("canary_pre", "canary_post"):
+        if payload.get(k) is not None:
+            detail[k] = payload[k]
     if payload.get("sources"):
         detail["sources"] = payload["sources"]
     if payload.get("machine_era"):
@@ -250,6 +273,18 @@ def final_line(payload: dict) -> dict:
     ratio = era.get("machine_era_ratio")
     if isinstance(ratio, (int, float)):
         compact["era"] = round(float(ratio), 3)
+    # bench self-qualification (round-11 VERDICT task 2): the PLAIN
+    # driver sweep is neither canary-gated nor min-composited, so its
+    # headline is load-of-the-day with nothing in the artifact to
+    # qualify it by. One canary timing immediately before and one
+    # immediately after the sweep ride the final line as a bounded
+    # "pre/post" string: an outside reader of BENCH_rN alone can now
+    # reject a co-tenant-polluted record (either probe ≫ the committed
+    # composite's canary median ≈0.3s ⇒ the box was busy), at ~2s cost
+    # instead of the full per-query gate.
+    pre, post = payload.get("canary_pre"), payload.get("canary_post")
+    if isinstance(pre, (int, float)) and isinstance(post, (int, float)):
+        compact["canary"] = f"{pre:.2f}/{post:.2f}"[:11]
     assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
     return compact
 
@@ -368,6 +403,25 @@ def composite(record_paths: list[str]) -> dict:
         and not rec.get("flagged")
     }
     best_canary = min(canary_meds.values()) if canary_meds else None
+    # mixing canary-gated and ungated records bypasses whole-record
+    # qualification (round-11 ADVICE): an ungated record taken under
+    # uniform inflation carries no canary median to skip it by, yet its
+    # per-query samples still compete for every min — warn loudly so a
+    # committed composite is never silently built on such a mix
+    if best_canary is not None:
+        ungated = [
+            p for p, rec in loaded
+            if not rec.get("flagged") and p not in canary_meds
+        ]
+        if ungated:
+            print(
+                "composite: WARNING mixing canary-gated and UNGATED "
+                f"records — {ungated} carry no canary median, so "
+                "whole-record inflation qualification cannot reach "
+                "them and their samples still ride per-query mins; "
+                "re-record them under --canary-gate",
+                file=sys.stderr,
+            )
     for p, rec in loaded:
         # a record hand-marked "flagged": true (e.g. uniform co-tenant
         # inflation that stayed under the loadavg gate) never rides a
@@ -696,6 +750,22 @@ def main() -> None:
         except Exception as exc:
             print(f"[bench] canary warm-up failed: {exc!r}", file=sys.stderr)
 
+    def _time_canary(tag: str) -> float | None:
+        """One timed canary run — the pre/post sweep self-qualification
+        probes (round-11 VERDICT task 2). Warm by construction: the
+        generic warm-up above already ran the canary query once."""
+        try:
+            t0 = time.perf_counter()
+            queries[CANARY_QUERY](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = round(time.perf_counter() - t0, 3)
+            print(f"[bench] canary_{tag}: {t}s", file=sys.stderr)
+            return t
+        except Exception as exc:  # probe failure ≠ sweep failure
+            print(f"[bench] canary_{tag} failed: {exc!r}", file=sys.stderr)
+            return None
+
     if ab_names:
         # Interleaved A/B (PERF.md methodology, promoted to a flag per
         # round-7 VERDICT task 7): alternate the two arms run-by-run so
@@ -767,6 +837,14 @@ def main() -> None:
     # query; flags computed against the record's own canary median at
     # every checkpoint (host-metric-free burst detection)
     canary_samples: dict[str, float] = {}
+    # pre/post sweep probes: ALWAYS taken (gated or plain) so every
+    # record — most importantly the driver's plain BENCH_rN sweep — is
+    # self-qualifying from its final line alone (round-11 VERDICT
+    # task 2); ~2s total
+    canary_probes: dict[str, float] = {}
+    t_pre = _time_canary("pre")
+    if t_pre is not None:
+        canary_probes["canary_pre"] = t_pre
 
     def _canary_block() -> tuple[dict, list[str]]:
         vals = sorted(canary_samples.values())
@@ -774,10 +852,7 @@ def main() -> None:
         med = (
             round((vals[n // 2] + vals[(n - 1) // 2]) / 2, 3) if n else None
         )
-        flagged = sorted(
-            q for q, t in canary_samples.items()
-            if med and t > canary_gate * med
-        )
+        flagged = canary_flags(canary_samples, med, canary_gate)
         block = {
             "name": CANARY_QUERY,
             "gate": canary_gate,
@@ -812,6 +887,7 @@ def main() -> None:
             block, flagged = _canary_block()
             payload["canary"] = block
             payload["canary_flagged"] = flagged
+        payload.update(canary_probes)
         if errors:
             payload["errors"] = errors
         try:
@@ -880,6 +956,9 @@ def main() -> None:
             spark.catalog.clearCache()
             _checkpoint()
 
+    t_post = _time_canary("post")
+    if t_post is not None:
+        canary_probes["canary_post"] = t_post
     payload = _checkpoint()
     era_ref = latest_committed_era(os.path.dirname(os.path.abspath(__file__)))
     if era_ref:

@@ -75,6 +75,84 @@ def test_final_line_era_ratio_is_a_bounded_scalar():
     assert "era" not in bench.final_line(p)
 
 
+def test_final_line_canary_probes_are_bounded():
+    # round-11 VERDICT task 2: the plain driver sweep self-qualifies via
+    # one canary timing before and one after the sweep, riding the final
+    # line as a bounded "pre/post" string — a reader of BENCH_rN alone
+    # can reject a co-tenant-polluted record.
+    p = _payload(150)
+    p["canary_pre"], p["canary_post"] = 0.312, 0.297
+    compact = bench.final_line(p)
+    assert compact["canary"] == "0.31/0.30"
+    assert len(json.dumps(compact)) <= 200
+    # worst realistic shape: every optional scalar present at once, with
+    # absurd probe values — the size invariant must hold over FIXED keys
+    p["loadavg"] = {"start": 99999.9, "end": 12345.5, "per_query": {}}
+    p["era_ref"] = {"machine_era_ratio": 1.041}
+    p["canary_pre"], p["canary_post"] = 99999.123, 99999.456
+    line = bench.final_line(p)
+    assert len(line["canary"]) <= 11
+    assert len(json.dumps(line)) <= 200
+    # absent probes → no key; a half-present pair must not stamp either
+    del p["canary_pre"], p["canary_post"]
+    assert "canary" not in bench.final_line(p)
+    p["canary_pre"] = 0.3
+    assert "canary" not in bench.final_line(p)
+    # detail line carries the raw scalars when present
+    p["canary_post"] = 0.4
+    detail = bench.detail_line(p)
+    assert detail["canary_pre"] == 0.3 and detail["canary_post"] == 0.4
+
+
+def test_canary_query_exempt_from_its_own_flagging():
+    # round-11 ADVICE: the canary's own preceding sample is the record's
+    # first and reads structurally high — flagging it starved the
+    # canary query of clean composite samples all round. Other queries
+    # past the gate still flag.
+    samples = {"q01_pricing_summary": 0.9, "q30": 0.9, "q31": 0.3}
+    assert bench.canary_flags(samples, med=0.3, gate=1.2) == ["q30"]
+    # no median (empty record) → nothing flags, no crash
+    assert bench.canary_flags(samples, med=None, gate=1.2) == []
+
+
+def test_composite_warns_on_mixed_gated_and_ungated_records(
+    tmp_path, capsys
+):
+    """Round-11 ADVICE: an ungated record carries no canary median, so
+    whole-record inflation qualification cannot skip it — mixing it
+    with gated records must WARN (its samples still ride the mins)."""
+    import json as _json
+
+    gated = {
+        "metric": "headline_query_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0},
+        "sf": "/root/testdata/sf0.1",
+        "canary": {"name": "q01", "gate": 1.2, "median": 0.30,
+                   "samples": {"q1": 0.3}},
+        "canary_flagged": [],
+    }
+    ungated = {
+        "metric": "headline_query_total_wall",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q1": 0.9},
+        "sf": "/root/testdata/sf0.1",
+    }
+    p1, p2 = tmp_path / "gated.json", tmp_path / "ungated.json"
+    p1.write_text(_json.dumps(gated))
+    p2.write_text(_json.dumps(ungated))
+    comp = bench.composite([str(p1), str(p2)])
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "ungated.json" in err
+    assert comp["queries"] == {"q1": 0.9}  # warned, not dropped
+    # uniform gated-only and ungated-only mixes stay silent
+    bench.composite([str(p1)])
+    bench.composite([str(p2)])
+    assert "WARNING" not in capsys.readouterr().err
+
+
 def test_latest_committed_era_picks_newest_composite(tmp_path):
     import json as _json
 
