@@ -427,6 +427,31 @@ def duplicated_python_udf_calls(df: DataFrame) -> list[str]:
     return sorted(out)
 
 
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Positive plan-shape snapshot for the committed fingerprint
+    ledger (round-11 VERDICT task 4).
+
+    The four registry gates assert the ABSENCE of anti-patterns; a
+    refactor or Spark upgrade that silently drops a broadcast hint to
+    a sort-merge join, or adds a shuffle, passes every gate and shows
+    up only as a bench mystery. This pins the positive shape as a
+    small dict of stable scalars — node counts and sorted widths, no
+    expression ids or node ids (those re-alias per session) — so
+    ``tools/plan_audit.py --snapshot`` can commit a per-query baseline
+    and CI can diff it (tests/test_plan_fingerprints.py). A diff is
+    not necessarily a bug: re-snapshot after REVIEWING the new plan.
+    """
+    return {
+        "shuffles": shuffle_count(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "corpus_widths": sorted(corpus_exchange_widths(df)),
+        "expand": has_expand(df),
+        "unpart_windows": len(unpartitioned_corpus_windows(df)),
+        "dup_udfs": len(duplicated_python_udf_calls(df)),
+        "cartesian": len(unbounded_cartesian_joins(df)),
+    }
+
+
 def has_expand(df: DataFrame) -> bool:
     """True when the plan contains an Expand node (multi-distinct
     aggregates, rollup/cube/grouping-sets) — each Expand multiplies the

@@ -11,6 +11,18 @@ sweep instead of a lucky explain.
 Usage: python tools/plan_audit.py [sf_dir] [--wide N]   (flag width > N,
 default 24 — wide enough that honest multi-metric aggregates pass and
 a 200-column sketch buffer cannot)
+
+  --snapshot    write the per-query plan-fingerprint ledger (round-11
+                VERDICT task 4) to PLAN_FINGERPRINTS.json at the repo
+                root: {query: {shuffles, broadcast_joins,
+                corpus_widths, expand, unpart_windows, dup_udfs,
+                cartesian}}. The four gates assert absence of
+                anti-patterns; the committed ledger pins the POSITIVE
+                shape so a refactor or Spark upgrade that drops a
+                broadcast to SMJ or adds a shuffle fails
+                tests/test_plan_fingerprints.py instead of surfacing
+                as a bench mystery. Update path after a REVIEWED plan
+                change: re-run --snapshot and commit the diff.
 """
 
 from __future__ import annotations
@@ -21,6 +33,44 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+#: committed ledger path (repo root) — the baseline
+#: tests/test_plan_fingerprints.py diffs against
+SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PLAN_FINGERPRINTS.json",
+)
+
+
+def snapshot(sf_dir: str, out_path: str = SNAPSHOT_PATH) -> dict:
+    """Compute and write the per-query fingerprint ledger. Queries
+    whose plan construction throws are recorded as {"error": type} so
+    the ledger still covers the whole registry (and the CI diff fails
+    loudly on them)."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from setu_spark.plans.inspect import plan_fingerprint
+    from setu_spark.session import get_spark
+
+    spark = get_spark("plan-fingerprint-snapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    ledger: dict[str, dict] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            ledger[name] = plan_fingerprint(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            ledger[name] = {"error": type(exc).__name__}
+        finally:
+            spark.catalog.clearCache()
+        print(f"[snapshot] {name}: {ledger[name]}", file=sys.stderr)
+    with open(out_path, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "fingerprints": ledger}, fh,
+                  indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {len(ledger)} fingerprints to {out_path}")
+    return ledger
+
+
 def main() -> int:
     argv = sys.argv[1:]
     wide = 24
@@ -28,10 +78,19 @@ def main() -> int:
         i = argv.index("--wide")
         wide = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    snap = "--snapshot" in argv
+    if snap:
+        argv.remove("--snapshot")
     unknown = [a for a in argv if a.startswith("--")]
     if unknown:
-        sys.exit(f"unknown flags {unknown}; usage: plan_audit.py [sf_dir] [--wide N]")
+        sys.exit(
+            f"unknown flags {unknown}; usage: plan_audit.py [sf_dir] "
+            "[--wide N] [--snapshot]"
+        )
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    if snap:
+        snapshot(sf_dir)
+        return 0
 
     import __spark_entry__ as entrymod
     from setu_spark.plans.inspect import (
