@@ -343,7 +343,11 @@ def latest_committed_era(repo: str) -> dict | None:
     that carries one — the source of the final line's "era" key on
     plain sweeps (round-10 VERDICT task 3).  The driver's BENCH_rN.json
     keeps only the final line, so without this a naive BENCH_r10-vs-r08
-    diff reads machine era as a code regression."""
+    diff reads machine era as a code regression.
+
+    Searched in ``bench_records/`` (where round records live since
+    round 12 — the repo root is the driver-facing surface) and the repo
+    root itself (in-progress records of the current round)."""
     import glob
     import re
 
@@ -352,7 +356,10 @@ def latest_committed_era(repo: str) -> dict | None:
         return int(m.group(1)) if m else -1
 
     for p in sorted(
-        glob.glob(os.path.join(repo, "bench_composite_r*.json")),
+        glob.glob(os.path.join(repo, "bench_composite_r*.json"))
+        + glob.glob(
+            os.path.join(repo, "bench_records", "bench_composite_r*.json")
+        ),
         key=_rnd,
         reverse=True,
     ):

@@ -172,6 +172,17 @@ def test_latest_committed_era_picks_newest_composite(tmp_path):
         "source": "bench_composite_r10.json",
     }
     assert bench.latest_committed_era(str(tmp_path / "nowhere")) is None
+    # round 12: superseded records moved under bench_records/ — a newer
+    # composite there must win over an older root-level one
+    sub = tmp_path / "bench_records"
+    sub.mkdir()
+    (sub / "bench_composite_r12.json").write_text(
+        _json.dumps({"machine_era": {"machine_era_ratio": 1.05}})
+    )
+    assert bench.latest_committed_era(str(tmp_path)) == {
+        "machine_era_ratio": 1.05,
+        "source": "bench_composite_r12.json",
+    }
 
 
 def test_final_line_load_context_is_bounded():
