@@ -63,6 +63,184 @@ def test_counting_and_predicates_match_python(spark, texts):
         assert r.term == _py_terminal_valid(t), t
 
 
+#: WIDE alphabet (round-11 VERDICT task 6): the BMP fuzz above never
+#: leaves the basic plane, but 100 TB of crawl text does — astral-plane
+#: digits and letters (surrogate-pair territory in the JVM), combining
+#: marks, and ZWJ/ZWNJ sequences are exactly where a JVM-vs-Python
+#: char-class divergence would hide. Each entry is one CODEPOINT (or a
+#: short cluster) chosen to probe a specific class boundary:
+WIDE_ALPHABET = st.sampled_from(
+    list("ab1 .!\n")
+    + [
+        "𝟘",        # U+1D7D8 math double-struck zero — astral Nd
+        "𑁨",        # U+11068 Brahmi digit two — astral Nd
+        "１",        # U+FF11 fullwidth one — BMP Nd outside ASCII
+        "²",        # U+00B2 superscript — No: isdigit-True, \\p{Nd}-False
+        "①",        # U+2460 circled one — No (Numeric_Type=Digit)
+        "五",        # CJK numeral — Lo, isnumeric-True, \\p{N}-False
+        "𐌰",        # U+10330 Gothic letter — astral, unlisted script
+        "😀",        # U+1F600 emoji — astral So
+        "𞸀",        # U+1EE00 Arabic Mathematical — astral U15 block
+        "𐹠",        # U+10E60 Rumi digit one — astral U15 block, No
+        "‍",   # ZWJ — Cf, Common script
+        "‌",   # ZWNJ — Cf, Common script
+        "́",   # combining acute — Mn, Inherited script
+        "॑",   # Devanagari stress mark — Mn, in-block
+        "न", "ा", "।", "१", "٣",
+    ]
+)
+WIDE_TEXTS = st.lists(
+    st.text(alphabet=WIDE_ALPHABET, min_size=0, max_size=16),
+    min_size=1,
+    max_size=32,
+)
+
+
+def _in_blocks(ch: str, blocks) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in blocks)
+
+
+def _py_symbol_ratio(s: str):
+    """U15 ground truth from the committed block table — the
+    reference's exact valid set: ASCII alnum, space, newline, listed
+    script blocks; everything else is a symbol."""
+    from setu_spark.functions.text import _REFERENCE_VALID_BLOCKS
+
+    if not s:
+        return None
+    invalid = sum(
+        1
+        for ch in s
+        if not (
+            (ch.isascii() and ch.isalnum())
+            or ch in " \n"
+            or _in_blocks(ch, _REFERENCE_VALID_BLOCKS)
+        )
+    )
+    return invalid / len(s)
+
+
+def _py_num_punc_only(s: str, threshold: float = 0.4) -> bool:
+    """U16 ground truth: the reference's ``s.isnumeric() or
+    (invalid_ratio and invalid_ratio >= threshold)`` over its
+    letters-only class (the committed _U16_LETTER_BLOCKS)."""
+    from setu_spark.functions.text import _U16_LETTER_BLOCKS
+
+    if not s:
+        return False
+    if s.isnumeric():
+        return True
+    invalid = sum(
+        1
+        for ch in s
+        if not (
+            (ch.isascii() and ch.isalpha())
+            or ch in " \n"
+            or _in_blocks(ch, _U16_LETTER_BLOCKS)
+        )
+    )
+    ratio = invalid / len(s)
+    return ratio > 0 and ratio >= threshold
+
+
+def _py_is_number_nd(s: str) -> bool:
+    """U5 as SHIPPED: every char in ``\\p{Nd}`` (Unicode decimal
+    digits). Declared divergence D7 from Python ``str.isdigit``: CPython
+    also accepts Numeric_Type=Digit NON-decimals (², ①, …) which no
+    regex property reaches in the JVM or RE2 — see COVERAGE.md."""
+    import unicodedata
+
+    return len(s) > 0 and all(
+        unicodedata.category(c) == "Nd" for c in s
+    )
+
+
+@settings(max_examples=16, deadline=None)
+@given(WIDE_TEXTS)
+def test_char_class_kernels_match_python_on_wide_unicode(spark, texts):
+    """Astral / combining / ZWJ parity for U2-U5, U15-U17: one Spark
+    job over the fuzz batch vs pure-Python twins built from the SAME
+    committed constants (block tables, terminal tuples). A JVM regex
+    that treated a surrogate pair as two chars, or a class that
+    silently dropped an astral range, fails here."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.functions.text import (
+        is_num_or_punc_only,
+        symbol_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "t"]
+    )
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            word_count("t").alias("wc"),
+            char_count("t").alias("cc"),
+            byte_count("t").alias("bc"),
+            is_number("t").alias("num"),
+            terminal_valid("t").alias("term"),
+            symbol_ratio(F.col("t")).alias("sym"),
+            is_num_or_punc_only(F.col("t")).alias("npo"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        r = rows[i]
+        assert r.wc == len(t.split(" ")), (t, r.wc)
+        assert r.cc == len(t), (t, r.cc)  # codepoints, not UTF-16 units
+        assert r.bc == len(t.encode("utf-8")), t
+        assert r.num == _py_is_number_nd(t), (t, r.num)
+        assert r.term == _py_terminal_valid(t), t
+        want_sym = _py_symbol_ratio(t)
+        if want_sym is None:
+            assert r.sym is None, t
+        else:
+            assert r.sym is not None and abs(r.sym - want_sym) < 1e-12, (
+                t, r.sym, want_sym,
+            )
+        assert r.npo == _py_num_punc_only(t), (t, r.npo)
+
+
+def test_u8_non_li_count_on_astral_and_joiners(spark):
+    """U8 hand vectors for the planes the BMP fuzz never reaches. The
+    class is the reference's verbatim complement (14 scripts + \\p{P} +
+    \\s exempt), so Cf joiners (ZWJ/ZWNJ, script Common), Inherited
+    combining marks, and unlisted astral scripts all COUNT — in both
+    the reference's regex-module pattern and the JVM twin."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.functions.text import non_li_char_count
+
+    vectors = [
+        ("नमस्ते abc", 0),      # in-script + Latin + space
+        ("𐌰𐌱", 2),             # Gothic: astral, unlisted script
+        ("😀", 1),              # emoji So
+        ("a‍b", 1),        # ZWJ: Cf, Common — counts
+        ("क‌ष", 1),        # ZWNJ between Devanagari — counts
+        ("é", 1),         # combining acute: Inherited — counts
+        # U+0951 stress mark is Script=INHERITED (Devanagari only via
+        # scx, which neither Java \p{IsX} nor the reference's
+        # \p{Script=X} consults) — counts in BOTH engines
+        ("क॑", 1),
+        ("का", 0),         # U+093E matra: Script=Devanagari proper
+        ("𑠀", 0),              # U+11800 Dogra — astral but LISTED script
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(vectors)], ["i", "t"]
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", non_li_char_count(F.col("t")).alias("n")
+        ).collect()
+    }
+    for i, (t, want) in enumerate(vectors):
+        assert got[i] == want, (t, got[i], want)
+
+
 def test_ngram_novelty_planted_histogram(spark):
     """q146 deciles on planted docs: a mirrored pair shares every
     shingle (decile 0), a fully original doc is all-unique (decile 9),
