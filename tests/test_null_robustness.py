@@ -1,5 +1,6 @@
 """NULL-robustness regression net (round 10; events/orders extension
-round 11).
+round 11; customer/part/supplier extension round 12 — that wave found
+ZERO divergences: the NULL discipline below already generalized).
 
 100 TB of real crawl data carries rows the synthetic testdata never
 does: NULL text, NULL embeddings, NULL payloads. A round-10 sweep of
@@ -61,6 +62,22 @@ FAMILY = [
     # their closest untouched neighbors (q70/q73/q75/q77/q95 keep the
     # NULL-bucket group-by semantics; q14/q134 are the other
     # date-ordered windows)
+    # round-12 customer/part/supplier extension: the analytics queries
+    # whose paths read c_acctbal/c_mktsegment/p_retailprice/p_name/
+    # s_acctbal. A full-registry sweep on the extended corpus found
+    # ZERO divergences and zero crashes — the rounds-10/11 discipline
+    # (NULLS-LAST sorts, SQL-standard group-by NULL buckets) already
+    # covers these columns; this pins that state.
+    "q02_top_parts_by_revenue",
+    "q08_supplier_rank_in_nation",
+    "q12_supplier_part_breadth",
+    "q13_segment_acctbal",
+    "q17_rich_customers_minus_buyers",
+    "q18_order_price_bands",
+    "q21_price_percentiles",
+    "q22_part_name_drift",
+    "q24_price_math_profile",
+    "q26_conditional_aggregates",
     "q07_customer_running_spend",
     "q136_order_distribution_stats",
     "q19_asof_last_signup",
@@ -135,6 +152,38 @@ def null_dir():
                            THEN NULL ELSE o_orderdate END AS o_orderdate
                     ) FROM '{f}')
                     TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+            )
+        # round-12 extension: the remaining relational tables. The dim
+        # tables are tiny at sf0.001 (customer 150, part 200, supplier
+        # 10 rows), so the moduli are small enough that NULLs actually
+        # reach the percentile/window/segment paths (~7-30% density).
+        elif name == "customer":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                      CASE WHEN c_custkey % 13 = 7
+                           THEN NULL ELSE c_acctbal END AS c_acctbal,
+                      CASE WHEN c_custkey % 17 = 11
+                           THEN NULL ELSE c_mktsegment END AS c_mktsegment
+                    ) FROM '{f}')
+                    TO '{d}/customer.parquet' (FORMAT PARQUET)"""
+            )
+        elif name == "part":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                      CASE WHEN p_partkey % 11 = 3
+                           THEN NULL ELSE p_retailprice END AS p_retailprice,
+                      CASE WHEN p_partkey % 19 = 5
+                           THEN NULL ELSE p_name END AS p_name
+                    ) FROM '{f}')
+                    TO '{d}/part.parquet' (FORMAT PARQUET)"""
+            )
+        elif name == "supplier":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                      CASE WHEN s_suppkey % 3 = 1
+                           THEN NULL ELSE s_acctbal END AS s_acctbal
+                    ) FROM '{f}')
+                    TO '{d}/supplier.parquet' (FORMAT PARQUET)"""
             )
         else:
             shutil.copy(f, os.path.join(d, os.path.basename(f)))
