@@ -279,9 +279,14 @@ def final_line(payload: dict) -> dict:
     # qualify it by. One canary timing immediately before and one
     # immediately after the sweep ride the final line as a bounded
     # "pre/post" string: an outside reader of BENCH_rN alone can now
-    # reject a co-tenant-polluted record (either probe ≫ the committed
-    # composite's canary median ≈0.3s ⇒ the box was busy), at ~2s cost
-    # instead of the full per-query gate.
+    # reject a co-tenant-polluted record at ~2s cost instead of the
+    # full per-query gate. Read the probes POSITIONALLY against other
+    # records' probes, not against each other: the canary query keeps
+    # warming with repetition across a sweep (measured r12: pre ≈1.65,
+    # in-sweep median ≈1.07, post ≈0.9 on two consecutive clean
+    # records), so pre is structurally the higher reading — a clean
+    # box gives consistent pre-vs-pre and post-vs-post across records,
+    # and a co-tenant burst shows as a multiple of either.
     pre, post = payload.get("canary_pre"), payload.get("canary_post")
     if isinstance(pre, (int, float)) and isinstance(post, (int, float)):
         compact["canary"] = f"{pre:.2f}/{post:.2f}"[:11]
