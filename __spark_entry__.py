@@ -49,65 +49,65 @@ SF0001 = "/root/testdata/sf0.001"
 #: The driver's correctness harness checks roughly the FIRST 50
 #: entries of the returned maps, so this list pins the window
 #: explicitly (everything else follows in registration order).
-#: ROUND 12 window: the committed ROTATION.md round-12 block verbatim —
-#: the 49 queries whose last green driver row is r09 and which hit the
-#: 3-round staleness ceiling this round (dedup/similarity/ANN/BPE/
-#: multimodal/sampling families plus the q18-q27 analytics block),
-#: topped up to 50 in registration order (q110). No behavior-changed
-#: queries to front: round-12 source changes are bench/guard/oracle
-#: tooling plus NULL-corpus test widening, all output-identical on the
-#: driver's clean corpora (see tools/staleness.py CHANGED note).
+#: ROUND 13 window: the committed ROTATION.md round-13 block verbatim —
+#: the 49 queries whose last green driver row is r10 and which hit the
+#: 3-round staleness ceiling this round (the q01-q17 analytics block,
+#: q30-q33, q63/q68, the q70-q77/q95/q96 events family,
+#: q103/q105-q107/q109/q111-q113, q132/q144-q150), topped up to 50 in
+#: registration order (q88). No behavior-changed queries to front:
+#: round-13 source changes are tooling/test widening, all
+#: output-identical on the driver's clean corpora.
 _FRONT = (
-    "q100_dataset_card",
-    "q101_media_chunk_windows",
-    "q108_editdist_verify",
-    "q125_dedup_impact_audit",
-    "q137_props_schema_parse",
-    "q138_margin_pair_mining_ann",
-    "q139_bpe_merge_iterations",
-    "q140_margin_ann_recall_audit",
-    "q141_bpe_compression_curve",
-    "q142_embedding_quant_audit",
-    "q18_order_price_bands",
-    "q21_price_percentiles",
-    "q22_part_name_drift",
-    "q23_monthly_seasonality",
-    "q26_conditional_aggregates",
-    "q29_token_budget_sample",
-    "q34_doc_fingerprint",
-    "q37_fingerprint_containment",
-    "q38_representative_doc_per_group",
-    "q39_tfidf_top_terms",
-    "q40_reassembly_roundtrip",
-    "q42_word_ngram_repetition",
-    "q43_script_detection",
-    "q44_flagged_word_counts",
-    "q48_repetition_flag_filter",
-    "q49_wordlist_flagged_counts",
-    "q51_minhash_signatures",
-    "q53_token_jaccard_pairs",
-    "q54_simhash",
-    "q56_dedup_components",
-    "q58_lsh_then_exact_jaccard",
-    "q59_dedup_removed_docs",
-    "q60_cosine_topk",
-    "q61_label_centroids",
-    "q62_ann_lsh_buckets",
-    "q64_decontamination",
-    "q65_keyword_phrase_hits",
-    "q66_flashtext_keyword_dist",
-    "q67_normalize_indic",
-    "q69_junk_document_flags",
-    "q81_flag_filter_survivors",
-    "q82_lid_predictions",
-    "q86_weighted_sample",
-    "q87_lang_balanced_sample",
-    "q90_media_decode_stats",
-    "q91_video_frame_offsets",
-    "q92_media_bytes_by_kind",
-    "q94_sequence_packing",
-    "q98_hash_split",
-    "q110_source_mixture_weights",
+    "q01_pricing_summary",
+    "q02_top_parts_by_revenue",
+    "q03_shipping_priority",
+    "q05_region_nation_revenue",
+    "q07_customer_running_spend",
+    "q08_supplier_rank_in_nation",
+    "q09_sales_rollup",
+    "q103_snapshot_diff",
+    "q105_source_overlap",
+    "q106_event_type_pivot",
+    "q107_grouping_sets_revenue",
+    "q109_quality_percentile_gate",
+    "q10_late_shipment_priority",
+    "q111_shared_span_removal",
+    "q112_temperature_mixture",
+    "q113_length_histogram",
+    "q11_customers_without_orders",
+    "q12_supplier_part_breadth",
+    "q132_vocab_coverage",
+    "q13_segment_acctbal",
+    "q144_leak_free_split",
+    "q145_quality_signal_correlation",
+    "q146_ngram_novelty",
+    "q147_quality_rule_ablation",
+    "q148_winnowed_novelty",
+    "q149_component_source_purity",
+    "q14_order_gap_days",
+    "q150_quality_survivor_delta",
+    "q15_status_priority_cube",
+    "q16_top3_orders_per_customer",
+    "q17_rich_customers_minus_buyers",
+    "q19_asof_last_signup",
+    "q20_repeat_buyers_intersection",
+    "q27_unified_activity_ledger",
+    "q30_doc_word_stats",
+    "q31_word_freq_topk",
+    "q32_lang_profile",
+    "q33_quality_flags",
+    "q63_ann_ivf_topk",
+    "q68_language_script_profile",
+    "q71_user_sessions",
+    "q72_first_event_per_user_type",
+    "q73_event_type_hourly_share",
+    "q74_event_props_extract",
+    "q75_user_totals",
+    "q76_sliding_event_counts",
+    "q77_event_funnel",
+    "q95_cohort_retention",
+    "q96_event_anomaly",
+    "q88_unigram_logprob",
 )
 
 

@@ -28,19 +28,18 @@ import sys
 WINDOW = 50  # entries of queries() the driver checks per round
 
 #: the round whose window _FRONT currently pins (bump at each rotation)
-THIS_ROUND = 12
+THIS_ROUND = 13
 
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 12: no engine-side query behavior changed — the round's source
-#: deltas are bench self-qualification stamps, the guards.py estimate-
-#: side assert (same trip condition, earlier evaluation point), oracle-
-#: sweep memoization (oracle side only), and NULL-corpus test widening
-#: to customer/part/supplier (test-only; the driver's clean corpora
-#: carry no NULLs in those columns, re-verified MATCH at sf0.01 this
-#: round). All query outputs are bit-identical on driver inputs, so
-#: standing hash rows remain descriptive and nothing needs fronting.
+#: Round 13: no engine-side query behavior changed — the round's source
+#: deltas are docstring/nullability notes on the pair-budget sentinel
+#: (guards.py), bench canary formatting and committed-record tie-breaks
+#: (bench.py), oracle-sweep memoization widening (oracle side only),
+#: sf0.1 plan-fingerprint snapshots, and fuzz/stress test widening
+#: (test-only). All query outputs are bit-identical on driver inputs,
+#: so standing hash rows remain descriptive and nothing needs fronting.
 CHANGED: tuple[str, ...] = ()
 
 
