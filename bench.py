@@ -289,7 +289,13 @@ def final_line(payload: dict) -> dict:
     # and a co-tenant burst shows as a multiple of either.
     pre, post = payload.get("canary_pre"), payload.get("canary_post")
     if isinstance(pre, (int, float)) and isinstance(post, (int, float)):
-        compact["canary"] = f"{pre:.2f}/{post:.2f}"[:11]
+        # bound each probe individually — truncating the JOINED string
+        # garbled large values into a misleading prefix ("99999.12/99"
+        # reads as post=99; round-12 ADVICE). 9999s ≈ 2.8h per probe is
+        # far past anything a canary query can honestly read.
+        compact["canary"] = "/".join(
+            f"{min(float(v), 9999.0):.2f}" for v in (pre, post)
+        )
     assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
     return compact
 
@@ -352,20 +358,28 @@ def latest_committed_era(repo: str) -> dict | None:
 
     Searched in ``bench_records/`` (where round records live since
     round 12 — the repo root is the driver-facing surface) and the repo
-    root itself (in-progress records of the current round)."""
+    root itself (in-progress records of the current round). A same-round
+    composite present in BOTH places ties on round number; the tie
+    breaks to ``bench_records/`` — the committed history — so an
+    in-progress root record never shadows the committed one
+    (round-12 ADVICE)."""
     import glob
     import re
 
-    def _rnd(p: str) -> int:
+    def _key(p: str) -> tuple[int, int]:
         m = re.search(r"_r(\d+)", os.path.basename(p))
-        return int(m.group(1)) if m else -1
+        rnd = int(m.group(1)) if m else -1
+        committed = 1 if os.path.basename(os.path.dirname(p)) == (
+            "bench_records"
+        ) else 0
+        return (rnd, committed)
 
     for p in sorted(
         glob.glob(os.path.join(repo, "bench_composite_r*.json"))
         + glob.glob(
             os.path.join(repo, "bench_records", "bench_composite_r*.json")
         ),
-        key=_rnd,
+        key=_key,
         reverse=True,
     ):
         try:

@@ -69,11 +69,25 @@ def pair_budget_gate(
     quadratic self-join without raising; an estimate-side filter under
     ``crossJoin(broadcast(...))`` has the same hole, because AQE's
     empty-relation propagation cancels the broadcast build when the
-    probe side materializes empty. A union arm is never skipped —
-    runtime empty-propagation can only drop it AFTER executing it —
-    and the single non-foldable predicate cannot be conjunct-reordered
-    away. Bonus: ``pairs`` rows now flow with NO per-row broadcast
-    hop at all. Rows and schema are untouched when the budget holds.
+    probe side materializes empty. The union arm cannot be
+    OPTIMIZER-pruned — runtime empty-propagation can only drop it
+    AFTER executing it, and the single non-foldable predicate cannot
+    be conjunct-reordered away — but PARTIAL materialization is a
+    weaker story: a downstream ``limit``/``take`` that is satisfied
+    from the pairs arm alone may return before the sentinel partition
+    is ever scheduled, so the assert fires only on full
+    materialization (count/collect/write — everything the registered
+    queries and the driver do). Bonus: ``pairs`` rows now flow with NO
+    per-row broadcast hop at all.
+
+    Rows and schema — INCLUDING per-field nullability — are untouched
+    when the budget holds: the sentinel's zero rows are built from
+    non-null dummy literals wherever the ``pairs`` field is
+    non-nullable (an all-``lit(None)`` arm would relax every output
+    column to nullable through the union), falling back to
+    ``lit(None)`` — and thus a nullability relaxation — only for
+    non-nullable fields of a type with no cheap non-null literal
+    (none of the pair queries has one).
 
     ``budget=None`` reads :data:`PAIR_BUDGET` at call time (so tests
     can squeeze it via monkeypatch)."""
@@ -106,9 +120,37 @@ def pair_budget_gate(
             F.col("_pair_est") <= F.lit(float(budget)), msg
         ).isNotNull()
     ).select(
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in pairs.schema.fields
-        ]
+        *[_zero_row_literal(f).alias(f.name) for f in pairs.schema.fields]
     )
     return pairs.unionByName(sentinel)
+
+
+def _zero_row_literal(field) -> F.Column:
+    """A typed literal for one zero-row sentinel column.
+
+    ``unionByName`` ORs nullability per field, so an all-``lit(None)``
+    sentinel would relax every non-nullable output column to nullable
+    even though it contributes no rows (round-12 ADVICE). Non-nullable
+    fields therefore get a non-null dummy whose cast stays
+    non-nullable (literal→wider-numeric/string/boolean/binary casts
+    never force nullability); nullable fields keep the plain NULL."""
+    from pyspark.sql.types import (
+        BooleanType,
+        BinaryType,
+        NumericType,
+        StringType,
+    )
+
+    t = field.dataType
+    if field.nullable:
+        return F.lit(None).cast(t)
+    if isinstance(t, NumericType):
+        return F.lit(0).cast(t)
+    if isinstance(t, StringType):
+        return F.lit("")
+    if isinstance(t, BooleanType):
+        return F.lit(False)
+    if isinstance(t, BinaryType):
+        return F.lit(b"")
+    # exotic non-nullable type: accept the relaxation (documented)
+    return F.lit(None).cast(t)

@@ -955,3 +955,44 @@ def test_pair_listing_queries_run_their_budget_gate(spark, monkeypatch):
               q55_embedding_neardup):
         with pytest.raises(Exception, match="pair-listing budget"):
             q(spark, sf).collect()
+
+
+def test_pair_budget_gate_preserves_nullability(spark):
+    """Round-12 ADVICE: an all-lit(None) sentinel arm relaxed every
+    output column to nullable through unionByName even though it
+    contributes zero rows — strict-schema consumers (parquet schema
+    expectations, downstream unions) saw the changed nullability. The
+    sentinel now builds non-null dummies for non-nullable fields, so
+    the gated schema — including per-field nullability — must equal
+    the input schema exactly on a mixed-nullability frame."""
+    from pyspark.sql import functions as F
+
+    from setu_spark.operators.guards import pair_budget_gate
+
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, UNRELATED)], ["doc_id", "text"]
+    )
+    sig = minhash_signatures(docs)
+    bands = band_table(sig)
+    # a mixed-nullability pairs frame: literals and coalesce are
+    # non-nullable, a parquet-born column stays nullable
+    pairs = (
+        spark.range(3)
+        .select(
+            F.col("id").alias("id_a"),                    # non-nullable
+            F.lit("x").alias("id_b"),                     # non-nullable
+            F.lit(True).alias("flag"),                    # non-nullable
+            F.lit(b"").alias("blob"),                     # non-nullable
+            F.when(F.col("id") > 1, F.col("id")).alias("score"),  # nullable
+        )
+    )
+    before = [(f.name, f.dataType, f.nullable) for f in pairs.schema.fields]
+    gated = pair_budget_gate(
+        pairs, bands, ["band", "band_hash"], "qXX", "qYY",
+        budget=10**9,
+    )
+    after = [(f.name, f.dataType, f.nullable) for f in gated.schema.fields]
+    assert after == before
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, pairs.collect())
+    )

@@ -10,20 +10,37 @@ Usage: python tools/oracle_sweep.py [sf_dir] [--only q146,q63,...]
 Prints one line per query (MATCH / MISMATCH / ERROR) and a final
 summary line; exits non-zero if any query mismatches or errors.
 
-Oracle-side memoization (round-11 VERDICT task 5): the five CC-family
-oracles (q56/q125/q144/q149/q150) each embed the identical recursive
-transitive-closure CTE, which dominates sf0.1 sweep wall (q144: 178s
-of its 184s is the DuckDB closure, measured round 11 — NOT an engine
-regression). When ≥2 family members ride a sweep, the shared closure
-is materialized ONCE as a temp table and the family oracles' common
-CTE prefix is rewritten — exact-text surgery on the verbatim
-``_components_cte()`` string, exposing the same single name (``comp``)
-downstream, so per-oracle semantics are unchanged. ``--no-memo``
-disables it (e.g. to time a single oracle honestly end-to-end).
+Oracle-side memoization (round-11 VERDICT task 5, widened round 13):
+two shared fragments dominate sf0.1 sweep wall, both DuckDB-side — NOT
+engine regressions:
+
+  * the recursive transitive-closure CTE embedded by the five
+    CC-family oracles (q56/q125/q144/q149/q150; q144: 178s of its 184s
+    was the closure, measured round 11), and
+  * the MinHash signature select (8 affine permutations over the
+    polynomial shingle hash of every doc) embedded by THIRTEEN oracles
+    (q51/q52/q56/q58/q93/q108/q122/q125/q133/q144/q149/q150/q151;
+    q151: 63.1s and q52: 54.9s sweep lines were sig-dominated,
+    measured round 12 — the engine side is ~1-2s each).
+
+When ≥2 members of a family ride a sweep, the shared fragment is
+materialized ONCE as a temp table and each member's SQL is rewritten
+to read it — the signature select becomes ``_sig_memo`` and the
+closure becomes ``_cc_comp_memo`` (built on top of the sig memo when
+both fire), exposing the same names (``sig`` / ``comp``) downstream so
+per-oracle semantics are unchanged. Matching is WHITESPACE-NORMALIZED
+(round-12 ADVICE): verbatim f-string equality silently disabled the
+memo on any reflow — q58's sig CTE differs from q52's by one newline —
+and the only symptom was a slow sweep. A family member swept without
+memoization (``--no-memo`` absent) now prints an explicit ``[memo]
+NOTE`` line, as does any oracle carrying the minhash cost marker that
+stops matching the fragment (drift canary). ``--no-memo`` disables
+everything (e.g. to time a single oracle honestly end-to-end).
 """
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 
@@ -36,30 +53,92 @@ from setu_spark.session import get_spark  # noqa: E402
 from tests.oracle_utils import compare_frames, register_views  # noqa: E402
 
 
-def memoized_oracles(duck, names, oracles) -> dict[str, str]:
-    """Materialize the CC family's shared closure once; return the
-    rewritten oracle SQL for every swept query that embeds the verbatim
-    CTE (empty dict when fewer than 2 do — a lone member pays the
-    closure once either way, and the temp-table detour would only blur
-    its standalone timing)."""
-    from setu_spark.operators.dedup import _components_cte
+def _ws_pattern(fragment: str) -> re.Pattern:
+    """Compile ``fragment`` into a regex that tolerates any whitespace
+    run wherever the fragment has whitespace — oracles are assembled
+    from f-strings with varying indentation, so exact-text surgery
+    breaks on pure reflows (round-12 ADVICE)."""
+    return re.compile(r"\s+".join(re.escape(tok) for tok in fragment.split()))
 
+
+def memoized_oracles(duck, names, oracles) -> dict[str, str]:
+    """Materialize the shared sig/closure fragments once; return the
+    rewritten oracle SQL for every swept query that embeds one (empty
+    for families with <2 swept members — a lone member pays its
+    fragment once either way, and the temp-table detour would only
+    blur its standalone timing; an explicit NOTE line records the
+    skip)."""
+    from setu_spark.operators.dedup import _components_cte, _minhash_sql_cols
+
+    sig_sel = (
+        "SELECT doc_id, " + ", ".join(_minhash_sql_cols()) + " FROM documents"
+    )
     cte = _components_cte()
-    family = [n for n in names if cte in oracles.get(n, "")]
-    if len(family) < 2:
-        return {}
-    t0 = time.time()
-    duck.execute(
-        f"CREATE OR REPLACE TEMP TABLE _cc_comp_memo AS {cte} "
-        "SELECT * FROM comp"
-    )
-    print(
-        f"[memo] CC closure materialized once for {family} "
-        f"({time.time()-t0:.1f}s)",
-        flush=True,
-    )
-    repl = "WITH comp AS (SELECT * FROM _cc_comp_memo)"
-    return {n: oracles[n].replace(cte, repl) for n in family}
+    sig_pat, cte_pat = _ws_pattern(sig_sel), _ws_pattern(cte)
+    sig_users = [n for n in names if sig_pat.search(oracles.get(n, ""))]
+    cc_family = [n for n in names if cte_pat.search(oracles.get(n, ""))]
+    out: dict[str, str] = {}
+
+    sig_repl = "SELECT * FROM _sig_memo"
+    do_sig = len(sig_users) >= 2
+    if do_sig:
+        t0 = time.time()
+        duck.execute(f"CREATE OR REPLACE TEMP TABLE _sig_memo AS {sig_sel}")
+        print(
+            f"[memo] MinHash sig table materialized once for "
+            f"{len(sig_users)} oracles ({time.time()-t0:.1f}s)",
+            flush=True,
+        )
+    elif sig_users:
+        print(
+            f"[memo] NOTE: {sig_users} swept WITHOUT sig memoization "
+            "(<2 family members in this sweep)",
+            flush=True,
+        )
+
+    if len(cc_family) >= 2:
+        t0 = time.time()
+        cte_build = sig_pat.sub(sig_repl, cte) if do_sig else cte
+        duck.execute(
+            f"CREATE OR REPLACE TEMP TABLE _cc_comp_memo AS {cte_build} "
+            "SELECT * FROM comp"
+        )
+        print(
+            f"[memo] CC closure materialized once for {cc_family} "
+            f"({time.time()-t0:.1f}s)",
+            flush=True,
+        )
+        comp_repl = "WITH comp AS (SELECT * FROM _cc_comp_memo)"
+        for n in cc_family:
+            out[n] = cte_pat.sub(lambda _m: comp_repl, oracles[n])
+    elif cc_family:
+        print(
+            f"[memo] NOTE: {cc_family} swept WITHOUT CC memoization "
+            "(<2 family members in this sweep)",
+            flush=True,
+        )
+
+    if do_sig:
+        for n in sig_users:
+            base = out.get(n, oracles[n])
+            out[n] = sig_pat.sub(lambda _m: sig_repl, base)
+
+    # drift canary: the minhash cost marker with no normalized match
+    # means the fragment and an oracle have diverged — the memo would
+    # silently stop covering it and the only symptom is a slow sweep
+    drifted = [
+        n for n in names
+        if "list_min(list_transform" in oracles.get(n, "")
+        and n not in sig_users
+    ]
+    if drifted:
+        print(
+            f"[memo] NOTE: {drifted} carry minhash-cost SQL but no "
+            "longer match the sig fragment — memoization skipped "
+            "(fragment drift?)",
+            flush=True,
+        )
+    return out
 
 
 def main() -> int:
