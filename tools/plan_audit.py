@@ -41,34 +41,59 @@ SNAPSHOT_PATH = os.path.join(
 )
 
 
-def snapshot(sf_dir: str, out_path: str = SNAPSHOT_PATH) -> dict:
-    """Compute and write the per-query fingerprint ledger. Queries
-    whose plan construction throws are recorded as {"error": type} so
-    the ledger still covers the whole registry (and the CI diff fails
-    loudly on them)."""
+#: the scale factors every committed snapshot pins (round-12 VERDICT
+#: task 4): fingerprints are taken from the STATIC physical plan, but
+#: stats-dependent decisions (a size-estimated broadcast) could in
+#: principle flip between scale factors — pinning two SFs turns such a
+#: flip into a CI diff instead of an invisible demotion. Measured at
+#: introduction (round 13): the two sections are IDENTICAL for all
+#: 149 queries — every broadcast in the registry is hint-driven, not
+#: size-estimated — so the sf0.1 section is an invariance witness, and
+#: its live recompute rides the SETU_SLOW suite only.
+SNAPSHOT_SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.1",
+)
+
+
+def snapshot(
+    sf_dirs, out_path: str = SNAPSHOT_PATH
+) -> dict:
+    """Compute and write the per-query fingerprint ledger, one section
+    per scale factor. Queries whose plan construction throws are
+    recorded as {"error": type} so the ledger still covers the whole
+    registry (and the CI diff fails loudly on them)."""
     import json
 
     import __spark_entry__ as entrymod
     from setu_spark.plans.inspect import plan_fingerprint
     from setu_spark.session import get_spark
 
+    if isinstance(sf_dirs, str):
+        sf_dirs = [sf_dirs]
     spark = get_spark("plan-fingerprint-snapshot")
     spark.sparkContext.setLogLevel("ERROR")
-    ledger: dict[str, dict] = {}
-    for name, fn in sorted(entrymod.queries().items()):
-        try:
-            ledger[name] = plan_fingerprint(fn(spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001
-            ledger[name] = {"error": type(exc).__name__}
-        finally:
-            spark.catalog.clearCache()
-        print(f"[snapshot] {name}: {ledger[name]}", file=sys.stderr)
+    sections: dict[str, dict[str, dict]] = {}
+    for sf_dir in sf_dirs:
+        ledger: dict[str, dict] = {}
+        for name, fn in sorted(entrymod.queries().items()):
+            try:
+                ledger[name] = plan_fingerprint(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                ledger[name] = {"error": type(exc).__name__}
+            finally:
+                spark.catalog.clearCache()
+            print(f"[snapshot {sf_dir}] {name}: {ledger[name]}",
+                  file=sys.stderr)
+        sections[sf_dir] = ledger
     with open(out_path, "w") as fh:
-        json.dump({"sf_dir": sf_dir, "fingerprints": ledger}, fh,
-                  indent=1, sort_keys=True)
+        json.dump({"sections": sections}, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"wrote {len(ledger)} fingerprints to {out_path}")
-    return ledger
+    print(
+        f"wrote {sum(len(v) for v in sections.values())} fingerprints "
+        f"({len(sections)} sections) to {out_path}"
+    )
+    return sections
 
 
 def main() -> int:
@@ -87,10 +112,10 @@ def main() -> int:
             f"unknown flags {unknown}; usage: plan_audit.py [sf_dir] "
             "[--wide N] [--snapshot]"
         )
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     if snap:
-        snapshot(sf_dir)
+        snapshot(list(argv) or list(SNAPSHOT_SF_DIRS))
         return 0
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
 
     import __spark_entry__ as entrymod
     from setu_spark.plans.inspect import (
