@@ -140,3 +140,17 @@ def test_indicnlp_differential_normalization():
         assert ours.normalize(v) == unicodedata.normalize(
             "NFKC", real.normalize(v)
         ), v
+    # round-13: the wide domain too (astral planes, combining marks,
+    # ZWJ/ZWNJ conjuncts, decomposed nuktas) — the same alphabet the
+    # cross-engine fuzz pins everywhere (test_normalize_properties.py)
+    import random
+
+    from test_text_properties import INDIC_CLUSTERS, WIDE_CHARS
+
+    rng = random.Random(1301)
+    alpha = WIDE_CHARS + INDIC_CLUSTERS
+    for _ in range(400):
+        v = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        assert ours.normalize(v) == unicodedata.normalize(
+            "NFKC", real.normalize(v)
+        ), repr(v)

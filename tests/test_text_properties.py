@@ -69,7 +69,7 @@ def test_counting_and_predicates_match_python(spark, texts):
 #: marks, and ZWJ/ZWNJ sequences are exactly where a JVM-vs-Python
 #: char-class divergence would hide. Each entry is one CODEPOINT (or a
 #: short cluster) chosen to probe a specific class boundary:
-WIDE_ALPHABET = st.sampled_from(
+WIDE_CHARS = (
     list("ab1 .!\n")
     + [
         "𝟘",        # U+1D7D8 math double-struck zero — astral Nd
@@ -89,6 +89,24 @@ WIDE_ALPHABET = st.sampled_from(
         "न", "ा", "।", "१", "٣",
     ]
 )
+WIDE_ALPHABET = st.sampled_from(WIDE_CHARS)
+
+#: Indic conjunct / nukta clusters — the U9 normalizer's and U11
+#: tokenizer's actual domain, appended by THEIR wide fuzzes
+#: (test_normalize_properties.py, test_trivial_tokenize.py): ZWJ/ZWNJ
+#: conjunct forms, precomposed vs decomposed nukta consonants (editors
+#: silently NFC-mangle literals, hence escapes), chandrabindu.
+INDIC_CLUSTERS = [
+    "\u0915\u094d\u200d\u0937",  # conjunct with ZWJ (half-form request)
+    "\u0915\u094d\u200c\u0937",  # conjunct with ZWNJ (explicit virama)
+    "\u0958",                        # precomposed QA (ka + nukta)
+    "\u0915\u093c",                 # decomposed ka + nukta
+    "\u0929",                        # precomposed NNNA (na + nukta)
+    "\u0928\u093c",                 # decomposed na + nukta
+    "\u0901",                        # chandrabindu (folds to anusvara)
+    "\u00a0",                        # NBSP (BASE_CHAR_MAP -> space)
+]
+
 WIDE_TEXTS = st.lists(
     st.text(alphabet=WIDE_ALPHABET, min_size=0, max_size=16),
     min_size=1,
