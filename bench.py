@@ -553,6 +553,58 @@ def main() -> None:
             payload["machine_era"] = machine_era(
                 sys.argv[ai + 1], sys.argv[bi + 1]
             )
+        # --audit-against PRIOR.json [T]: the per-query regression audit
+        # every round recomputed by hand (round-12 VERDICT task 2) —
+        # compare this composite's per-query values against a prior
+        # round's committed composite and EMBED the result in the
+        # payload, so the committed artifact carries its own audit
+        # instead of a PERF.md claim.
+        if "--audit-against" in sys.argv:
+            ai = sys.argv.index("--audit-against")
+            if ai + 1 >= len(sys.argv) or sys.argv[ai + 1].startswith("--"):
+                sys.exit(
+                    "usage: bench.py --composite recs... "
+                    "--audit-against PRIOR.json [T]"
+                )
+            prior_path = sys.argv[ai + 1]
+            thr = 1.2
+            if ai + 2 < len(sys.argv):
+                try:
+                    thr = float(sys.argv[ai + 2])
+                except ValueError:
+                    pass  # next positional is a path/flag, keep default
+            with open(prior_path) as fh:
+                prior_q = json.load(fh)["queries"]
+            shared = sorted(set(payload["queries"]) & set(prior_q))
+            regressed = {
+                q: {
+                    "prior": prior_q[q],
+                    "now": payload["queries"][q],
+                    "ratio": round(payload["queries"][q] / prior_q[q], 3),
+                }
+                for q in shared
+                if prior_q[q] > 0
+                and payload["queries"][q] / prior_q[q] > thr
+            }
+            payload["regression_audit"] = {
+                "against": os.path.basename(prior_path),
+                "threshold": thr,
+                "n_shared": len(shared),
+                "n_only_now": len(set(payload["queries"]) - set(prior_q)),
+                "n_only_prior": len(set(prior_q) - set(payload["queries"])),
+                "regressed": regressed,
+            }
+            for q, row in sorted(regressed.items()):
+                print(
+                    f"audit: {q} {row['prior']}s -> {row['now']}s "
+                    f"({row['ratio']}x)",
+                    file=sys.stderr,
+                )
+            print(
+                f"audit: {len(regressed)}/{len(shared)} shared queries "
+                f"> {thr}x vs {os.path.basename(prior_path)}",
+                file=sys.stderr,
+            )
         if out_path:
             with open(out_path, "w") as fh:
                 json.dump(payload, fh, indent=1)
