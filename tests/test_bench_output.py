@@ -91,8 +91,14 @@ def test_final_line_canary_probes_are_bounded():
     p["era_ref"] = {"machine_era_ratio": 1.041}
     p["canary_pre"], p["canary_post"] = 99999.123, 99999.456
     line = bench.final_line(p)
-    assert len(line["canary"]) <= 11
+    # round-12 ADVICE: each probe is bounded INDIVIDUALLY (min 9999) —
+    # truncating the joined string garbled large values into a
+    # misleading prefix ("99999.12/99" read as post=99)
+    assert line["canary"] == "9999.00/9999.00"
     assert len(json.dumps(line)) <= 200
+    # an honest large-but-not-absurd pair renders exactly
+    p["canary_pre"], p["canary_post"] = 123.456, 7.891
+    assert bench.final_line(p)["canary"] == "123.46/7.89"
     # absent probes → no key; a half-present pair must not stamp either
     del p["canary_pre"], p["canary_post"]
     assert "canary" not in bench.final_line(p)
