@@ -12,6 +12,20 @@ and the filter pushes down like any other native projection.
 Pattern dialect is the RE2-compatible subset (no backrefs, no
 lookaround) so the SAME pattern string runs identically under Spark's
 Java regex and DuckDB's RE2 — the oracle twin is exact, not "close".
+One documented exception: ``\\b``. Java's word-boundary is
+Unicode-aware REGARDLESS of UNICODE_CHARACTER_CLASS (a long-standing
+JDK asymmetry: ``\\w`` is ASCII by default but ``\\b`` consults
+Unicode word characters), while RE2's ``\\b`` is strictly ASCII — so
+``1.2.3.4五`` or ``8901१`` is a boundary under RE2 but NOT under the
+JVM. Found by the round-13 wide-unicode fuzz
+(tests/test_privacy.py::test_pii_twins_wide_unicode_fuzz). The engine
+standardizes on the ASCII semantics: for PII masking, a CJK/Indic
+character abutting an IP must not SUPPRESS redaction (under-masking is
+the unsafe failure), and ASCII-``\\b`` is the one spelling both
+engines can replay exactly — the JVM side rewrites ``\\b`` to an
+explicit ASCII-class lookaround alternation (:data:`_JVM_ASCII_B`,
+zero-width, so counts and replacement spans are unchanged), the RE2
+side keeps ``\\b`` verbatim.
 
 At 100 TB: per-row regex work, zero shuffle, and redaction rewrites
 the text column in place during an existing projection — PII masking
@@ -50,12 +64,30 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+#: ASCII word-boundary spelled as a zero-width lookaround alternation —
+#: the JVM replacement for ``\b`` (see module docstring). Equivalent to
+#: RE2's ASCII ``\b`` at every position: a boundary is exactly "ASCII
+#: word char on one side, not on the other (or string edge)".
+_ASCII_W = "0-9A-Za-z_"
+_JVM_ASCII_B = (
+    f"(?:(?<=[{_ASCII_W}])(?![{_ASCII_W}])"
+    f"|(?<![{_ASCII_W}])(?=[{_ASCII_W}]))"
+)
+
+
+def _jvm_pattern(pat: str) -> str:
+    """The Spark spelling of an RE2 pattern: ``\\b`` rewritten to the
+    explicit ASCII boundary (Java's own ``\\b`` is Unicode-aware and
+    would silently under-match next to non-ASCII word characters)."""
+    return pat.replace(r"\b", _JVM_ASCII_B)
+
+
 def pii_count(col: Column | str, kind: str) -> Column:
     """Number of matches of one PII kind in ``col`` (codegen'd
     ``regexp_count``; DuckDB twin ``len(regexp_extract_all(...))``)."""
     pat, _ = PII_PATTERNS[kind]
     return F.regexp_count(F.col(col) if isinstance(col, str) else col,
-                          F.lit(pat))
+                          F.lit(_jvm_pattern(pat)))
 
 
 def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None
@@ -66,7 +98,7 @@ def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None
     out = F.col(col) if isinstance(col, str) else col
     for kind in kinds or tuple(PII_PATTERNS):
         pat, repl = PII_PATTERNS[kind]
-        out = F.regexp_replace(out, pat, repl)
+        out = F.regexp_replace(out, _jvm_pattern(pat), repl)
     return out
 
 

@@ -89,6 +89,64 @@ def test_pii_sql_twins_match_spark(planted_df):
         assert r["red"] == drow["red"], (r["i"], r["red"], drow["red"])
 
 
+def test_pii_twins_wide_unicode_fuzz(spark):
+    """Round-13 wide-unicode extension (same class as the U-kernel and
+    sentence-split pins): the planted fixtures above are pure ASCII,
+    but every PII pattern leans on `\\b` — whose definition differs in
+    PRINCIPLE between Java regex (relative to \\w, ASCII by default)
+    and DuckDB's RE2 (ASCII word boundary) exactly at non-ASCII-digit
+    adjacency (१٣𝟘 touching an IP or ID run), and `[0-9]`-class runs
+    touching astral chars sit in the JVM's surrogate-pair territory.
+    One deterministic corpus biased toward digits/./@/-/boundary
+    probes, both surfaces (counts + redaction) checked against the RE2
+    twins in one pass. At introduction this fuzz FOUND that divergence
+    (Spark missed the ipv4 in '…1.2.3.4五' that the RE2 oracle
+    redacts); the engine now rewrites ``\\b`` to the explicit ASCII
+    boundary on the JVM side (pii._jvm_pattern), standardizing on the
+    RE2/recall-safe semantics — this test pins exact parity on the
+    wide domain."""
+    import random
+
+    from test_text_properties import WIDE_CHARS
+
+    rng = random.Random(1303)
+    alpha = WIDE_CHARS + list("0123456789.@-+ ") + [
+        "१", "٣", "𝟘", "१٣", "a@b.io", "1.2.3.4", "12345",
+        "+1 234 567 8901",
+    ]
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    exprs = ", ".join(
+        f"{pii_count_sql('text', k)} AS {k}" for k in PII_PATTERNS
+    )
+    duck = con.execute(
+        f"SELECT i, {exprs}, {redact_pii_sql('text')} AS red "
+        "FROM t ORDER BY i"
+    ).df()
+    spark_rows = (
+        df.select(
+            "i",
+            *[pii_count("text", k).alias(k) for k in PII_PATTERNS],
+            redact_pii("text").alias("red"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert len(spark_rows) == len(duck)
+    for r, (_, drow) in zip(spark_rows, duck.iterrows()):
+        for k in PII_PATTERNS:
+            assert r[k] == drow[k], (repr(texts[r["i"]]), k, r[k], drow[k])
+        assert r["red"] == drow["red"], (
+            repr(texts[r["i"]]), r["red"], drow["red"])
+
+
 def test_bloom_no_false_negatives_and_bounded_fp():
     rng = np.random.default_rng(7)
     members = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
