@@ -33,14 +33,19 @@ THIS_ROUND = 13
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 13: no engine-side query behavior changed — the round's source
-#: deltas are docstring/nullability notes on the pair-budget sentinel
-#: (guards.py), bench canary formatting and committed-record tie-breaks
-#: (bench.py), oracle-sweep memoization widening (oracle side only),
-#: sf0.1 plan-fingerprint snapshots, and fuzz/stress test widening
-#: (test-only). All query outputs are bit-identical on driver inputs,
-#: so standing hash rows remain descriptive and nothing needs fronting.
-CHANGED: tuple[str, ...] = ()
+#: Round 13: ONE engine-side change — the PII family's JVM patterns
+#: rewrite ``\b`` to an explicit ASCII boundary (functions/pii.py, the
+#: wide-fuzz find). Output-identical on the driver's all-ASCII corpora
+#: (Unicode-aware and ASCII ``\b`` agree when every char is ASCII;
+#: q97 re-matched at sf0.01 and sf0.1 after the change), but the
+#: pattern string DID change, so q97 is fronted — it already sits in
+#: the round-14 overdue block, so this is belt-and-braces, not a plan
+#: edit. Everything else is docstring/nullability notes on the
+#: pair-budget sentinel (guards.py), bench canary formatting and
+#: committed-record tie-breaks (bench.py), oracle-sweep memoization
+#: widening (oracle side only), sf0.1 plan-fingerprint snapshots, and
+#: fuzz/stress test widening (test-only).
+CHANGED: tuple[str, ...] = ("q97_pii_redaction",)
 
 
 def last_green(root: str = ".") -> dict[str, int]:
