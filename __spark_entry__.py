@@ -54,9 +54,12 @@ SF0001 = "/root/testdata/sf0.001"
 #: 3-round staleness ceiling this round (the q01-q17 analytics block,
 #: q30-q33, q63/q68, the q70-q77/q95/q96 events family,
 #: q103/q105-q107/q109/q111-q113, q132/q144-q150), topped up to 50 in
-#: registration order (q88). No behavior-changed queries to front:
-#: round-13 source changes are tooling/test widening, all
-#: output-identical on the driver's clean corpora.
+#: registration order (q88). One engine-side change this round — the
+#: PII \b -> ASCII-boundary rewrite (functions/pii.py) — is
+#: output-identical on the driver's all-ASCII corpora (q97 re-matched
+#: at sf0.01 and sf0.1 post-change) and q97 is fronted via
+#: tools/staleness.py CHANGED into its already-scheduled round-14
+#: slot; everything else is tooling/test widening.
 _FRONT = (
     "q01_pricing_summary",
     "q02_top_parts_by_revenue",

@@ -516,6 +516,12 @@ def composite(record_paths: list[str]) -> dict:
 
 def main() -> None:
     full = "--full" in sys.argv
+    # these flags are parsed only inside the --composite branch; given
+    # without it they would be silently ignored and the operator would
+    # commit a record believing its audit/era block ran (review find)
+    for flag in ("--audit-against", "--era-ab", "--era-baseline"):
+        if flag in sys.argv and "--composite" not in sys.argv:
+            sys.exit(f"{flag} requires --composite")
     out_path = None
     if "--out" in sys.argv:
         idx = sys.argv.index("--out")
@@ -568,11 +574,20 @@ def main() -> None:
                 )
             prior_path = sys.argv[ai + 1]
             thr = 1.2
-            if ai + 2 < len(sys.argv):
+            if ai + 2 < len(sys.argv) and not sys.argv[ai + 2].startswith(
+                "--"
+            ):
+                # after PRIOR.json the only legal positional is the
+                # threshold — an unparsable one must fail LOUDLY, not
+                # silently audit at the 1.2 default (the --loadavg-gate
+                # rule: an operator who typed a gate believes it's on)
                 try:
                     thr = float(sys.argv[ai + 2])
                 except ValueError:
-                    pass  # next positional is a path/flag, keep default
+                    sys.exit(
+                        f"--audit-against: bad threshold "
+                        f"{sys.argv[ai + 2]!r} (expected a float)"
+                    )
             with open(prior_path) as fh:
                 prior_q = json.load(fh)["queries"]
             shared = sorted(set(payload["queries"]) & set(prior_q))

@@ -78,7 +78,37 @@ _JVM_ASCII_B = (
 def _jvm_pattern(pat: str) -> str:
     """The Spark spelling of an RE2 pattern: ``\\b`` rewritten to the
     explicit ASCII boundary (Java's own ``\\b`` is Unicode-aware and
-    would silently under-match next to non-ASCII word characters)."""
+    would silently under-match next to non-ASCII word characters).
+
+    The rewrite is a blind two-char replace, which is only sound when
+    every ``\\b`` in the pattern IS a word boundary — inside a
+    character class it means backspace, and after an escaped backslash
+    (``\\\\b``) it's a literal. Neither occurs in a sane PII pattern,
+    so both are REJECTED here rather than silently corrupted (the
+    failure would otherwise be a JVM-only bad rewrite the RE2 oracle
+    twin can't see)."""
+    in_class = False
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            nxt = pat[i + 1 : i + 2]
+            assert nxt != "\\", (
+                f"pattern {pat!r} escapes a backslash — the blind "
+                "\\b->ASCII-boundary rewrite would corrupt it"
+            )
+            assert not (in_class and nxt == "b"), (
+                f"pattern {pat!r} uses \\b as backspace inside a "
+                "character class — the blind \\b->ASCII-boundary "
+                "rewrite would corrupt it"
+            )
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        i += 1
     return pat.replace(r"\b", _JVM_ASCII_B)
 
 

@@ -133,10 +133,19 @@ def _zero_row_literal(field) -> F.Column:
     even though it contributes no rows (round-12 ADVICE). Non-nullable
     fields therefore get a non-null dummy whose cast stays
     non-nullable (literal→wider-numeric/string/boolean/binary casts
-    never force nullability); nullable fields keep the plain NULL."""
+    never force nullability); nullable fields keep the plain NULL.
+
+    Decimals need their own dummy: ``lit(0)`` is an INT literal, and
+    Spark marks int→narrow-decimal casts nullable (the target cannot
+    hold every int — measured: ``lit(0).cast(decimal(5,2))`` is
+    nullable in BOTH ANSI modes, while a ``Decimal(0)`` literal cast
+    to any decimal stays non-nullable)."""
+    from decimal import Decimal
+
     from pyspark.sql.types import (
         BooleanType,
         BinaryType,
+        DecimalType,
         NumericType,
         StringType,
     )
@@ -144,6 +153,8 @@ def _zero_row_literal(field) -> F.Column:
     t = field.dataType
     if field.nullable:
         return F.lit(None).cast(t)
+    if isinstance(t, DecimalType):
+        return F.lit(Decimal(0)).cast(t)
     if isinstance(t, NumericType):
         return F.lit(0).cast(t)
     if isinstance(t, StringType):

@@ -965,7 +965,10 @@ def test_pair_budget_gate_preserves_nullability(spark):
     sentinel now builds non-null dummies for non-nullable fields, so
     the gated schema — including per-field nullability — must equal
     the input schema exactly on a mixed-nullability frame."""
+    from decimal import Decimal
+
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
 
     from setu_spark.operators.guards import pair_budget_gate
 
@@ -975,7 +978,10 @@ def test_pair_budget_gate_preserves_nullability(spark):
     sig = minhash_signatures(docs)
     bands = band_table(sig)
     # a mixed-nullability pairs frame: literals and coalesce are
-    # non-nullable, a parquet-born column stays nullable
+    # non-nullable, a parquet-born column stays nullable; the NARROW
+    # decimal is the trap case — an int-literal dummy cast to it is
+    # nullable in both ANSI modes, so the sentinel must use a
+    # Decimal-typed literal to keep the field non-nullable
     pairs = (
         spark.range(3)
         .select(
@@ -983,9 +989,13 @@ def test_pair_budget_gate_preserves_nullability(spark):
             F.lit("x").alias("id_b"),                     # non-nullable
             F.lit(True).alias("flag"),                    # non-nullable
             F.lit(b"").alias("blob"),                     # non-nullable
+            F.lit(Decimal("1.50"))
+            .cast(DecimalType(5, 2))
+            .alias("amt"),                                # non-nullable
             F.when(F.col("id") > 1, F.col("id")).alias("score"),  # nullable
         )
     )
+    assert not pairs.schema["amt"].nullable  # trap case is armed
     before = [(f.name, f.dataType, f.nullable) for f in pairs.schema.fields]
     gated = pair_budget_gate(
         pairs, bands, ["band", "band_hash"], "qXX", "qYY",
