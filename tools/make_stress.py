@@ -183,7 +183,79 @@ def make_vocab(dst: str, n_docs: int, words_per_doc: int) -> None:
     )
 
 
+def make_annscale(dst: str, n: int, dim: int = 64) -> None:
+    """UNIQUE-vector corpus for the ANN decade-up sweep (the CC-stress
+    sibling): ``n`` deterministic 64-dim float32 vectors, every one
+    distinct — the regime where IVF's cost model (scan ~ nprobe/cells
+    of the corpus, codebook ~ sqrt(n) cells) is actually exercised.
+    The id-offset replication fixtures CANNOT probe this: every copy
+    is bit-identical, so the vector-distinct collapse paths swallow
+    the scale before the index sees it.
+
+    Values are splitmix64(vec_id·dim + i) mapped to [-1, 1) — no RNG
+    state, rebuildable bit-identically anywhere. vec_id 0 doubles as
+    the q60/q63 query vector; label = vec_id % 10 matches the stock
+    schema. Only embeddings.parquet is written (the ANN family reads
+    nothing else)."""
+    import numpy as np
+
+    os.makedirs(dst, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    path = os.path.join(dst, "embeddings.parquet")
+    chunk = 262_144
+    with pq.ParquetWriter(path, schema) as writer:
+        for start in range(0, n, chunk):
+            cnt = min(chunk, n - start)
+            idx = np.arange(
+                start * dim, (start + cnt) * dim, dtype=np.uint64
+            )
+            with np.errstate(over="ignore"):
+                z = idx + np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(
+                    0xBF58476D1CE4E5B9
+                )
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(
+                    0x94D049BB133111EB
+                )
+                z = z ^ (z >> np.uint64(31))
+            vals = (
+                (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            ) * 2.0 - 1.0
+            emb = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (cnt + 1) * dim, dim, dtype=np.int32)
+                ),
+                pa.array(vals.astype(np.float32)),
+            )
+            vec_ids = np.arange(start, start + cnt, dtype=np.int64)
+            writer.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(vec_ids),
+                        "embedding": emb,
+                        "label": pa.array(
+                            (vec_ids % 10).astype(np.int32)
+                        ),
+                    },
+                    schema=schema,
+                ),
+                row_group_size=ROW_GROUP,
+            )
+    print(f"embeddings: {n} unique {dim}-dim vectors -> {dst}")
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--annscale":
+        dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/annstress2m"
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
+        make_annscale(dst, n)
+        sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "--dupdense":
         src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
         dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/dupdense"
