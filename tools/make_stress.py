@@ -8,9 +8,16 @@ near-dup cost follows true-duplicate density; see PERF.md's 20× table).
 Usage: python tools/make_stress.py [src_sf_dir] [dst_dir] [N]
        python tools/make_stress.py --vocab [dst_dir] [n_docs] [words_per_doc]
        python tools/make_stress.py --dupdense [src_sf_dir] [dst_dir] [N]
+       python tools/make_stress.py --annscale [dst_dir] [n_vectors]
 Defaults: /root/testdata/sf0.1 /tmp/stress100k 20
           --vocab: /tmp/vocabstress 50000 100
           --dupdense: /root/testdata/sf0.001 /tmp/dupdense 20
+          --annscale: /tmp/annstress2m 2000000
+
+--annscale builds the UNIQUE-vector ANN corpus (round-13 fixture, the
+CC-stress sibling): n deterministic 64-dim float32 vectors, every one
+distinct — the replication fixtures are bit-identical copies, the
+wrong regime for an inverted file (tests/test_ann_scale_stress.py).
 
 --dupdense is the DUPLICATE-DENSITY fixture (round-10 VERDICT task 6,
 promoted to CI from the hand-run /tmp sweep that found q123's
