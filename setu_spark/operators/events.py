@@ -15,7 +15,7 @@ parquet type, which has changed across testdata generations — see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -383,11 +383,18 @@ def q77_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewed = F.col("t_view").isNotNull()
     clicked = viewed & (F.col("t_click") > F.col("t_view"))
     bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    # coalesce to 0: a funnel over zero users has zero completions in
+    # both engines (the oracle's spelling already reads 0), but a bare
+    # SQL sum over nothing is NULL — the only place the empty-corpus
+    # sweep found the NULL-vs-0 split on a global aggregate
+    def czero(c: Column, name: str) -> Column:
+        return F.coalesce(c, F.lit(0)).alias(name)
+
     return firsts.agg(
         F.count("*").alias("n_users"),
-        F.sum(viewed.cast("long")).alias("n_viewed"),
-        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
-        F.sum(bought.cast("long")).alias("n_full_funnel"),
+        czero(F.sum(viewed.cast("long")), "n_viewed"),
+        czero(F.sum(clicked.cast("long")), "n_clicked_after_view"),
+        czero(F.sum(bought.cast("long")), "n_full_funnel"),
     )
 
 

@@ -160,9 +160,17 @@ BRUTE_TOPK = 10
 def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector.
     The query vector is collected once and inlined as a literal array (the
-    one-row broadcast); the scan side is a narrow projection + TakeOrdered."""
+    one-row broadcast); the scan side is a narrow projection + TakeOrdered.
+    No vec_id=0 row (empty corpus / empty incremental batch) means no
+    query: the answer is the empty top-k, exactly the oracle's empty
+    ``q`` CTE cross-joined away — not a driver NoneType crash."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None or qrow[0] is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cosine_sim double"
+        )
+    qvec = qrow[0]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         emb.filter(F.col("vec_id") > 0)
@@ -521,6 +529,8 @@ def kmeans_clusters(
         "kmeans", df.select("vec_id", "label", "embedding")
     )
     cents = _lloyd_centroids(src, k, iters)
+    if cents is None:  # empty corpus: no centroids, no assignments
+        return df.sparkSession.createDataFrame([], KM_SCHEMA)
     cos = _cos_to(cents)
 
     def label_pass(batches, _cos=cos):
@@ -574,18 +584,22 @@ def _lloyd_centroids(src, k: int, iters: int):
     ``src`` must provide (vec_id, embedding) and should be cached by
     the caller: each iteration is one narrow ``mapInPandas`` pass
     emitting ≤k (cluster, count, vector-sum) rows per Arrow batch, so
-    the driver reduce is O(batches × k) metadata, never the corpus."""
+    the driver reduce is O(batches × k) metadata, never the corpus.
+
+    An EMPTY corpus (or k ≤ 0) has no trainable centroids — returns
+    ``None`` (the empty-corpus wave: an empty incremental batch is a
+    real production input and must not die in ``np.stack``); callers
+    branch to their empty result."""
     import numpy as np
 
-    cents = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in src.orderBy("vec_id")
-            .limit(k)
-            .select("embedding")
-            .collect()
-        ]
+    init = (
+        src.orderBy("vec_id").limit(k).select("embedding").collect()
+        if k > 0
+        else []
     )
+    if not init:
+        return None
+    cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     for _ in range(iters):
         cos = _cos_to(cents)
 
@@ -695,6 +709,8 @@ def train_codebook(emb: DataFrame, k: int, iters: int = KM_ITERS):
         cents = _lloyd_centroids(src, k, iters)
     finally:
         src.unpersist(False)
+    if cents is None:  # empty corpus — no codebook; callers branch
+        return None
     while len(_CODEBOOK_MEMO) >= _CODEBOOK_MEMO_MAX:
         _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
     _CODEBOOK_MEMO[key] = cents
@@ -865,9 +881,17 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_vectors(spark, sf_dir)
     # Codebook: q85's Lloyd trajectory (oracle-shared CTE); cells are
     # the 0-based cluster indices. The query vector is one extra row.
+    # query vector FIRST: with no vec_id=0 row (empty corpus / empty
+    # incremental batch) there is no probe and the answer is empty —
+    # the oracle's empty q CTE — and the codebook need not train
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None or qrow[0] is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cell bigint, cosine_sim double"
+        )
+    qvec = qrow[0]
     cmat = train_codebook(emb, N_CENTROIDS)  # [k × d]
     cells = np.arange(N_CENTROIDS, dtype=np.int64)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     q = np.array(qvec, dtype=np.float64)
 
     # Score accumulation is element-wise multiply + np.sum — NOT a BLAS
@@ -1333,6 +1357,10 @@ def margin_pairs_exact(emb: DataFrame) -> DataFrame:
     # Y slice scales with the corpus, and a silent corpus-fraction
     # collect is the one failure mode this exact twin must not have
     n_y = y_side.count()
+    if n_y == 0:  # no incoming side — no pairs (oracle: empty y CTE)
+        return emb.sparkSession.createDataFrame(
+            [], "x_id bigint, y_id bigint, cosine_sim double, margin double"
+        )
     if n_y > MINE_Y_BOUND:
         raise ValueError(
             f"margin_pairs_exact: Y side has {n_y} vectors, past the "
@@ -1663,7 +1691,12 @@ def margin_pairs_ann(emb: DataFrame, codebook=None) -> DataFrame:
 
     import numpy as np
 
-    n_cells = int(math.ceil(math.sqrt(float(emb.count()))))
+    n = emb.count()
+    if n == 0:  # empty corpus: no cells, no candidates (oracle: empty)
+        return emb.sparkSession.createDataFrame(
+            [], "x_id bigint, y_id bigint, cosine_sim double, margin double"
+        )
+    n_cells = int(math.ceil(math.sqrt(float(n))))
     # TRAINED codebook (q85's Lloyd trajectory at sqrt(n) cells, round-6
     # VERDICT task 4): on clustered corpora the cells track the true
     # clusters — higher q140 recall, flatter q143 occupancy — instead of
@@ -1897,6 +1930,15 @@ def q140_margin_ann_recall_audit(
     import math
 
     emb_n = load_vectors(spark, sf_dir).count()
+    if emb_n == 0:
+        # empty corpus: zero exact pairs, zero found — recall is 0/0,
+        # NULL in both engines (the oracle's round(0/0) row), and the
+        # scale-aware bound has no n_cells to divide by
+        return spark.createDataFrame(
+            [(0, 0, None, None)],
+            "n_exact bigint, n_found bigint, recall double,"
+            " recall_ok boolean",
+        )
     n_cells = int(math.ceil(math.sqrt(float(emb_n))))
     bound = (0.5 * MINE_PROBE * MINE_PROBE) / n_cells
     exact = q126_margin_pair_mining(spark, sf_dir).select("x_id", "y_id")
@@ -2054,6 +2096,11 @@ def q143_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_vectors(spark, sf_dir)
     n = emb.count()
+    if n == 0:  # empty corpus: no cells, no occupancy (oracle: empty)
+        return spark.createDataFrame(
+            [], "cell bigint, n_vecs bigint, share double,"
+            " load_factor double"
+        )
     n_cells = int(math.ceil(math.sqrt(float(n))))
     # the SAME trained codebook q138 mines through — the audit must
     # measure the index that production uses, not a stand-in

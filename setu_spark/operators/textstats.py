@@ -1725,7 +1725,18 @@ def q141_bpe_compression_curve(
     cached = [seg]
     rows: list[tuple[int, int, float]] = []
     try:
-        tot_occ = int(seg.agg(F.sum("freq")).collect()[0][0])
+        tot = seg.agg(F.sum("freq")).collect()[0][0]
+        if tot is None:
+            # empty corpus: SQL sum over nothing is NULL, so the curve
+            # is one all-NULL row per iteration in BOTH engines (the
+            # oracle's per-iteration CTEs emit exactly that) — not an
+            # int(None) crash
+            return spark.createDataFrame(
+                [(it, None, None) for it in range(0, BPE_ITERS + 1)],
+                "iteration bigint, total_tokens bigint,"
+                " tokens_per_occurrence double",
+            )
+        tot_occ = int(tot)
         for it in range(0, BPE_ITERS + 1):
             total = int(
                 seg.agg(

@@ -68,7 +68,13 @@ def q117_partitioned_sink_roundtrip(
     docs = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="setu-rt-part-")
     write_partitioned(docs, out, ["lang"])
-    back = spark.read.parquet(out)
+    # read back with the WRITER's schema: a 0-row partitioned write
+    # produces no data files, and schema inference dies on the empty
+    # directory (UNABLE_TO_INFER_SCHEMA) — the roundtrip owns the
+    # schema, so passing it is both the empty-corpus fix and a type-
+    # fidelity hardening (partition-column type inference could
+    # otherwise re-type a numeric-looking lang value)
+    back = spark.read.schema(docs.schema).parquet(out)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),

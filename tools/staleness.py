@@ -33,19 +33,31 @@ THIS_ROUND = 13
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 13: ONE engine-side change — the PII family's JVM patterns
-#: rewrite ``\b`` to an explicit ASCII boundary (functions/pii.py, the
-#: wide-fuzz find). Output-identical on the driver's all-ASCII corpora
-#: (Unicode-aware and ASCII ``\b`` agree when every char is ASCII;
-#: q97 re-matched at sf0.01 and sf0.1 after the change), but the
-#: pattern string DID change, so q97 is fronted — it already sits in
-#: the round-14 overdue block, so this is belt-and-braces, not a plan
-#: edit. Everything else is docstring/nullability notes on the
-#: pair-budget sentinel (guards.py), bench canary formatting and
-#: committed-record tie-breaks (bench.py), oracle-sweep memoization
-#: widening (oracle side only), sf0.1 plan-fingerprint snapshots, and
-#: fuzz/stress test widening (test-only).
-CHANGED: tuple[str, ...] = ("q97_pii_redaction",)
+#: Round 13: two engine-side change sets, both output-identical on the
+#: driver's corpora (verified by targeted oracle sweeps post-change).
+#: (1) The PII family's JVM patterns rewrite ``\b`` to an explicit
+#: ASCII boundary (functions/pii.py, the wide-fuzz find; q97
+#: re-matched at sf0.01 and sf0.1). (2) The empty-corpus wave
+#: (session 3): zero-extra-job guards on the kmeans/codebook/margin
+#: family, q141's NULL curve, q117's explicit read-back schema, and
+#: q77's coalesced funnel sums — all no-ops on non-empty corpora
+#: (12/12 re-matched at sf0.01; fingerprint ledger byte-identical),
+#: but the source changed, so every non-window member fronts. q63 and
+#: q77 sit in the CURRENT round-13 window (fresh driver rows this
+#: round); q85/q117/q123/q126/q131/q143 are already round-14 overdue.
+CHANGED: tuple[str, ...] = (
+    "q97_pii_redaction",
+    "q60_cosine_topk",
+    "q85_kmeans_clusters",
+    "q117_partitioned_sink_roundtrip",
+    "q123_semantic_dedup",
+    "q126_margin_pair_mining",
+    "q131_ann_recall_audit",
+    "q138_margin_pair_mining_ann",
+    "q140_margin_ann_recall_audit",
+    "q141_bpe_compression_curve",
+    "q143_ivf_cell_balance",
+)
 
 
 def last_green(root: str = ".") -> dict[str, int]:
@@ -95,11 +107,14 @@ def rotation_plan(
 
       next round  = every query not in the current window whose last
                     green is ≤ this_round-2 (they hit the 3-round
-                    staleness ceiling next round), plus the CHANGED
-                    queries fronted, topped up to 50 in registration
-                    order from the remainder.
-      round after = everything else, ≤50 — the spare slots are the
-                    changed-query budget for new work.
+                    staleness ceiling next round — they go FIRST: a
+                    ceiling-bound query bumped by a fronted one would
+                    bust the ≤3 invariant), then the CHANGED queries
+                    (fresher — they have slack until round+2), topped
+                    up to 50 in registration order from the remainder.
+      round after = everything else plus any changed overflow, ≤50 —
+                    the spare slots are the changed-query budget for
+                    new work.
     """
     in_front = set(front)
     changed = [
@@ -109,7 +124,13 @@ def rotation_plan(
         q for q in names
         if q not in in_front and last.get(q, 0) <= this_round - 2
     )
-    nxt = [q for q in changed if q not in overdue] + overdue
+    assert len(overdue) <= WINDOW, (
+        f"{len(overdue)} ceiling-bound queries exceed the {WINDOW}-slot "
+        "window — the 3-round cycle itself is busted"
+    )
+    room = WINDOW - len(overdue)
+    fronted = [q for q in changed if q not in overdue][:room]
+    nxt = overdue + fronted
     rest = [q for q in names if q not in in_front and q not in set(nxt)]
     # registration order = family order; keep it for the tail block
     while len(nxt) < WINDOW and rest:
