@@ -1949,16 +1949,18 @@ def q140_margin_ann_recall_audit(
         F.count("*").alias("n_found")
     )
     tot = exact.agg(F.count("*").alias("n_exact"))
+    # try_divide: a NON-empty corpus can still have ZERO exact mutual
+    # pairs (single-vector corpus; Y slice with no mutual best) — 0/0
+    # is NULL in DuckDB and a DIVIDE_BY_ZERO raise under Spark ANSI, so
+    # recall and recall_ok go NULL in both engines (found by the
+    # round-13 single-row probe; the emb_n guard above only covers the
+    # fully-empty corpus)
+    rec = F.try_divide(F.col("n_found"), F.col("n_exact").cast("double"))
     return tot.crossJoin(hit).select(
         F.col("n_exact").cast("long"),
         F.col("n_found").cast("long"),
-        F.round(
-            F.col("n_found") / F.col("n_exact").cast("double"), 6
-        ).alias("recall"),
-        (
-            F.col("n_found") / F.col("n_exact").cast("double")
-            >= F.lit(bound)
-        ).alias("recall_ok"),
+        F.round(rec, 6).alias("recall"),
+        (rec >= F.lit(bound)).alias("recall_ok"),
     )
 
 

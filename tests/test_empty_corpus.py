@@ -97,6 +97,38 @@ def test_d9_grouping_sets_empty_divergence_stands(spark, empty_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def onerow_dir():
+    """First row of every table — the other boundary corpus: windows,
+    percentiles, and ratio audits all hit their n=1 / zero-pair edges.
+    The round-13 probe read 148/149 MATCH here; the one crash was
+    q140's recall division (a NON-empty corpus with ZERO exact mutual
+    pairs — ANSI DIVIDE_BY_ZERO where DuckDB's 0/0 is NULL), fixed
+    with try_divide and pinned below."""
+    d = tempfile.mkdtemp(prefix="onerow_ci_")
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SRC, f))
+            pq.write_table(t.slice(0, 1), os.path.join(d, f))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q140_zero_exact_pairs_matches_oracle(spark, onerow_dir):
+    """A single-vector corpus has vectors but no exact mutual pairs:
+    recall = 0/0 must be the oracle's NULL row, not a Spark-ANSI
+    DIVIDE_BY_ZERO raise."""
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    register_views(con, onerow_dir)
+    name = "q140_margin_ann_recall_audit"
+    sdf = e.queries()[name](spark, onerow_dir).toPandas()
+    odf = con.execute(e.oracle_sql()[name]).df()
+    assert compare_frames(sdf, odf) == []
+    assert sdf["n_exact"].iloc[0] == 0 and sdf["recall"].isna().all()
+
+
 @pytest.mark.skipif(
     not os.environ.get("SETU_SLOW"),
     reason="full-registry empty sweep is slow; set SETU_SLOW=1 to run",
