@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
-from setu_spark.sources.io import load_table
+from setu_spark.sources.io import load_table, load_table_parallel
 
 #: Decontamination n-gram width (word 5-grams; production eval-set decon
 #: typically uses 8-13-gram windows — the plan shape is identical).
@@ -116,7 +116,9 @@ def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, then one partial-aggregated groupBy on doc_id. No self-join,
     no all-pairs: cost is O(train grams) + O(eval grams), the same
     inverted-gate shape as q58's LSH-then-verify."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage downstream; single-row-group scan would
+    # serialize it on one core (round-13, guide §2.5/§6) — no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
     base = docs.filter(F.size(t) >= DECON_N).select(
         "doc_id",
@@ -1439,7 +1441,9 @@ def q124_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the per-doc reduce is the third and last shuffle.
     Per-term products are DECIMAL(28,12)-quantized so both engines sum
     identical exact decimals in any order."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage downstream; single-row-group scan would
+    # serialize it on one core (round-13, guide §2.5/§6) — no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
     # unigrams ++ bigrams in ONE array → one explode → one corpus scan
     # (a two-branch union reads the corpus twice); the bigram zip_with

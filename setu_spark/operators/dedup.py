@@ -45,7 +45,7 @@ from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.caching import scoped_cache
 from setu_spark.operators.guards import pair_budget_gate
 from setu_spark.registry import register
-from setu_spark.sources.io import load_table
+from setu_spark.sources.io import load_table, load_table_parallel
 
 NUM_PERM = 8
 ROWS_PER_BAND = 2
@@ -464,14 +464,18 @@ def q108_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned independently in tests/test_dedup.py (ASCII parity vs DuckDB
     + codepoint behavior on Devanagari/CJK where the engines diverge).
 
-    The Spark side uses the BOUNDED 3-arg ``levenshtein`` with threshold
-    K = floor((1 - T) · global_max_len) (one bounded max aggregate):
-    any pair passing the similarity gate has an integer distance
-    ≤ floor((1-T) · its own max_len) ≤ K, so the bounded form returns
-    the exact distance for every surviving pair and -1 (filtered, as the
+    The Spark side uses the BOUNDED 3-arg ``levenshtein`` with a
+    PER-PAIR threshold K = floor((1 - T) · max(len_a, len_b)): any
+    pair passing the similarity gate has an integer distance ≤ K by
+    definition of the gate, so the bounded form returns the exact
+    distance for every surviving pair and -1 (filtered, as the
     unbounded gate also would) otherwise — identical output, but cost
     per pair drops from O(len²) to O(len·K), which is what makes the
-    verify stage affordable on book-length documents."""
+    verify stage affordable on book-length documents. (Round-13
+    optimization: the bound was previously the GLOBAL max length,
+    which cost a whole extra aggregate action — a full corpus pass —
+    before the verify plan could even be built; the per-row bound is
+    computable inside the join row and strictly tighter.)"""
     docs = load_table(spark, sf_dir, "documents")
     return edit_verify(docs, q52_minhash_lsh_pairs(spark, sf_dir))
 
@@ -489,11 +493,21 @@ def edit_verify(
     through untouched."""
     from fractions import Fraction
 
-    max_len = docs.agg(F.max(F.length("text"))).first()[0] or 0
-    # exact-rational floor: int((1-T)*max_len) on floats happens to be
-    # right for T=0.6 but can under-bound K for other thresholds when
-    # the float product rounds down across an integer (round-4 ADVICE)
-    k = int((1 - Fraction(str(threshold))) * max_len)
+    # PER-PAIR bound K = floor((1-T) · max(len_a, len_b)) as an exact
+    # rational (int((1-T)*len) on floats happens to be right for T=0.6
+    # but can under-bound K when the float product rounds down across
+    # an integer — round-4 ADVICE). Any pair passing the similarity
+    # gate has dist ≤ floor((1-T)·its own max_len) = K(pair), so the
+    # bounded form returns the exact distance for every survivor and
+    # -1 (filtered, as the unbounded gate also would) otherwise. The
+    # per-row bound replaces the former GLOBAL max-length aggregate —
+    # one whole driver action + corpus pass fewer per call — and is
+    # strictly tighter, so the O(len·K) verify cost shrinks too.
+    frac = 1 - Fraction(str(threshold))
+    k_bound = (
+        f"cast(({frac.numerator} * greatest(length(text_a),"
+        f" length(text_b))) div {frac.denominator} as int)"
+    )
     keep = list(pairs.columns)
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
@@ -506,7 +520,9 @@ def edit_verify(
         .join(db, "id_b")
         .select(
             *keep,
-            F.levenshtein("text_a", "text_b", k).alias("edit_dist"),
+            F.expr(f"levenshtein(text_a, text_b, {k_bound})").alias(
+                "edit_dist"
+            ),
             F.greatest(
                 F.length("text_a"), F.length("text_b")
             ).alias("max_len"),
@@ -648,7 +664,10 @@ def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a NULL text has no tokens and therefore NO fingerprint — the row
     # is dropped, matching the oracle (its token explode yields no rows
     # for NULL and the doc never reaches the fingerprint aggregate)
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # simhash_column is a heavy per-row HOF aggregate; single-row-group
+    # scan would serialize it on one core (round-13, guide §2.5/§6) —
+    # the rebalance is a no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     return docs.select(
@@ -790,12 +809,19 @@ def connected_components(
     the jump is also a no-op there. ``localCheckpoint`` cuts lineage
     each round (iterative DataFrame plans otherwise grow
     exponentially). Small graphs (≤ ``local_edge_bound`` normalized
-    undirected edges — counted by the job the loop needs anyway) skip
-    the loop entirely and finish with a driver-local union-find:
-    label-identical by construction, and it replaces ~4 scheduler-bound
-    jobs per round with one bounded collect (2.8s → 0.1s on the
-    366-edge sf0.1 graph). Set ``local_edge_bound=0`` to force the
-    distributed path (tests pin the two paths label-equal)."""
+    undirected edges — counted on the CACHED edge set, one parallel
+    job) skip the loop entirely and finish with a driver-local
+    union-find: label-identical by construction, and it replaces ~4
+    scheduler-bound jobs per round with one count + one cache-read
+    collect (2.8s → 0.1s on the 366-edge sf0.1 graph vs the loop).
+    Round-13: the dispatch uses ``cache()+count()`` instead of the
+    previous ``localCheckpoint()+count()`` — one materialization job
+    fewer and no checkpoint write; a ``take(bound+1)`` probe was tried
+    first and REJECTED by A/B (bench_records/ab_r13opt_wave1.json:
+    q149 1.22×, q150 1.30× — executeTake's incremental partition
+    scale-up turns one parallel job into 3-4 sequential ones). Set
+    ``local_edge_bound=0`` to force the distributed path (tests pin
+    the two paths label-equal)."""
     # canonicalize orientation BEFORE distinct so the local-path bound
     # counts true undirected edges even if the candidate generator
     # emits both (a,b) and (b,a) (round-7 ADVICE: the directed count
@@ -806,13 +832,20 @@ def connected_components(
             F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .cache()
     )
+    # count() on the CACHED relation computes + stores every partition
+    # in ONE parallel job; the local path's collect() then reads the
+    # cache, and the distributed path's `edges` derivation reuses the
+    # same in-memory relation — the candidate generator upstream runs
+    # exactly once either way, with no checkpoint write. (A
+    # take(bound+1) single-action probe was A/B-rejected: executeTake
+    # scans partitions in sequential scale-up rounds.)
     if und.count() <= local_edge_bound:
         dtype = und.schema["u"].dataType.simpleString()
-        return _local_components(
-            und.collect(), pairs.sparkSession, dtype
-        )
+        rows = und.collect()
+        und.unpersist(False)
+        return _local_components(rows, pairs.sparkSession, dtype)
     # und is canonicalized (u ≤ v) and distinct, so the flipped copy is
     # disjoint from it except for self-loops — no second distinct
     # shuffle needed to symmetrize
@@ -824,6 +857,7 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    und.unpersist(False)
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from setu_spark.functions.hashes import hash64_sql
 from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
-from setu_spark.sources.io import load_table
+from setu_spark.sources.io import load_table, load_table_parallel
 
 #: Gopher-ish thresholds, scaled to the synthetic corpus (production
 #: values: 50..100_000 words, mean word length 3..10, stopword floor
@@ -624,7 +624,9 @@ def q105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap q53 had is structurally absent). Gram keys are xxhash64 of the
     token slice (fixed-width, no gram strings); the oracle counts raw
     strings — counts agree absent 64-bit collisions, q64's argument."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage downstream; single-row-group scan would
+    # serialize it on one core (round-13, guide §2.5/§6) — no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
     grams = (
         docs.filter(F.size(t) >= OVERLAP_N)

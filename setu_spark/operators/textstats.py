@@ -34,7 +34,7 @@ from setu_spark.functions.hashes import hash64, hash64_sql
 from setu_spark.functions.tokenize import trivial_tokenize_sql
 from setu_spark.caching import scoped_cache
 from setu_spark.registry import register
-from setu_spark.sources.io import load_table
+from setu_spark.sources.io import load_table, load_table_parallel
 
 #: demo "flagged word" side-list (the reference ships per-language NSFW
 #: wordlists, constants.py:17-98; the operator is wordlist-agnostic).
@@ -803,7 +803,9 @@ def q111_shared_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed group collects each doc's window starts (bounded: winnowed
     spans, not raw grams), and the splice is a single Arrow-batched mask
     pass per document. Linear end to end; no pairwise anything."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage downstream; single-row-group scan would
+    # serialize it on one core (round-13, guide §2.5/§6) — no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents")
     fpos = (
         docs.select("doc_id", F.explode(_fp_pos_udf("text")).alias("w"))
         .select("doc_id", F.col("w.fp").alias("fp"), F.col("w.pos").alias("pos"))
@@ -1081,7 +1083,9 @@ def q47_multi_n_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (the reference's per-n map, flattened to hashable columns). Docs
     shorter than n get NULL for that n (the reference's None, SURVEY §4.1's
     intended semantics). Zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage downstream; single-row-group scan would
+    # serialize it on one core (round-13, guide §2.5/§6) — no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return docs.select("doc_id", _multi_rep_udf("text").alias("r")).select(
         "doc_id", "r.*"
     )
@@ -1848,7 +1852,9 @@ def q146_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper estimate when the exact histogram isn't required."""
     from setu_spark.operators.dedup import distinct_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage downstream; single-row-group scan would
+    # serialize it on one core (round-13, guide §2.5/§6) — no-op at scale
+    docs = load_table_parallel(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(

@@ -203,6 +203,93 @@ def write_compacted(
     return n_files
 
 
+def rebalance_small_scan(
+    df: DataFrame, input_bytes: int | None = None
+) -> DataFrame:
+    """Input-parallelism floor for CPU-heavy per-row stages (round-13
+    optimization; guide §2.5 input skew / §6 input split size).
+
+    Parquet scans cannot split below a row group: a file written as ONE
+    row group yields exactly one non-empty scan task no matter what
+    ``maxPartitionBytes`` says — so every downstream per-row kernel
+    (Arrow UDF, tokenize+explode, n-gram hashing, media decode) runs on
+    a single core while the rest of the executor fleet idles. The
+    driver's sf0.1 corpus files are all single-row-group, which made
+    each such stage serial at bench scale.
+
+    When the scan yields fewer partitions than the session's default
+    parallelism, insert one round-robin ``repartition`` so the heavy
+    work spreads across cores. Deliberately scale-adaptive, NOT a local
+    tuning constant: at 100 TB a corpus scan has thousands of splits,
+    the predicate is false, and this is a no-op — the shuffle only ever
+    exists in the regime where it costs KBs-to-MBs and buys the whole
+    fleet. A second effect at any scale: identical repartition subtrees
+    in multi-branch plans are deduplicated by ReuseExchange, so plans
+    that previously scanned the input once per branch (e.g. the
+    eval/train split of decontamination) now scan it once total.
+    Round-robin is deterministic under retry (sort-before-repartition
+    stays on, SPARK-23207) and row-set-preserving, so query results are
+    untouched.
+
+    ``input_bytes``: when the caller knows the scan's on-disk size
+    (``_input_bytes`` — a filesystem stat, ~30 µs), the decision is
+    "rebalance iff the input could not fill the fleet even at the
+    default 128 MiB split" — bytes < parallelism × 128 MiB. Without it
+    the fallback probes the planner via ``df.rdd.getNumPartitions()``,
+    which was measured at ~120-175 ms of driver time PER CALL (it
+    builds the full scan RDD) — real money inside a sub-second query,
+    hence the stat-based fast path."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if input_bytes is not None:
+        if input_bytes < target * _SPLIT_BYTES:
+            return df.repartition(target)
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+#: Spark's default parquet split size (spark.sql.files.maxPartitionBytes).
+#: An input below parallelism × this cannot fill the fleet even in the
+#: best case, so the rebalance predicate keys on it; at 100 TB any corpus
+#: scan is orders of magnitude past it and rebalance is a no-op.
+_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _input_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of one testdata table — a local filesystem stat
+    (file or directory-of-parts). Returns None for object-store sf_dirs
+    (gs://, s3a://…) and stat failures; callers fall back to the
+    planner probe."""
+    if path_scheme(sf_dir):
+        return None
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return None
+
+
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """:func:`load_table` + :func:`rebalance_small_scan` with the cheap
+    size-stat probe — the loader for query paths whose FIRST stage does
+    heavy per-row work (Arrow kernels, tokenize+explode, n-gram
+    hashing) and would otherwise serialize on a single-row-group scan
+    task."""
+    return rebalance_small_scan(
+        load_table(spark, sf_dir, name), _input_bytes(sf_dir, name)
+    )
+
+
 def read_text_corpus(
     spark: SparkSession, path_glob: str, whole_file: bool = False
 ) -> DataFrame:

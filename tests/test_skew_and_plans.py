@@ -109,8 +109,13 @@ def test_q36_no_shuffle(spark):
 def test_q54_simhash_no_shuffle(spark):
     # q54 is registered on the narrow per-row simhash_column form: the
     # explode-tokens×bits composition it replaced shuffled 32× the token
-    # count through two groupBys — this guard keeps it per-row
-    assert shuffle_count(_q(spark, "q54_simhash")) == 0
+    # count through two groupBys — this guard keeps it per-row. The ONE
+    # allowed shuffle is the round-13 input rebalance (a round-robin
+    # repartition that spreads the single-row-group scan across cores;
+    # no-op at scale), never a hash/groupBy exchange.
+    df = _q(spark, "q54_simhash")
+    assert shuffle_count(df) <= 1
+    assert "hashpartitioning" not in plan_string(df)
 
 
 def test_q62_buckets_no_explode_join(spark):
@@ -348,8 +353,12 @@ def test_q124_dsir_single_explode_three_shuffles(spark):
     # diamond; the totals side is a narrow scan), bucket distributions as
     # windows over the fb rows, one-row totals broadcast — 3 shuffles,
     # 2 scans, no corpus re-execution
+    # round 13: +2 counted exchanges from the input rebalance (the
+    # repartition subtree appears under both branches of the union
+    # diamond pre-ReuseExchange; at execution it is one exchange,
+    # reused) — the aggregation/window shuffle budget is unchanged
     df = _q(spark, "q124_dsir_importance")
-    assert shuffle_count(df) <= 3
+    assert shuffle_count(df) <= 5
     assert len(scan_schemas(df)) <= 2
     assert "BroadcastNestedLoopJoin" in plan_string(df)  # one-row totals
 
