@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from setu_spark.registry import DSUM, dsum, register
-from setu_spark.sources.io import load_table
+from setu_spark.sources.io import load_table, load_table_parallel
 
 REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -55,7 +55,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan check: single exchange on (returnflag, linestatus) after a partial
     aggregate; shipdate predicate pushed to the parquet scan."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -298,7 +298,7 @@ def q08_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets + grouping_id — absent from the reference
     (SURVEY.md §2.4), built-in here."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("bigint").alias("gid"),
         F.count("*").alias("n_items"),
@@ -642,7 +642,7 @@ def q24_price_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — plain avg() sums doubles in partition order, which
     can flip the 6th rounded digit between engines); min/max/integer sums
     are order-independent already."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     avg_log = (
         F.sum(F.log(F.col("l_extendedprice")).cast("decimal(28,12)"))
         .cast("double")
