@@ -738,8 +738,15 @@ def main() -> None:
         runs_ref: dict[str, dict[str, list[float]]] = {
             a: {q: [] for q in parts} for a in arms
         }
+        # alternate arm order per rep: a fixed head-first order hands the
+        # second arm every warm-cache/load-ramp advantage (the round-9
+        # phantom-regression lesson, measured again as a ~5% drift on
+        # untouched queries in ab_r13opt_final.json)
+        arm_order = list(arms.items())
         for rep in range(reps):
-            for arm, path in arms.items():
+            for arm, path in (
+                arm_order if rep % 2 == 0 else arm_order[::-1]
+            ):
                 with tempfile.NamedTemporaryFile(
                     suffix=".json", delete=False
                 ) as tf:

@@ -273,13 +273,15 @@ def test_shared_span_removal_planted_boilerplate(spark):
         ],
         ["doc_id", "text"],
     )
-    orig = ts.load_table
-    ts.load_table = lambda sp, d, n: docs
+    # q111 loads through load_table_parallel (round-13 input rebalance);
+    # patch both loader names so the fixture swap keeps intercepting
+    orig, orig_par = ts.load_table, ts.load_table_parallel
+    ts.load_table = ts.load_table_parallel = lambda sp, d, n: docs
     try:
         rows = {r.doc_id: r for r in
                 ts.q111_shared_span_removal(spark, "x").collect()}
     finally:
-        ts.load_table = orig
+        ts.load_table, ts.load_table_parallel = orig, orig_par
     # doc 1 is the owner of the shared windows -> untouched (absent);
     # doc 3 shares nothing -> absent; doc 2 loses header chars
     assert 3 not in rows

@@ -270,15 +270,17 @@ def test_ngram_novelty_planted_histogram(spark):
          (3, "x y z w"), (4, "q r")],
         ["doc_id", "text"],
     )
-    orig = ts.load_table
-    ts.load_table = lambda sp, d, n: docs
+    # q146 loads through load_table_parallel (round-13 input rebalance);
+    # patch both loader names so the fixture swap keeps intercepting
+    orig, orig_par = ts.load_table, ts.load_table_parallel
+    ts.load_table = ts.load_table_parallel = lambda sp, d, n: docs
     try:
         hist = {
             r.novelty_decile: r.n_docs
             for r in ts.q146_ngram_novelty(spark, "x").collect()
         }
     finally:
-        ts.load_table = orig
+        ts.load_table, ts.load_table_parallel = orig, orig_par
     assert hist == {0: 2, 9: 1, -1: 1}
 
 
