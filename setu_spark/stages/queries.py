@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from setu_spark.registry import register
-from setu_spark.sources.io import load_table
+from setu_spark.sources.io import load_table, load_table_parallel
 from setu_spark.stages.analysis import AnalysisConfig, analyse
 from setu_spark.stages.cleaning import CleanConfig, clean_documents
 from setu_spark.stages.flagging import FlagConfig, filter_documents, flag_documents
@@ -59,7 +59,7 @@ def q80_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-salad has symbol_ratio 0) → repeated-chunk removal keyed on
     (source, chunk) → ordered reassembly → left join back (docs that lose
     every chunk keep NULL). Exercises E1, A5-as-window, E3, J4."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     cfg = CleanConfig(
         chunk_sep=" ",
         repeat_key="source",
