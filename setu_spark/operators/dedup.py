@@ -751,7 +751,17 @@ LAST_CC_ROUNDS = 0
 def _local_components(und_edges, spark, dtype: str) -> DataFrame:
     """Union-find finish for a small pair graph: exact min-id component
     labels, one collect + one createDataFrame — no iterative jobs.
-    ``und_edges`` is a collected list of (u, v) rows."""
+    ``und_edges`` is a collected list of (u, v) rows.
+
+    The returned frame carries an explicit ``broadcast`` hint (round-14
+    optimization, guide §3.1): a ``createDataFrame`` relation has no
+    stats (``Scan ExistingRDD``, default sizeInBytes = huge), so the
+    planner joined these few-hundred-row labels back to the rep set via
+    SortMergeJoin with TWO exchanges (plans/r13/q56_*_after.txt nodes
+    22/27). The relation is driver-bounded by construction — this path
+    only runs at ≤ ``LOCAL_CC_MAX_EDGES`` normalized edges, so at most
+    2·bound nodes ≈ 16 MB of (long, long) rows at the 500k cap — well
+    inside executor broadcast budgets."""
     parent: dict = {}
 
     def find(x):
@@ -775,8 +785,10 @@ def _local_components(und_edges, spark, dtype: str) -> DataFrame:
         if r not in label or node < label[r]:
             label[r] = node
     rows = [(n, label[find(n)]) for n in parent]
-    return spark.createDataFrame(
-        rows, schema=f"doc_id {dtype}, component {dtype}"
+    return F.broadcast(
+        spark.createDataFrame(
+            rows, schema=f"doc_id {dtype}, component {dtype}"
+        )
     )
 
 
@@ -786,6 +798,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     local_edge_bound: int = LOCAL_CC_MAX_EDGES,
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative
     min-label propagation: every doc starts as its own component; each
@@ -821,19 +834,34 @@ def connected_components(
     q149 1.22×, q150 1.30× — executeTake's incremental partition
     scale-up turns one parallel job into 3-4 sequential ones). Set
     ``local_edge_bound=0`` to force the distributed path (tests pin
-    the two paths label-equal)."""
+    the two paths label-equal).
+
+    ``pairs_canonical=True`` (round-14 optimization, guide §2.4
+    "remove shuffles outright"): a caller that GUARANTEES its pairs
+    are already distinct with ``id_a < id_b`` — which
+    :func:`lsh_candidate_pairs` produces by construction (the join
+    predicate orders the ids and ``.distinct()`` runs on the pair) —
+    skips the canonicalize+distinct here. The least/greatest is then
+    the identity and the distinct a no-op, but Spark cannot prove
+    either, so the default path paid one full extra Exchange +
+    dedup aggregate per call right after the generator's own distinct
+    exchange. Label output is identical by construction; pinned by
+    tests/test_dedup.py::test_cc_pairs_canonical_matches_default."""
     # canonicalize orientation BEFORE distinct so the local-path bound
     # counts true undirected edges even if the candidate generator
     # emits both (a,b) and (b,a) (round-7 ADVICE: the directed count
     # would otherwise halve the effective bound)
     a, b = F.col(id_a), F.col(id_b)
-    und = (
-        pairs.select(
-            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+    if pairs_canonical:
+        und = pairs.select(a.alias("u"), b.alias("v")).cache()
+    else:
+        und = (
+            pairs.select(
+                F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+            )
+            .distinct()
+            .cache()
         )
-        .distinct()
-        .cache()
-    )
     # count() on the CACHED relation computes + stores every partition
     # in ONE parallel job; the local path's collect() then reads the
     # cache, and the distributed path's `edges` derivation reuses the
@@ -954,19 +982,47 @@ def clear_funnel_memo() -> None:
     _FUNNEL_MEMO.clear()
 
 
-def exact_collapsed_components(docs: DataFrame) -> DataFrame:
+#: Pass-through columns the FUNNEL_SHARED cache materializes so every
+#: family member's ``carry`` request is a sub-select of ONE cached
+#: funnel (q125/q150 need n_chars, q149 needs source; q56/q144 none).
+_SHARED_CARRY = ("n_chars", "source")
+
+
+def exact_collapsed_components(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """See :func:`_collapsed_components` (the plan); this wrapper adds
-    the opt-in :data:`FUNNEL_SHARED` cross-query cache."""
+    the opt-in :data:`FUNNEL_SHARED` cross-query cache. ``carry``
+    columns of ``docs`` ride the funnel into the output (round-14
+    optimization — consumers previously re-scanned the corpus and
+    joined the funnel back on doc_id to re-attach them)."""
     if FUNNEL_SHARED:
-        key = docs.semanticHash()
+        # materialize the carry SUPERSET once so q56/q125/q144/q149/
+        # q150 all hit the same memo entry regardless of their own
+        # carry subset (limited to columns docs actually has, so
+        # minimal test frames still share correctly)
+        shared = tuple(carry) + tuple(
+            c
+            for c in _SHARED_CARRY
+            if c in docs.columns and c not in carry
+        )
+        key = (docs.semanticHash(), shared)
         if key not in _FUNNEL_MEMO:
-            _FUNNEL_MEMO[key] = _collapsed_components(docs).cache()
-        return _FUNNEL_MEMO[key]
-    return _collapsed_components(docs)
+            _FUNNEL_MEMO[key] = _collapsed_components(
+                docs, carry=shared
+            ).cache()
+        if shared == tuple(carry):  # nothing to drop — hand back the
+            return _FUNNEL_MEMO[key]  # cached frame itself
+        return _FUNNEL_MEMO[key].select(
+            "doc_id", "component", "in_graph", *carry
+        )
+    return _collapsed_components(docs, carry=carry)
 
 
-def _collapsed_components(docs: DataFrame) -> DataFrame:
-    """(doc_id, component, in_graph) for EVERY document — the LSH/CC
+def _collapsed_components(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, component, in_graph[, *carry]) for EVERY document — the LSH/CC
     funnel run in production order: exact-duplicate groups (min doc_id
     per md5(text)) collapse to one representative, the rep graph goes
     through signatures → banding → connected components, and labels
@@ -994,7 +1050,28 @@ def _collapsed_components(docs: DataFrame) -> DataFrame:
     doc a 100-clique): q56 149s → 13s, q125 153s → 16s, q144
     196s → 21s. At duplicate-sparse small scale the md5 group/join
     overhead buys no shrink (~+0.7s at sf0.1) — the right side of the
-    trade."""
+    trade.
+
+    Round-14 restructures (all row-identical by substitution; plan
+    evidence in plans/r14/):
+
+    * ``carry`` pass-through columns — consumers that need per-doc
+      attributes (q125/q150 n_chars, q149 source) previously re-scanned
+      the corpus and joined the funnel back on doc_id: two more
+      exchanges + a join per query. The columns now ride the existing
+      k-shuffle (a few bytes each; Catalyst prunes them from plans
+      that don't select them).
+    * the ``rep_full`` intermediate is gone: doc2rep left-joins the CC
+      labels directly on rep_id. The old inner join through rep_full
+      was total (every doc2rep.rep_id exists in reps; rep_full is
+      exactly one row per rep), so
+      ``coalesce(component, rep_id)`` / ``component IS NOT NULL``
+      evaluate identically — and the plan loses a SECOND full
+      scan→groupBy(k) recompute of the rep set
+      (plans/r13/q56_*_after.txt nodes 15-23).
+    * the CC labels arrive broadcast-hinted from the local dispatch
+      (see :func:`_local_components`) and the candidate pairs skip the
+      redundant re-canonicalize+distinct (``pairs_canonical=True``)."""
     # Null-safe: for NULL text the size(...) >= N predicate evaluates to
     # NULL, and a bare filter(ok)/filter(~ok) split would drop the row
     # from BOTH branches (round-6 ADVICE). NULL-text docs must land in
@@ -1011,7 +1088,11 @@ def _collapsed_components(docs: DataFrame) -> DataFrame:
         F.lit(False),
     )
     keyed = docs.select(
-        "doc_id", "text", F.md5("text").alias("k"), shingleable.alias("ok")
+        "doc_id",
+        "text",
+        *carry,
+        F.md5("text").alias("k"),
+        shingleable.alias("ok"),
     )
     long_docs = keyed.filter(F.col("ok"))
     # texts within an md5(text) group are byte-identical, so min(text)
@@ -1029,37 +1110,29 @@ def _collapsed_components(docs: DataFrame) -> DataFrame:
         F.count("*").alias("group_size"),
     )
     doc2rep = (
-        long_docs.select("doc_id", "k")
+        long_docs.select("doc_id", "k", *carry)
         .join(reps.select("k", "rep_id", "group_size"), "k")
-        .select("doc_id", "rep_id", "group_size")
+        .select("doc_id", "rep_id", "group_size", *carry)
     )
     rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
     sig = minhash_signatures(rep_docs)
     pairs = lsh_candidate_pairs(sig)
-    comps = connected_components(pairs)
-    rep_full = (
-        reps.select("rep_id")
-        .join(comps.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left")
-        .select(
-            "rep_id",
-            F.coalesce("component", "rep_id").alias("component"),
-            F.col("component").isNotNull().alias("rep_in_graph"),
-        )
-    )
-    long_full = (
-        doc2rep.join(rep_full, "rep_id")
-        .select(
-            "doc_id",
-            "component",
-            ((F.col("group_size") >= 2) | F.col("rep_in_graph")).alias(
-                "in_graph"
-            ),
-        )
+    comps = connected_components(pairs, pairs_canonical=True)
+    long_full = doc2rep.join(
+        comps.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("rep_id")).alias("component"),
+        (
+            (F.col("group_size") >= 2) | F.col("component").isNotNull()
+        ).alias("in_graph"),
+        *carry,
     )
     short_full = keyed.filter(~F.col("ok")).select(
         "doc_id",
         F.col("doc_id").alias("component"),
         F.lit(False).alias("in_graph"),
+        *carry,
     )
     return long_full.unionByName(short_full)
 
@@ -1182,9 +1255,11 @@ def q125_dedup_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor's chars without a self-join), and the histogram groups the
     ≤|components| rows — negligible next to the funnel."""
     docs = load_table(spark, sf_dir, "documents")
-    full = docs.select("doc_id", "n_chars").join(
-        exact_collapsed_components(docs).select("doc_id", "component"),
-        "doc_id",
+    # n_chars rides the funnel's carry (round-14): the old
+    # docs⋈funnel join-back on doc_id cost two exchanges + a join
+    # per consumer for a column the k-shuffle can carry for free
+    full = exact_collapsed_components(docs, carry=("n_chars",)).select(
+        "doc_id", "component", "n_chars"
     )
     per = full.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
@@ -1866,9 +1941,9 @@ def q149_component_source_purity(
     (component) aggregate with a distinct count whose domain is
     |sources| (small by construction), and a ≤|sources|-row histogram."""
     docs = load_table(spark, sf_dir, "documents")
-    full = docs.select("doc_id", "source").join(
-        exact_collapsed_components(docs).select("doc_id", "component"),
-        "doc_id",
+    # source rides the funnel's carry (round-14, see q125)
+    full = exact_collapsed_components(docs, carry=("source",)).select(
+        "doc_id", "component", "source"
     )
     per = (
         full.groupBy("component")
@@ -1936,9 +2011,9 @@ def q150_quality_survivor_delta(
     self-join), min-id survivor and its chars ride ``min``/``min_by``
     in the same shuffle — then a one-row rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    full = docs.select("doc_id", "n_chars").join(
-        exact_collapsed_components(docs).select("doc_id", "component"),
-        "doc_id",
+    # n_chars rides the funnel's carry (round-14, see q125)
+    full = exact_collapsed_components(docs, carry=("n_chars",)).select(
+        "doc_id", "component", "n_chars"
     )
     best = F.max(
         F.struct(

@@ -224,6 +224,41 @@ def test_connected_components_planted_clusters(spark):
     assert got_dist == expected
 
 
+def test_cc_pairs_canonical_matches_default(spark):
+    """``pairs_canonical=True`` (round-14: skips the re-canonicalize +
+    distinct exchange for generators that already emit distinct
+    ``id_a < id_b`` pairs, like lsh_candidate_pairs) must label
+    identically to the default path on the same canonical pair set —
+    on the union-find dispatch AND the forced-distributed loop."""
+    from setu_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # already canonical: distinct rows, id_a < id_b everywhere
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    want = {
+        r.doc_id: r.component
+        for r in connected_components(pairs).collect()
+    }
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(
+            pairs, pairs_canonical=True
+        ).collect()
+    }
+    got_dist = {
+        r.doc_id: r.component
+        for r in connected_components(
+            pairs, pairs_canonical=True, local_edge_bound=0
+        ).collect()
+    }
+    assert got == want
+    assert got_dist == want
+
+
 def test_connected_components_empty_graph(spark):
     """Zero candidate pairs (tiny or all-unique corpora) must yield an
     empty labeling on both execution paths, not a schema error from the
