@@ -4,15 +4,20 @@
 
 Prints the compact headline JSON as its own FINAL line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "n_queries": N, "sf": "..."}
-(fixed keys, ≤200 bytes) and EVERYTHING bulky — the per-query timing
-map, per-query loadavg, errors — on the SEPARATE preceding detail
-line and in bench_partial.json / --out.  Rounds 5 AND 6 both came
-back `parsed: null` because the final line carried an unbounded map
-(loadavg in r5; after that fix, still the 71-query timing map in r6)
-and the driver's tail-capture truncated it mid-object.  The rule now
-enforced by final_line() + tests/test_bench_output.py: the final line
-contains NO per-query collection of any kind.
+   "n_queries": N, "sf": "...", "queries": {"qNN": s.ss, ...}}
+(fixed scalar keys ≤200 bytes + a SIZE-BOUNDED compact per-query map,
+the whole line ≤ FINAL_LINE_BUDGET) and EVERYTHING bulky — the
+full-name full-precision timing map, per-query loadavg, errors — on
+the SEPARATE preceding detail line and in bench_partial.json / --out.
+Rounds 5 AND 6 both came back `parsed: null` because the final line
+carried an UNBOUNDED map and the driver's 2000-char tail-capture
+truncated it mid-object; rounds 7-13 dropped the map entirely, which
+left the driver's per_query/scaling comparison empty (round-13 VERDICT
+task 2). The rule now enforced by final_line() +
+tests/test_bench_output.py: the final line's per-query map is compact
+(unique qNN keys, 0.01-rounded seconds, cost-descending) and HARD
+size-capped — overflow drops the cheapest entries into a "q_omitted"
+count, never the line.
 
 Flags:
   --full        time EVERY registered query (the whole registry), not
@@ -202,12 +207,13 @@ HEADLINE = [
 
 
 def detail_line(payload: dict) -> dict:
-    """Everything bulky rides this SECOND-TO-LAST line: the per-query
-    timing map, loadavg detail, and errors.  BENCH_r05 and BENCH_r06
-    both came back ``parsed: null`` because the final line carried the
-    per-query map (71+ queries → multi-KB) and the driver's tail-capture
-    truncated it mid-object.  Nothing unbounded may ride the final line.
-    """
+    """Everything bulky rides this SECOND-TO-LAST line: the FULL-NAME
+    full-precision per-query timing map, loadavg detail, and errors.
+    BENCH_r05 and BENCH_r06 both came back ``parsed: null`` because the
+    final line carried this unbounded form and the driver's tail-capture
+    truncated it mid-object.  Nothing unbounded may ride the final line
+    — its per-query map is the compact size-capped encoding
+    (:func:`final_line`)."""
     detail = {
         "queries": payload["queries"],
         "loadavg_detail": payload.get("loadavg", {}),
@@ -236,9 +242,31 @@ def detail_line(payload: dict) -> dict:
     return detail
 
 
+#: Hard serialized-byte budget for the FINAL line. Every committed
+#: BENCH_r01..r13 artifact shows the driver's tail capture is EXACTLY
+#: 2000 chars; the final line is the last stdout the sweep prints, so
+#: line + its newline must fit the window (≤1999) — 1950 leaves margin
+#: for stray buffering. A full 149-query sweep at typical values
+#: (~1.8 KB) fits whole; heavily inflated sweeps shed their cheapest
+#: entries into "q_omitted" instead of outgrowing the window.
+FINAL_LINE_BUDGET = 1950
+
+
 def final_line(payload: dict) -> dict:
-    """The compact FINAL line: fixed keys only, ≤200 bytes serialized
-    (asserted by tests/test_bench_output.py under 2 KB tail truncation).
+    """The compact FINAL line: fixed scalar keys (≤200 bytes, asserted)
+    PLUS a size-bounded per-query map (round-13 VERDICT task 2: the
+    driver parses ONLY this line, so without the map PERF_r*.json's
+    per_query/scaling comparison has been empty since round 5).
+
+    The map uses the COMPACT ENCODING the driver window forces: keys
+    are the unique ``qNN`` prefix of each registered name (full name
+    kept only if a prefix ever collided), values are seconds rounded
+    to 0.01, entries ordered by descending cost. 149 entries ≈ 1.8 KB;
+    if a pathological registry still overflows
+    :data:`FINAL_LINE_BUDGET`, the cheapest entries are dropped and
+    counted in ``q_omitted`` — the expensive tail the regression
+    comparison cares about always survives. Full names + full precision
+    ride the detail line and ``--out`` records, unchanged.
     """
     # `sf` is an env-controlled path of unbounded length; only its basename
     # (e.g. "sf0.1") rides the final line, clamped so a pathological name
@@ -296,8 +324,44 @@ def final_line(payload: dict) -> dict:
         compact["canary"] = "/".join(
             f"{min(float(v), 9999.0):.2f}" for v in (pre, post)
         )
-    assert len(json.dumps(compact)) <= 200, "final bench line must stay tiny"
+    # the size guard over the FIXED keys is unchanged — the bounded
+    # per-query map below is additive and carries its own budget; all
+    # size math uses the compact separators the line is printed with
+    assert len(dump_line(compact)) <= 200, "final bench line must stay tiny"
+    from collections import Counter
+
+    numeric = {
+        n: v
+        for n, v in (payload.get("queries") or {}).items()
+        if isinstance(v, (int, float))
+    }
+    if numeric:
+        pref = Counter(n.split("_", 1)[0] for n in numeric)
+        qmap = {
+            (
+                n.split("_", 1)[0]
+                if pref[n.split("_", 1)[0]] == 1
+                else n
+            ): round(float(v), 2)
+            for n, v in sorted(numeric.items(), key=lambda kv: -kv[1])
+        }
+        compact["queries"] = qmap
+        while qmap and len(dump_line(compact)) > FINAL_LINE_BUDGET:
+            cheapest = min(qmap, key=lambda k: (qmap[k], k))
+            del qmap[cheapest]
+            compact["q_omitted"] = len(numeric) - len(qmap)
+    assert len(dump_line(compact)) <= FINAL_LINE_BUDGET, (
+        "final bench line outgrew the driver tail-capture window"
+    )
     return compact
+
+
+def dump_line(obj: dict) -> str:
+    """Serialize a stdout line with COMPACT separators — the final
+    line's per-query map wins ~2 bytes per entry over json.dumps
+    defaults, which is the difference between the whole 149-query map
+    fitting the driver's 2000-char tail window and shedding entries."""
+    return json.dumps(obj, separators=(",", ":"))
 
 
 def machine_era(ab_path: str, baseline_path: str) -> dict:
@@ -624,7 +688,7 @@ def main() -> None:
             with open(out_path, "w") as fh:
                 json.dump(payload, fh, indent=1)
         print(json.dumps(detail_line(payload)))
-        print(json.dumps(final_line(payload)))
+        print(dump_line(final_line(payload)))
         return
     ab_names = None
     if "--ab" in sys.argv:
@@ -897,7 +961,7 @@ def main() -> None:
             with open(out_path, "w") as fh:
                 json.dump(payload, fh, indent=1)
         print(json.dumps({"ab_runs": runs_ab}))
-        print(json.dumps(final_line(payload)))
+        print(dump_line(final_line(payload)))
         return
 
     # min of 2 runs per query: the machine hosting the bench also hosts
@@ -1111,7 +1175,7 @@ def main() -> None:
     # Detail (loadavg, errors) on its OWN line; the compact headline
     # summary is the FINAL line so a tail-capture of any size parses.
     print(json.dumps(detail_line(payload)))
-    print(json.dumps(final_line(payload)))
+    print(dump_line(final_line(payload)))
 
 
 if __name__ == "__main__":
