@@ -641,8 +641,15 @@ def q24_price_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ln terms, (18,6) for plain prices — exact,
     order-independent — plain avg() sums doubles in partition order, which
     can flip the 6th rounded digit between engines); min/max/integer sums
-    are order-independent already."""
-    li = load_table_parallel(spark, sf_dir, "lineitem")
+    are order-independent already.
+
+    Round-14: the round-13 input rebalance is REVERTED here per the
+    no-keep-at-parity rule — wave-3 read 0.96×, the round-13 closing
+    A/B 1.02×, and the round-14 6-rep focused A/B confirmed parity
+    (bench_records/ab_r14_q24.json): the decimal-sum aggregate is
+    map-side combined, so the serial scan stage carries too little
+    per-row work to clear the measured ≳0.7 s rebalance break-even."""
+    li = load_table(spark, sf_dir, "lineitem")
     avg_log = (
         F.sum(F.log(F.col("l_extendedprice")).cast("decimal(28,12)"))
         .cast("double")

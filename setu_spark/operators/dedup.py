@@ -2200,14 +2200,21 @@ def _q151_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = q55_embedding_neardup(spark, sf_dir).select(
         "id_a", "id_b", F.lit(True).alias("in_emb")
     )
-    u = (
-        tp.join(ep, ["id_a", "id_b"], "full_outer")
-        .select(
+    # scope-cache the tier union (round-14): ``u`` feeds THREE plan
+    # branches (the est_jaccard re-attach, the cosine re-attach, and
+    # the tier rollup itself) and its lineage contains BOTH tiers'
+    # full pair pipelines — q52's band join + verify AND q55's
+    # hyperplane banding + cosine verify — which otherwise execute
+    # three times each. The union is pair-volume sized (bounded by the
+    # two verified pair sets), two longs + two booleans per row.
+    u = scoped_cache(
+        "q151_pairs_union",
+        tp.join(ep, ["id_a", "id_b"], "full_outer").select(
             "id_a",
             "id_b",
             F.coalesce("in_text", F.lit(False)).alias("in_text"),
             F.coalesce("in_emb", F.lit(False)).alias("in_emb"),
-        )
+        ),
     )
     uest = pair_est_jaccard(
         sig, u.select("id_a", "id_b"), threshold=0.0
@@ -2439,17 +2446,31 @@ def q151_joint_dedup_agreement(
     work) — see :data:`JOINT_COLLAPSE_DUP_FRAC` and the two
     implementations below."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Two-stage chooser (round-14): joint (text, embedding) classes
+    # REFINE text classes, so joint_dup ≤ text_dup always — when even
+    # the TEXT duplicate fraction is below the threshold, the joint one
+    # is too and the raw branch is the original decision, reached from
+    # a docs-only aggregate (no embeddings join, no per-row md5/eid
+    # hashing — the old single-stage chooser was a serial corpus pass
+    # that dominated construction wall at bench scale). Only a
+    # text-dup-dense corpus pays the full joint chooser. Approx is
+    # plenty for a plan-choice threshold (both branches are
+    # row-identical — dual-path test; ±2% at the 5% boundary just
+    # picks the other equally-correct plan). Sentinel-coalesced so
+    # NULL-text docs still count as a class.
+    n_docs, n_text_classes = docs.select(
+        F.count("*"),
+        F.approx_count_distinct(F.coalesce("text", F.lit("~t~"))),
+    ).first()
+    text_dup = 1.0 - (n_text_classes / n_docs) if n_docs else 0.0
+    if text_dup < JOINT_COLLAPSE_DUP_FRAC:
+        return _q151_pairs_raw(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     base = docs.join(emb, "doc_id", "left")
     n_docs, n_classes = base.select(
         F.count("*"),
-        # approx is plenty for a plan-choice threshold (both branches
-        # are row-identical; ±2% at the 5% boundary just picks the
-        # other equally-correct plan) and keeps the chooser map-side
-        # combined instead of planning a distinct shuffle.
-        # Sentinel-coalesced so NULL-text / no-vector docs still count.
         F.approx_count_distinct(
             F.concat_ws(
                 "|",

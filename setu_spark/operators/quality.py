@@ -753,17 +753,34 @@ def q127_classifier_quality_filter(
     weight-table JOIN 50s (the join re-evaluated the md5 key across
     its boundary); per-token md5 + array lookup 34.5s; grouping raw
     words FIRST so the md5 touches (doc, distinct-word) rows instead
-    of tokens: 16.8s — adopted. The md5 on aggregate rows is the
-    remaining engine-portability floor (a real deployment swaps
-    xxhash64, measured ~6x cheaper). The sum is exact INTEGER milliweights (weights are multiples
-    of 1e-3 by construction) divided once at the end — order-
-    independent and engine-exact like a decimal sum, at long cost."""
+    of tokens: 16.8s — adopted. The sum is exact INTEGER milliweights
+    (weights are multiples of 1e-3 by construction) divided once at
+    the end — order-independent and engine-exact like a decimal sum,
+    at long cost.
+
+    Round-14 form: the per-doc aggregate is ONE ``mapInPandas`` pass
+    (guide §4.2/§5) instead of explode → groupBy(doc, word) →
+    groupBy(doc). Two things motivated it, both measured: (a) the old
+    plan shipped the 4096-entry weight vector as a ``F.lit(array)``
+    literal — py4j converts it ELEMENT-WISE, 2.5-3.3 s of pure driver
+    time per query construction (the dominant cost at bench scale, and
+    constant at any scale); the kernel carries the weights in its
+    Python closure instead (~33 KB with the serialized function).
+    (b) the explode shuffled every (doc, word) row twice and ran the
+    md5 bucket hash in the JVM per aggregate row; the kernel computes
+    the identical exact milliweight sum per doc in one pass with a
+    per-batch word→weight cache (Zipf: hits dominate), so the plan has
+    ZERO shuffles. Sums are identical by commutativity (exact integer
+    arithmetic, same md5 formula — pinned by
+    test_q127_matches_python_reimplementation and the DuckDB oracle);
+    docs with NULL text vanish from explode output exactly as the
+    kernel skips them. The scan rides ``load_table_parallel`` so the
+    kernel stage fills the fleet instead of one row-group core."""
     import hashlib
 
     from setu_spark.functions.hashes import HEX_DIGITS, hash64
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ", -1)
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # driver-side weight vector — formula-identical to the oracle's SQL
     # derivation (md5 parity pinned by test_q127_matches_python_
     # reimplementation); in production this is the trained model's
@@ -779,22 +796,48 @@ def q127_classifier_quality_filter(
         - 1000
         for i in range(CQ_BUCKETS)
     ]
-    # group RAW words per doc first (q128's lesson): the md5 bucket
-    # hash then runs on (doc, distinct-word) aggregate rows, not every
-    # token — 2.1x at the 100x corpus; identical sums since
-    # sum(wk per token) == sum(wk * count per distinct word)
-    b = hash64(F.col("word"), salt="cq") % CQ_BUCKETS
-    wk = F.element_at(F.lit(weights), (b + 1).cast("int"))
-    per = (
-        docs.select("doc_id", F.explode(t).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-        .select("doc_id", "c", (wk * F.col("c")).alias("wc"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            (F.sum("wc").cast("double") / 1000.0).alias("s"),
-        )
+
+    def per_doc(batches, _w=weights):
+        from collections import Counter
+
+        cache: dict[str, int] = {}
+
+        def wfor(word: str) -> int:
+            v = cache.get(word)
+            if v is None:
+                b = (
+                    int(
+                        hashlib.md5(
+                            ("cq|" + word).encode()
+                        ).hexdigest()[:HEX_DIGITS],
+                        16,
+                    )
+                    % CQ_BUCKETS
+                )
+                v = cache[word] = _w[b]
+            return v
+
+        for pdf in batches:
+            ids, nw, sm = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"]):
+                if text is None:
+                    continue  # explode of a NULL split emits no rows
+                words = text.split(" ")  # keeps empties, like split(-1)
+                ids.append(doc_id)
+                nw.append(len(words))
+                sm.append(
+                    sum(wfor(w) * c for w, c in Counter(words).items())
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "s_milli": sm}
+            )
+
+    per = docs.select("doc_id", "text").mapInPandas(
+        per_doc, "doc_id long, n_words long, s_milli long"
+    ).select(
+        "doc_id",
+        "n_words",
+        (F.col("s_milli").cast("double") / 1000.0).alias("s"),
     )
     score = 1 / (1 + F.exp(-CQ_GAIN * (F.col("s") / F.col("n_words"))))
     u = (

