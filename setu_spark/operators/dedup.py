@@ -237,14 +237,24 @@ def band_table(
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id",
     num_perm: int = NUM_PERM, rows_per_band: int = ROWS_PER_BAND,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
     The self-join keys on (band, band_hash): Spark hash-partitions both
-    sides identically, so each bucket's pairs are generated locally."""
+    sides identically, so each bucket's pairs are generated locally.
+
+    ``distinct=False`` (round-14) skips the pair-dedup exchange and
+    returns the raw banded pairs — one row per SHARED BAND, so a pair
+    colliding in k bands appears k (≤ ``num_perm/rows_per_band``)
+    times. For pair-LISTING consumers (q52 and its oracle) distinct is
+    the semantics; for a consumer that tolerates duplicate edges —
+    connected components' min-label/union-find does by algebra — the
+    distinct is a pure extra shuffle stage on the funnel's eager
+    dispatch path."""
     bands = band_table(sig, id_col, num_perm, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -255,8 +265,8 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ------------------------------------------------------------------ queries
@@ -799,6 +809,7 @@ def connected_components(
     max_iterations: int = 20,
     local_edge_bound: int = LOCAL_CC_MAX_EDGES,
     pairs_canonical: bool = False,
+    pairs_unique: bool = True,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative
     min-label propagation: every doc starts as its own component; each
@@ -846,7 +857,22 @@ def connected_components(
     either, so the default path paid one full extra Exchange +
     dedup aggregate per call right after the generator's own distinct
     exchange. Label output is identical by construction; pinned by
-    tests/test_dedup.py::test_cc_pairs_canonical_matches_default."""
+    tests/test_dedup.py::test_cc_pairs_canonical_matches_default.
+
+    ``pairs_unique=False`` (round-14, canonical inputs only): the
+    caller's pairs may contain DUPLICATE ROWS — e.g. the raw banded
+    pairs of ``lsh_candidate_pairs(distinct=False)``, one row per
+    shared band. Duplicate edges change nothing algebraically (the
+    min-label loop aggregates by min; union-find unions idempotently),
+    so the generator's pair-dedup exchange — a whole shuffle stage on
+    this eager dispatch path — can be skipped. The local-path bound
+    then gates on the RAW row count (conservative: raw ≥ distinct, so
+    a duplicate-banded graph near the bound dispatches distributed a
+    little earlier; the collect stays ≤ bound rows either way), and
+    the DISTRIBUTED path dedups off the cached relation before the
+    loop so CC iterations never shuffle duplicate edges at scale.
+    Pinned label-equal by tests/test_dedup.py::
+    test_cc_duplicate_edges_match_unique."""
     # canonicalize orientation BEFORE distinct so the local-path bound
     # counts true undirected edges even if the candidate generator
     # emits both (a,b) and (b,a) (round-7 ADVICE: the directed count
@@ -855,6 +881,10 @@ def connected_components(
     if pairs_canonical:
         und = pairs.select(a.alias("u"), b.alias("v")).cache()
     else:
+        # non-canonical callers always get the dedup: least/greatest
+        # can manufacture duplicates from (a,b)/(b,a) mirror rows, and
+        # the bound must count true undirected edges
+        pairs_unique = True
         und = (
             pairs.select(
                 F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
@@ -874,12 +904,14 @@ def connected_components(
         rows = und.collect()
         und.unpersist(False)
         return _local_components(rows, pairs.sparkSession, dtype)
-    # und is canonicalized (u ≤ v) and distinct, so the flipped copy is
-    # disjoint from it except for self-loops — no second distinct
-    # shuffle needed to symmetrize
+    # und is canonicalized (u ≤ v) and — after the dedup below when the
+    # caller passed duplicate-banded rows — distinct, so the flipped
+    # copy is disjoint from it except for self-loops: no second
+    # distinct shuffle needed to symmetrize
+    ded = und if pairs_unique else und.distinct()
     edges = (
-        und.union(
-            und.filter(F.col("u") != F.col("v")).select(
+        ded.union(
+            ded.filter(F.col("u") != F.col("v")).select(
                 F.col("v").alias("u"), F.col("u").alias("v")
             )
         )
@@ -1116,8 +1148,12 @@ def _collapsed_components(
     )
     rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
     sig = minhash_signatures(rep_docs)
-    pairs = lsh_candidate_pairs(sig)
-    comps = connected_components(pairs, pairs_canonical=True)
+    # raw banded pairs: CC tolerates duplicate edges, so the pair-dedup
+    # exchange (a whole stage on this eager dispatch path) is skipped
+    pairs = lsh_candidate_pairs(sig, distinct=False)
+    comps = connected_components(
+        pairs, pairs_canonical=True, pairs_unique=False
+    )
     long_full = doc2rep.join(
         comps.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left"
     ).select(

@@ -259,6 +259,42 @@ def test_cc_pairs_canonical_matches_default(spark):
     assert got_dist == want
 
 
+def test_cc_duplicate_edges_match_unique(spark):
+    """``pairs_unique=False`` (round-14: the funnel feeds CC the RAW
+    banded pairs — one row per shared band — skipping the generator's
+    pair-dedup exchange): duplicate edges must label identically to
+    the distinct edge set, on the union-find dispatch AND the
+    forced-distributed loop (which dedups before iterating)."""
+    from setu_spark.operators.dedup import connected_components
+
+    uniq = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    dup = uniq + [(1, 2), (1, 2), (10, 11)]  # banded repeats
+    want = {
+        r.doc_id: r.component
+        for r in connected_components(
+            spark.createDataFrame(uniq, ["id_a", "id_b"])
+        ).collect()
+    }
+    dup_df = spark.createDataFrame(dup, ["id_a", "id_b"])
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(
+            dup_df, pairs_canonical=True, pairs_unique=False
+        ).collect()
+    }
+    got_dist = {
+        r.doc_id: r.component
+        for r in connected_components(
+            dup_df,
+            pairs_canonical=True,
+            pairs_unique=False,
+            local_edge_bound=0,
+        ).collect()
+    }
+    assert got == want
+    assert got_dist == want
+
+
 def test_connected_components_empty_graph(spark):
     """Zero candidate pairs (tiny or all-unique corpora) must yield an
     empty labeling on both execution paths, not a schema error from the
