@@ -13,6 +13,7 @@ purely per-row ops).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import pandas as pd
@@ -1713,11 +1714,22 @@ def q141_bpe_compression_curve(
 
     Scale shape: identical to q139 — the corpus is read once into the
     word-frequency table; every per-iteration total is a single
-    vocabulary-bounded aggregate (Σ freq·|syms|), the winning pair and
-    the one-row total are the only driver collects, and the merge is
-    the same codegen'd JVM fold. The tokens_per_occurrence ratio
-    divides two exact BIGINTs in IEEE double in both engines and
-    rounds half-up at 6 digits (textstats._round6 discipline)."""
+    vocabulary-bounded aggregate, the winning pair and the totals are
+    the only driver collects, and the merge is the same codegen'd JVM
+    fold. The tokens_per_occurrence ratio divides two exact BIGINTs in
+    IEEE double in both engines and rounds half-up at 6 digits
+    (textstats._round6 discipline).
+
+    Round-14: ONE driver action per iteration instead of two (plus a
+    separate up-front Σfreq) — the loop was 10 sequential jobs at 4
+    merges, pure scheduler latency on a vocabulary-sized table. The
+    identity Σ freq·|syms| = Σ_pairs freq + Σ freq (every word
+    contributes |syms|−1 adjacent pairs; single-symbol words
+    contribute none) lets the per-iteration token total ride the SAME
+    pair aggregate that picks the winning merge: one collect returns
+    the top pair, the pair-occurrence total, and (first iteration
+    only) Σfreq — exact long arithmetic throughout, value-identical
+    to the old two-action form and to the oracle's sum(freq·len)."""
     docs = load_table(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
@@ -1728,29 +1740,11 @@ def q141_bpe_compression_curve(
     seg = wf.select("freq", F.split("word", "").alias("syms")).cache()
     cached = [seg]
     rows: list[tuple[int, int, float]] = []
+    nil = F.lit(None).cast("string")
     try:
-        tot = seg.agg(F.sum("freq")).collect()[0][0]
-        if tot is None:
-            # empty corpus: SQL sum over nothing is NULL, so the curve
-            # is one all-NULL row per iteration in BOTH engines (the
-            # oracle's per-iteration CTEs emit exactly that) — not an
-            # int(None) crash
-            return spark.createDataFrame(
-                [(it, None, None) for it in range(0, BPE_ITERS + 1)],
-                "iteration bigint, total_tokens bigint,"
-                " tokens_per_occurrence double",
-            )
-        tot_occ = int(tot)
+        tot_occ: int | None = None
         for it in range(0, BPE_ITERS + 1):
-            total = int(
-                seg.agg(
-                    F.sum(F.col("freq") * F.size("syms")).cast("long")
-                ).collect()[0][0]
-            )
-            rows.append((it, total, _round6(total / tot_occ)))
-            if it == BPE_ITERS:
-                break
-            top = (
+            agg = (
                 seg.filter(F.size("syms") >= 2)
                 .select(
                     "freq",
@@ -1765,16 +1759,59 @@ def q141_bpe_compression_curve(
                 )
                 .select("freq", "p.s1", "p.s2")
                 .groupBy("s1", "s2")
-                .agg(F.sum("freq").alias("c"))
-                .orderBy(F.desc("c"), "s1", "s2")
-                .limit(1)
-                .collect()
+                .agg(F.sum("freq").cast("long").alias("c"))
             )
-            if not top:
+            parts = [
+                agg.agg(F.sum("c").cast("long").alias("c")).select(
+                    F.lit("ptot").alias("k"), nil.alias("s1"),
+                    nil.alias("s2"), "c",
+                )
+            ]
+            if it < BPE_ITERS:
+                parts.append(
+                    agg.orderBy(F.desc("c"), "s1", "s2")
+                    .limit(1)
+                    .select(F.lit("top").alias("k"), "s1", "s2", "c")
+                )
+            if tot_occ is None:
+                parts.append(
+                    seg.agg(
+                        F.sum("freq").cast("long").alias("c")
+                    ).select(
+                        F.lit("ftot").alias("k"), nil.alias("s1"),
+                        nil.alias("s2"), "c",
+                    )
+                )
+            got = {
+                r["k"]: r
+                for r in functools.reduce(
+                    lambda x, y: x.unionByName(y), parts
+                ).collect()
+            }
+            if tot_occ is None:
+                ft = got["ftot"]["c"]
+                if ft is None:
+                    # empty corpus: SQL sum over nothing is NULL, so
+                    # the curve is one all-NULL row per iteration in
+                    # BOTH engines (the oracle's per-iteration CTEs
+                    # emit exactly that) — not an int(None) crash
+                    return spark.createDataFrame(
+                        [
+                            (k, None, None)
+                            for k in range(0, BPE_ITERS + 1)
+                        ],
+                        "iteration bigint, total_tokens bigint,"
+                        " tokens_per_occurrence double",
+                    )
+                tot_occ = int(ft)
+            total = int(got["ptot"]["c"] or 0) + tot_occ
+            rows.append((it, total, _round6(total / tot_occ)))
+            top = got.get("top")
+            if it == BPE_ITERS or top is None:
                 break
             seg = seg.select(
                 "freq",
-                _bpe_merge_expr(top[0].s1, top[0].s2).alias("syms"),
+                _bpe_merge_expr(top["s1"], top["s2"]).alias("syms"),
             ).cache()
             cached.append(seg)
     finally:
