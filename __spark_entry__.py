@@ -49,68 +49,66 @@ SF0001 = "/root/testdata/sf0.001"
 #: The driver's correctness harness checks roughly the FIRST 50
 #: entries of the returned maps, so this list pins the window
 #: explicitly (everything else follows in registration order).
-#: ROUND 13 window: the committed ROTATION.md round-13 block verbatim —
-#: the 49 queries whose last green driver row is r10 and which hit the
-#: 3-round staleness ceiling this round (the q01-q17 analytics block,
-#: q30-q33, q63/q68, the q70-q77/q95/q96 events family,
-#: q103/q105-q107/q109/q111-q113, q132/q144-q150), topped up to 50 in
-#: registration order (q88). One engine-side change this round — the
-#: PII \b -> ASCII-boundary rewrite (functions/pii.py) — is
-#: output-identical on the driver's all-ASCII corpora (q97 re-matched
-#: at sf0.01 and sf0.1 post-change) and q97 is fronted via
-#: tools/staleness.py CHANGED into its already-scheduled round-14
-#: slot; everything else is tooling/test widening.
+#: ROUND 14 window: the committed ROTATION.md round-14 block — the 49
+#: queries whose last green driver row is r12 and which hit the
+#: 3-round staleness ceiling this round, plus the first free slot
+#: taken by q56_dedup_components (fronted via tools/staleness.py
+#: CHANGED: the funnel restructure is this round's largest engine
+#: change, and q56 is its family representative; the remaining
+#: round-14-changed queries either already sit in this window's
+#: overdue block — q24/q89/q123/q127/q140/q141(via q151's sweep
+#: slot)/q151 — or overflow to round 15 per the rotation design).
 _FRONT = (
-    "q01_pricing_summary",
-    "q02_top_parts_by_revenue",
-    "q03_shipping_priority",
-    "q05_region_nation_revenue",
-    "q07_customer_running_spend",
-    "q08_supplier_rank_in_nation",
-    "q09_sales_rollup",
-    "q103_snapshot_diff",
-    "q105_source_overlap",
-    "q106_event_type_pivot",
-    "q107_grouping_sets_revenue",
-    "q109_quality_percentile_gate",
-    "q10_late_shipment_priority",
-    "q111_shared_span_removal",
-    "q112_temperature_mixture",
-    "q113_length_histogram",
-    "q11_customers_without_orders",
-    "q12_supplier_part_breadth",
-    "q132_vocab_coverage",
-    "q13_segment_acctbal",
-    "q144_leak_free_split",
-    "q145_quality_signal_correlation",
-    "q146_ngram_novelty",
-    "q147_quality_rule_ablation",
-    "q148_winnowed_novelty",
-    "q149_component_source_purity",
-    "q14_order_gap_days",
-    "q150_quality_survivor_delta",
-    "q15_status_priority_cube",
-    "q16_top3_orders_per_customer",
-    "q17_rich_customers_minus_buyers",
-    "q19_asof_last_signup",
-    "q20_repeat_buyers_intersection",
-    "q27_unified_activity_ledger",
-    "q30_doc_word_stats",
-    "q31_word_freq_topk",
-    "q32_lang_profile",
-    "q33_quality_flags",
-    "q63_ann_ivf_topk",
-    "q68_language_script_profile",
-    "q71_user_sessions",
-    "q72_first_event_per_user_type",
-    "q73_event_type_hourly_share",
-    "q74_event_props_extract",
-    "q75_user_totals",
-    "q76_sliding_event_counts",
-    "q77_event_funnel",
-    "q95_cohort_retention",
-    "q96_event_anomaly",
-    "q88_unigram_logprob",
+    "q06_forecast_revenue",
+    "q102_quality_tiers",
+    "q104_compression_ratio",
+    "q114_bigram_logprob",
+    "q115_quality_sketch_gate",
+    "q116_sentence_explode",
+    "q117_partitioned_sink_roundtrip",
+    "q118_orc_sink_roundtrip",
+    "q119_jsonl_scan_roundtrip",
+    "q120_csv_scan_roundtrip",
+    "q121_heavy_hitters",
+    "q122_incremental_admission",
+    "q123_semantic_dedup",
+    "q124_dsir_importance",
+    "q126_margin_pair_mining",
+    "q127_classifier_quality_filter",
+    "q128_source_kl_divergence",
+    "q129_sequence_chunking",
+    "q130_bpe_merge_candidates",
+    "q131_ann_recall_audit",
+    "q133_lsh_precision_audit",
+    "q134_trailing_range_revenue",
+    "q135_unpivot_doc_metrics",
+    "q136_order_distribution_stats",
+    "q143_ivf_cell_balance",
+    "q151_joint_dedup_agreement",
+    "q152_ann_admission",
+    "q24_price_math_profile",
+    "q25_name_normalization",
+    "q28_approx_distinct_parts",
+    "q35_token_counts",
+    "q36_rolling_fingerprints",
+    "q41_char_ngram_repetition",
+    "q45_lid_heuristic",
+    "q46_code_removal",
+    "q47_multi_n_repetition",
+    "q50_exact_dedup_survivors",
+    "q52_minhash_lsh_pairs",
+    "q55_embedding_neardup",
+    "q57_simhash_neardup_pairs",
+    "q70_hourly_event_stats",
+    "q80_clean_pipeline",
+    "q83_curation_pipeline",
+    "q84_approx_quantiles",
+    "q85_kmeans_clusters",
+    "q89_bloom_decontamination",
+    "q93_cross_corpus_neardup",
+    "q97_pii_redaction",
+    "q99_gopher_quality_rules",
+    "q56_dedup_components",
 )
 
 

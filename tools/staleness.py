@@ -28,35 +28,32 @@ import sys
 WINDOW = 50  # entries of queries() the driver checks per round
 
 #: the round whose window _FRONT currently pins (bump at each rotation)
-THIS_ROUND = 13
+THIS_ROUND = 14
 
 #: queries materially CHANGED in the current round that are NOT in the
 #: current window — they take the next round's first free slots so a
 #: behavior change never waits a full cycle for its driver hash row.
-#: Round 13: two engine-side change sets, both output-identical on the
-#: driver's corpora (verified by targeted oracle sweeps post-change).
-#: (1) The PII family's JVM patterns rewrite ``\b`` to an explicit
-#: ASCII boundary (functions/pii.py, the wide-fuzz find; q97
-#: re-matched at sf0.01 and sf0.1). (2) The empty-corpus wave
-#: (session 3): zero-extra-job guards on the kmeans/codebook/margin
-#: family, q141's NULL curve, q117's explicit read-back schema, and
-#: q77's coalesced funnel sums — all no-ops on non-empty corpora
-#: (12/12 re-matched at sf0.01; fingerprint ledger byte-identical),
-#: but the source changed, so every non-window member fronts. q63 and
-#: q77 sit in the CURRENT round-13 window (fresh driver rows this
-#: round); q85/q117/q123/q126/q131/q143 are already round-14 overdue.
+#: Round 14 (optimization round 2/2): every query whose plan or
+#: construction path was restructured this round, all output-identical
+#: on the driver's corpora (per-change sf0.01 oracle sweeps +
+#: default-conf driver-sim MATCH, plus the round-close full sweeps) —
+#: the CC funnel five (rep_full elimination, carry columns, broadcast
+#: CC labels, raw banded pairs), the audit/cache set (q89/q140/q151/
+#: q123), the q127 kernel rewrite, the q141 action fusion, and the
+#: q24 rebalance revert.
 CHANGED: tuple[str, ...] = (
-    "q97_pii_redaction",
-    "q60_cosine_topk",
-    "q85_kmeans_clusters",
-    "q117_partitioned_sink_roundtrip",
+    "q24_price_math_profile",
+    "q56_dedup_components",
+    "q89_bloom_decontamination",
     "q123_semantic_dedup",
-    "q126_margin_pair_mining",
-    "q131_ann_recall_audit",
-    "q138_margin_pair_mining_ann",
+    "q125_dedup_impact_audit",
+    "q127_classifier_quality_filter",
     "q140_margin_ann_recall_audit",
     "q141_bpe_compression_curve",
-    "q143_ivf_cell_balance",
+    "q144_leak_free_split",
+    "q149_component_source_purity",
+    "q150_quality_survivor_delta",
+    "q151_joint_dedup_agreement",
 )
 
 
