@@ -1134,15 +1134,9 @@ def q89_bloom_decontamination(
             )
         ).alias("g"),
     )
-    # Eval side is benchmark-sized by contract — scope-cache it
-    # (round-14): the same distinct-gram set is materialized TWICE per
-    # query otherwise — once by the bitset-build collect below, once as
-    # the exact-verify broadcast side in the final plan — each paying a
-    # full eval-doc gram explode + distinct.
-    ev = scoped_cache(
-        "q89_bloom_decontamination",
-        base.filter(_eval_flag()).select("g").distinct(),
-    )
+    ev = base.filter(_eval_flag()).select("g").distinct()
+    # Eval side is benchmark-sized: a bounded driver collect (same
+    # contract as every broadcast build), then a bitset broadcast.
     ev_keys = [r[0] for r in ev.collect()]
     bits, log2m = _bloom_build(ev_keys)
     bc = spark.sparkContext.broadcast((bits, log2m))

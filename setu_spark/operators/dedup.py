@@ -2236,21 +2236,14 @@ def _q151_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = q55_embedding_neardup(spark, sf_dir).select(
         "id_a", "id_b", F.lit(True).alias("in_emb")
     )
-    # scope-cache the tier union (round-14): ``u`` feeds THREE plan
-    # branches (the est_jaccard re-attach, the cosine re-attach, and
-    # the tier rollup itself) and its lineage contains BOTH tiers'
-    # full pair pipelines — q52's band join + verify AND q55's
-    # hyperplane banding + cosine verify — which otherwise execute
-    # three times each. The union is pair-volume sized (bounded by the
-    # two verified pair sets), two longs + two booleans per row.
-    u = scoped_cache(
-        "q151_pairs_union",
-        tp.join(ep, ["id_a", "id_b"], "full_outer").select(
+    u = (
+        tp.join(ep, ["id_a", "id_b"], "full_outer")
+        .select(
             "id_a",
             "id_b",
             F.coalesce("in_text", F.lit(False)).alias("in_text"),
             F.coalesce("in_emb", F.lit(False)).alias("in_emb"),
-        ),
+        )
     )
     uest = pair_est_jaccard(
         sig, u.select("id_a", "id_b"), threshold=0.0

@@ -1082,15 +1082,8 @@ def _semantic_dedup_raw(
     """The literal (oracle-shaped) pairwise stage: within-cluster
     self-join over every vector.
 
-    ``labeled`` is scope-cached (round-14): it feeds BOTH self-join
-    sides of the pairwise stage and the final left join, so the
-    assignment kernel (a mapInPandas pass over the corpus) otherwise
-    executes three times in the returned plan. Two longs per vector —
-    negligible cache, one kernel execution."""
-    labeled = _scoped_cache(
-        "q123_labeled",
-        kmeans_clusters(emb, k, iters).select("vec_id", "cluster"),
-    )
+    """
+    labeled = kmeans_clusters(emb, k, iters).select("vec_id", "cluster")
     vecs = emb.select("vec_id", "embedding").join(labeled, "vec_id")
     a, b = vecs.alias("a"), vecs.alias("b")
     sim = F.round(
@@ -1133,12 +1126,7 @@ def _semantic_dedup_collapsed(
     self-join. Candidate volume collapses from Σ|cluster|² to
     Σ|distinct-per-cluster|² — 67s → ~4s at the 20× stress corpus,
     where the raw form pays 400× the pairs."""
-    # same kernel-dedup cache as the raw branch: vecs feeds the grp
-    # aggregate AND the copy fan-out join
-    labeled = _scoped_cache(
-        "q123_labeled",
-        kmeans_clusters(emb, k, iters).select("vec_id", "cluster"),
-    )
+    labeled = kmeans_clusters(emb, k, iters).select("vec_id", "cluster")
     vecs = emb.select(
         "vec_id", "embedding", _eid_col(F.col("embedding")).alias("eid")
     ).join(labeled, "vec_id")
@@ -1955,15 +1943,7 @@ def q140_margin_ann_recall_audit(
         )
     n_cells = int(math.ceil(math.sqrt(float(emb_n))))
     bound = (0.5 * MINE_PROBE * MINE_PROBE) / n_cells
-    # scope-cache the exact side (round-14): it feeds BOTH the
-    # intersection count and the denominator count, and without the
-    # cache the entire q126 pipeline (cross-product cosine + margin
-    # windows) executed twice in this plan. Mutual-best pairs are ≤|Y|
-    # rows of two longs — cache cost is negligible.
-    exact = _scoped_cache(
-        "q140_margin_ann_recall_audit",
-        q126_margin_pair_mining(spark, sf_dir).select("x_id", "y_id"),
-    )
+    exact = q126_margin_pair_mining(spark, sf_dir).select("x_id", "y_id")
     ann = q138_margin_pair_mining_ann(spark, sf_dir).select(
         "x_id", "y_id"
     )
